@@ -1,0 +1,110 @@
+"""Text-analysis column functions for the LLM-pipeline surface.
+
+All JVM-side builtin expressions (tokenization, stats, fingerprints,
+shingles) so they run inside WholeStageCodegen over 100 TB of documents.
+Everything here is oracle-expressible in ANSI SQL so the DuckDB
+differential harness can check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer — the baseline "token count" a data pipeline uses
+# before a real BPE pass.
+_WS = r"\s+"
+
+# BPE-ish word/number/punct splitter (GPT-2-style coarse classes, regex
+# only): runs of letters, runs of digits, single non-space punctuation.
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny deterministic stopword set for quality scoring.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens; empty string → empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, _WS))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text)).cast("long")
+
+
+def bpeish_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (letters-run | digits-run | punct)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPEISH_PATTERN), 0)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        punct / F.length(text).cast("double")
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    toks = ws_tokens(F.lower(text))
+    stops = F.size(
+        F.filter(toks, lambda t: t.isin([F.lit(s) for s in STOPWORDS]))
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        stops / F.size(toks).cast("double")
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = ws_tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] doc-quality score: rewards sane token length and
+    stopword presence, penalizes punctuation soup. Deterministic and
+    SQL-expressible (oracle in plans/llm.py)."""
+    tl = mean_token_len(text)
+    len_term = F.when((tl >= 3.0) & (tl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_term = clamp01(stopword_ratio(text) * 4.0)
+    punct_term = F.lit(1.0) - clamp01(punct_ratio(text) * 4.0)
+    return F.round((len_term + stop_term + punct_term) / 3.0, 4)
+
+
+def clamp01(col: Column) -> Column:
+    return F.least(F.greatest(col, F.lit(0.0)), F.lit(1.0))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of NFC-ish normalized text (lower, collapse
+    whitespace). md5 (not xxhash64) so DuckDB computes the identical value."""
+    norm = F.lower(F.trim(F.regexp_replace(text, _WS, " ")))
+    return F.md5(norm)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (MinHash/Jaccard input).
+
+    Built from sliding windows over the whitespace tokens via
+    ``transform`` on index sequences — pure builtins, no UDF.
+    """
+    toks = ws_tokens(F.lower(text))
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )

@@ -1,0 +1,355 @@
+"""LLM-data-pipeline queries (BASELINE.json north star): dedup,
+similarity search, text analysis over ``documents`` / ``embeddings``.
+
+Oracle strategy: everything hash-based uses md5 (DuckDB computes the
+identical digest); xxhash64-based ops (MinHash/SimHash — Spark-native
+hashes with no DuckDB twin) register without oracle SQL → driver runs
+the rows-only check, and the unit tests pin their semantics instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as tf
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..sources import load
+from .registry import query
+
+# --- deduplication --------------------------------------------------------
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+WITH fp AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+    FROM documents
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM fp GROUP BY f
+""",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text md5 fingerprint: one shuffle keyed
+    by the hash (uniform by construction — no skew at 100 TB), smallest
+    doc_id wins deterministically."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs)
+
+
+@query("dedup_minhash_lsh_pairs", oracle=None)  # xxhash64 has no DuckDB twin
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) near-dup candidate pairs over 3-gram
+    shingles. The banded equi-join shuffles by bucket hash only — no
+    quadratic cross join (the PAPERS.md similarity-join pre-filter
+    pattern). Semantics pinned by tests/test_llm.py."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(docs)
+
+
+@query("dedup_simhash_candidates", oracle=None)  # xxhash64 has no DuckDB twin
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup candidates banded into 4×16-bit chunks
+    (pigeonhole: catches all pairs within Hamming distance 3)."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.simhash_dedup_candidates(docs)
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, source,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+           AS jaccard
+FROM sh a JOIN sh b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(a.s) > 0 AND len(b.s) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+""",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for same-source document pairs
+    with similarity ≥ 0.2. The source equi-key bounds the pair space
+    (the blocking-key pattern); at 100 TB the block key would come from
+    LSH instead — see dedup_minhash_lsh_pairs."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(tf.shingles(F.col("text"), 3)).alias("s"),
+    ).filter(F.size("s") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= 0.2)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round("jaccard_raw", 4).alias("jaccard"),
+        )
+    )
+
+
+# --- text analysis --------------------------------------------------------
+
+
+@query(
+    "text_stats_documents",
+    oracle="""
+SELECT doc_id, lang, source,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_computed,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT)
+           AS n_punct
+FROM documents
+""",
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, punctuation count —
+    all codegen'd expressions, zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        tf.char_count(F.col("text")).alias("n_chars_computed"),
+        tf.token_count(F.col("text")).alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+        .cast("long")
+        .alias("n_punct"),
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle="""
+WITH t AS (
+    SELECT lang,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           n_chars
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
+FROM t GROUP BY lang
+""",
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language facet: doc counts, token totals,
+    average length (the 'what's in this 100 TB crawl' query)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "lang", tf.token_count(F.col("text")).alias("n_tokens"), "n_chars"
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+           LENGTH(text) AS n_chars
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN
+               ('the','a','an','and','or','of','to','in','is','it')))
+               AS DOUBLE) / len(toks) AS stop_ratio,
+           CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+               / len(toks) AS mean_tok_len,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio
+    FROM t WHERE len(toks) > 0 AND n_chars > 0
+)
+SELECT doc_id,
+       ROUND((CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+              + LEAST(stop_ratio * 4.0, 1.0)
+              + 1.0 - LEAST(punct_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
+FROM m
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document (functions/text.py
+    quality_score): token-length sanity + stopword presence − punctuation
+    soup. The standard pre-training quality-filter shape."""
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (tf.token_count(F.col("text")) > 0)
+    )
+    return docs.select(
+        "doc_id", tf.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS bpeish_tokens
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and the BPE-ish regex
+    (letters-run | digits-run | punct) — the cheap token budget
+    estimator for corpus sizing."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tf.token_count(F.col("text")).alias("ws_tokens"),
+        tf.bpeish_token_count(F.col("text")).alias("bpeish_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint_documents",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 over normalized text) — the join key
+    for exact dedup and incremental re-crawl detection."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", tf.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --- similarity search ----------------------------------------------------
+
+_SIM_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+c AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           ROUND(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> qv[i] * cv[i]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6)
+               AS cosine
+    FROM q, c
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@query("similarity_bruteforce_topk", oracle=_SIM_ORACLE)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors against the corpus:
+    queries broadcast, corpus streams (never shuffled), per-partition
+    partial top-k then final window rank — the brute-force ANN baseline
+    that scales linearly with corpus size."""
+    em = load(spark, sf_dir, "embeddings")
+    queries_df = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim.cosine_topk(em, queries_df, k=10)
+
+
+@query("similarity_ivf_topk", oracle=None)  # approximate by design
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: corpus pre-assigned to nearest of
+    8 label-derived centroids, queries probe 2 buckets. The scale path —
+    at 100 TB the assignment is written bucketed-by-centroid so probes
+    prune to matching files. Recall vs brute force checked in tests."""
+    em = load(spark, sf_dir, "embeddings")
+    # Deterministic centroids: mean embedding per (label % 8).
+    exploded = em.select(
+        (F.col("label") % 8).alias("centroid_id"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    centroids = (
+        exploded.groupBy("centroid_id", "pos")
+        .agg(F.avg("val").alias("v"))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            "centroid_id",
+            F.transform(F.col("pv"), lambda s: s["v"]).alias("centroid"),
+        )
+    )
+    queries_df = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim.ivf_topk(em, centroids, queries_df, k=10, nprobe=2)
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+WITH ex AS (
+    SELECT label, u.i AS pos, CAST(u.x AS DOUBLE) AS val
+    FROM embeddings,
+         LATERAL (SELECT UNNEST(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i) u
+)
+SELECT label, CAST(pos AS INTEGER) AS pos, ROUND(AVG(val), 6) AS centroid_val
+FROM ex GROUP BY label, pos
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components via posexplode + groupBy — the
+    k-means-style reduce used to build IVF partitions (one shuffle keyed
+    by (label, pos): perfectly uniform)."""
+    em = load(spark, sf_dir, "embeddings")
+    return (
+        em.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+One place to encode the engine-wide execution posture:
+
+- UTC session timezone (reference stamps UTC wall clock,
+  ``/root/reference/src/utils.rs:82``; oracle comparisons need a fixed TZ).
+- Arrow enabled for every pandas-UDF / toPandas boundary.
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  are the first line of defense at 100 TB where static tuning can't see
+  per-stage cardinalities.
+- ``nanosAsLong`` because the ``events`` table is written with
+  nanosecond parquet timestamps which Spark's vectorized reader rejects;
+  the loader converts ns→timestamp explicitly (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions: local[32] testing wants ~2x cores; on a real
+# cluster this is overridden per-deployment (AQE coalesces down anyway).
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply engine configs to any builder (the driver may own the session)."""
+    return (
+        builder
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # At 100 TB the default 128 MB split is fine; keep explicit so it
+        # is a single knob, not an accident.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+
+
+def get_spark(app_name: str = "rust-ruuvitag-etl-spark", master: str | None = None) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{DEFAULT_CPUS}]"
+    builder = builder.master(master)
+    return configure(builder).getOrCreate()
+
+
+def ensure_session_configs(spark: SparkSession) -> SparkSession:
+    """Best-effort: apply runtime-settable configs to an existing session
+    (driver-owned sessions may not have gone through ``configure``)."""
+    for key, val in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long + convert in the loader.
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ]:
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass
+    return spark

@@ -1,0 +1,1 @@
+from .tables import TABLES, load, load_all, register_views  # noqa: F401
