@@ -17,6 +17,8 @@ Field layout (``scanner.rs:17-28``):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -122,8 +124,6 @@ def decode_format5_pandas():
     """
     from decimal import ROUND_HALF_UP, Decimal
 
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     schema = (

@@ -1,0 +1,119 @@
+"""Semantics tests for the LLM-pipeline operators whose hashes have no
+DuckDB twin (MinHash-LSH, SimHash) plus recall/sanity checks for the
+approximate paths (IVF vs brute force, HLL error bound)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rust_ruuvitag_etl_spark.operators import dedup as dd
+from rust_ruuvitag_etl_spark.operators import similarity as sim
+
+from .conftest import SF_SMALL
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank", "a"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank", "a"),  # dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river shore", "a"),  # near-dup
+    (4, "completely different content about spark query engines and shuffles", "a"),
+    (5, "tiny", "a"),  # < 3 tokens → no shingles
+]
+DOCS_SCHEMA = "doc_id long, text string, source string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, DOCS_SCHEMA)
+
+
+class TestExactDedup:
+    def test_groups(self, spark):
+        out = dd.exact_dedup(_docs(spark))
+        got = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+        assert got[1] == 2  # docs 1+2 collapse, min id wins
+        assert 2 not in got
+        assert got[3] == 1 and got[4] == 1
+
+    def test_whitespace_case_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "hello world!")],
+            "doc_id long, text string",
+        )
+        out = dd.exact_dedup(df)
+        got = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+        assert got[1] == 2 and got[3] == 1
+
+
+class TestMinHashLSH:
+    def test_exact_dups_always_collide(self, spark):
+        pairs = dd.minhash_lsh_candidates(_docs(spark))
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got  # identical docs share every band
+
+    def test_near_dup_found_disjoint_not(self, spark):
+        pairs = dd.minhash_lsh_candidates(_docs(spark))
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        # doc 3 differs in one trailing token → most shingles shared
+        assert (1, 3) in got and (2, 3) in got
+        # doc 4 shares no shingles with 1 — a collision would mean a
+        # broken band hash
+        assert (1, 4) not in got
+
+    def test_jaccard_verification(self, spark):
+        docs = _docs(spark)
+        pairs = dd.minhash_lsh_candidates(docs)
+        verified = dd.jaccard_pairs(docs, pairs)
+        j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+        assert j[(1, 2)] == 1.0
+        assert 0.5 < j[(1, 3)] < 1.0
+
+
+class TestSimHash:
+    def test_identical_docs_zero_hamming(self, spark):
+        out = dd.simhash_dedup_candidates(_docs(spark))
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+        assert got[(1, 2)] == 0
+        if (1, 3) in got:  # near-dup: small distance when banding catches it
+            assert got[(1, 3)] <= 16
+
+
+class TestSimilarity:
+    def test_bruteforce_self_top1(self, spark):
+        em = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        q = em.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top = sim.cosine_topk(em, q, k=5)
+        best = {r["query_id"]: r for r in top.filter(F.col("rank") == 1).collect()}
+        for qid, r in best.items():
+            assert r["vec_id"] == qid  # self-similarity = 1.0 wins
+            assert abs(r["cosine"] - 1.0) < 1e-6
+
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        """IVF with nprobe=2 of 8 centroids keeps reasonable top-5 recall."""
+        from rust_ruuvitag_etl_spark.plans.llm import (
+            similarity_bruteforce_topk,
+            similarity_ivf_topk,
+        )
+
+        bf = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity_bruteforce_topk(spark, SF_SMALL)
+            .filter(F.col("rank") <= 5)
+            .collect()
+        }
+        ivf = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity_ivf_topk(spark, SF_SMALL)
+            .filter(F.col("rank") <= 5)
+            .collect()
+        }
+        recall = len(bf & ivf) / len(bf)
+        assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+class TestApproxCountDistinct:
+    def test_error_bound(self, spark):
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        exact = li.select(F.countDistinct("l_partkey")).head()[0]
+        approx = li.select(F.approx_count_distinct("l_partkey", 0.02)).head()[0]
+        assert abs(approx - exact) / exact < 0.1
