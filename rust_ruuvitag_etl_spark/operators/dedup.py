@@ -5,13 +5,22 @@ dedup, ``/root/reference/src/bluetooth/scanner.rs:99,185``).
 Scale posture:
 - exact dedup: hash-groupBy on a fingerprint — one shuffle keyed by the
   hash, near-perfectly balanced by construction (hashes are uniform);
+- MinHash: explode shingles → ONE xxhash64 per shingle → k linear
+  permutations ``a_i*h + b_i`` → groupBy-min. The per-shingle hash is
+  computed once (not k times), partial aggregation combines map-side, so
+  the shuffle carries only |docs| × k longs regardless of corpus size.
 - MinHash-LSH: band signatures → explode to (band, band_hash) buckets →
   self-join inside buckets only. The candidate join is equi-keyed on the
-  bucket, so Spark shuffles by bucket id; no quadratic cross join ever
-  materializes. This is the standard LSH pre-filter the PAPERS.md
-  similarity-join literature (compressed-index/TopK joins) assumes.
-- SimHash: 64-bit signature + banding on 4×16-bit chunks for candidate
+  bucket, so no quadratic cross join ever materializes (the pre-filter
+  pattern from the PAPERS.md similarity-join literature).
+- SimHash: explode tokens → 64 conditional-sum aggregates (codegen'd)
+  → sign bits reassembled; banded on 4×16-bit chunks for candidate
   pairs within Hamming distance ≤3 (pigeonhole over 4 bands).
+
+All heavy per-row work happens after :func:`spread`, which fans a
+narrow input (single parquet split) out to the cluster's parallelism —
+a no-op when the source already has enough splits, as a 100 TB input
+would.
 """
 
 from __future__ import annotations
@@ -20,6 +29,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as tf
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than
+    the session's parallelism. A small/local parquet file arrives as one
+    split and would pin CPU-heavy per-row operators to one core; a real
+    large input already has enough splits and passes through untouched.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(
@@ -36,6 +56,17 @@ def exact_dedup(
     )
 
 
+def _shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, h) rows: one xxhash64 per distinct shingle occurrence."""
+    base = spread(df).select(
+        F.col(id_col),
+        F.explode(tf.shingles(F.col(text_col), n=shingle_n)).alias("_s"),
+    )
+    return base.select(F.col(id_col), F.xxhash64("_s").alias("_h"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -43,26 +74,22 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: for seed i, min over shingles of
-    xxhash64(shingle, seed=i). Pure builtins (explode-free: array
-    ``transform`` + ``array_min``)."""
+    """MinHash signature per doc as an array<long> of length n_hashes.
 
-    def hash_with_seed(i: int):
-        # Factory, not a default-arg lambda: PySpark dispatches
-        # higher-order lambdas on arity, and a (s, i=...) lambda would be
-        # called as the 2-arg (element, index) form.
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    base = df.select(
-        F.col(id_col), tf.shingles(F.col(text_col), n=shingle_n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh"), hash_with_seed(i)))
-            for i in range(n_hashes)
-        ]
+    min_i over shingles of xxhash64(i, xxhash64(shingle)): one STRING
+    hash per shingle, then k cheap long-rehashes (seeded by the hash
+    index — no ANSI-hostile overflow arithmetic), one partial+final
+    min-aggregate — the shuffle carries k longs per doc.
+    """
+    hashed = _shingle_hashes(df, text_col, id_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    agg = hashed.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("minhash")
     )
-    return base.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -76,29 +103,26 @@ def minhash_lsh_candidates(
     """Near-dup candidate pairs via banded MinHash-LSH.
 
     rows/band = n_hashes/bands; docs sharing any full band collide.
-    Output: (id_a, id_b) with id_a < id_b, distinct.
+    Output: (id_a, id_b) with id_a < id_b, distinct. The bucket
+    self-join reuses the signature aggregation's shuffle (identical
+    subplans → ReusedExchange under AQE).
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                *[
-                    F.element_at("minhash", b * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(id_col, *band_cols)
-    buckets = banded.select(
+    buckets = sigs.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("minhash", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
                     for b in range(bands)
                 ]
             )
@@ -106,7 +130,7 @@ def minhash_lsh_candidates(
     ).select(id_col, "bk.band", "bk.bh")
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -118,7 +142,6 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
-    return pairs
 
 
 def jaccard_pairs(
@@ -134,17 +157,27 @@ def jaccard_pairs(
     Joins shingle sets back onto the (small) candidate set — the
     expensive set intersection runs only on LSH survivors.
     """
-    sh = df.select(
-        F.col(id_col), F.array_distinct(tf.shingles(F.col(text_col), shingle_n)).alias("sh")
+    sh = spread(df).select(
+        F.col(id_col),
+        F.array_distinct(tf.shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
     out = (
-        candidate_pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        candidate_pairs.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.when(F.size("sh_a") + F.size("sh_b") - F.col("inter") == 0, F.lit(0.0)).otherwise(
-                F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double")
+            F.when(
+                F.size("sh_a") + F.size("sh_b") - F.col("inter") == 0, F.lit(0.0)
+            ).otherwise(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double")
             ),
         )
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -152,16 +185,52 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
-def simhash_dedup_candidates(
+def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signature, banded into 4
-    16-bit chunks; pairs sharing any chunk are candidates (covers all
-    pairs within Hamming distance 3 by pigeonhole)."""
-    sig = df.select(
+    """64-bit SimHash per doc via explode + 64 conditional-sum aggregates.
+
+    Each token hashes once (xxhash64); per bit position the vote is
+    +1/-1 by hash bit; the signature reassembles from the 64 sums'
+    signs. Fully codegen'd, map-side combined — no per-row Python, no
+    64-pass array traversal.
+    """
+    toks = spread(df).select(
         F.col(id_col),
-        tf.ws_tokens(F.lower(F.col(text_col))).alias("_toks"),
-    ).withColumn("simhash", _simhash_col("_toks")).drop("_toks")
+        F.explode(tf.ws_tokens(F.lower(F.col(text_col)))).alias("_t"),
+    )
+    hashed = toks.select(F.col(id_col), F.xxhash64("_t").alias("_h"))
+    votes = []
+    for i in range(64):
+        bit = (1 << i) if i < 63 else -(1 << 63)
+        votes.append(
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(bit)) != 0, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+        )
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, F.lit(bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_dedup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int | None = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of the 4 16-bit
+    chunks (pigeonhole: complete for Hamming distance ≤3), then the
+    exact Hamming check keeps true near-dups. ``max_hamming=None``
+    returns all banding candidates."""
+    sig = simhash_signatures(df, text_col, id_col)
     chunks = sig.select(
         id_col,
         "simhash",
@@ -180,7 +249,7 @@ def simhash_dedup_candidates(
         ).alias("c"),
     ).select(id_col, "simhash", "c.band", "c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -190,18 +259,12 @@ def simhash_dedup_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            _hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
         .distinct()
     )
-
-
-def _simhash_col(tokens_col: str):
-    from ..functions.vectors import simhash64
-
-    return simhash64(F.col(tokens_col))
-
-
-def _hamming64(a, b):
-    x = a.bitwiseXOR(b)
-    return F.bit_count(x)
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
