@@ -1,0 +1,136 @@
+"""Time-series and multimodal registry queries: as-of join,
+sessionization (batch session windows), and Arrow-batched binary
+feature extraction — oracle-verified where DuckDB can express the twin
+(it has native ASOF JOIN; sessions via gaps-and-islands; blob md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as mm
+from ..operators.asof import asof_join
+from ..sources import load
+from .registry import query
+
+
+@query(
+    "asof_purchase_last_view",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, ts, event_id AS purchase_id, value
+    FROM events WHERE event_type = 'purchase'
+),
+views AS (
+    SELECT user_id, ts, MAX(event_id) AS view_id
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, p.value,
+       v.view_id AS view_id_asof,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_seconds
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent view
+    at-or-before it (generalizes A3's ordered-by-time semantics to a
+    join). Spark has no ASOF JOIN builtin; the operator unions both
+    sides and runs a running last() over ONE shuffle — no range-join
+    explosion (operators/asof.py). DuckDB's native ASOF JOIN is the
+    oracle."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    joined = asof_join(
+        purchases,
+        views.select("user_id", "ts", "view_id", F.col("ts").alias("view_ts")),
+        key="user_id",
+        ts_col="ts",
+        right_value_cols=("view_id", "view_ts"),
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "value",
+        F.col("view_id_asof"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("view_ts_asof"))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                     OR date_diff('millisecond', prev_ts, ts) > 300000
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+numbered AS (
+    SELECT user_id, ts, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTES AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 5-minute-gap session windows per user via
+    the native session_window operator (one shuffle; state-free in
+    batch). Oracle is the classic gaps-and-islands SQL; Spark's
+    session_window end = last event + gap, mirrored in the oracle."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "multimodal_binary_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+""",
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing proof: documents as opaque binary payloads →
+    Arrow-batched mapInPandas feature extraction (byte stats + digest).
+    The oracle checks the codec-free features (length, md5) — DuckDB
+    computes identical values; the decode stubs stay NotImplementedError
+    until real codecs exist (operators/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")
+    media = mm.documents_as_media(docs)
+    return mm.extract_features(media).select("media_id", "n_bytes", "digest")

@@ -1,0 +1,147 @@
+"""Streaming tests: batch-streaming parity (the streaming pipeline on a
+bounded fixture must equal its batch twin), watermark dedup, sliding and
+session windows, and the foreachBatch parquet sink."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_ruuvitag_etl_spark.operators import ruuvi_pipeline as rp
+from rust_ruuvitag_etl_spark.streaming import pipeline as sp
+
+from .fixtures import READINGS_SCHEMA, readings_rows
+
+
+from .fixtures import ts as _ts
+
+# Far-future row that advances the watermark so append-mode emits every
+# real window before the bounded stream terminates; filtered from all
+# comparisons. (Without it the last window stays in state forever —
+# correct watermark semantics, inconvenient for equality tests.)
+SENTINEL_MAC = "ZZ:ZZ:ZZ:ZZ:ZZ:ZZ"
+_SENTINEL = (SENTINEL_MAC, _ts(24 * 60), 0.0, 0.0, 1000.0, 0.0, 0.0, 0.0, 0)
+
+
+def _strip(rows):
+    return [r for r in rows if r["sensor_mac"] != SENTINEL_MAC]
+
+
+@pytest.fixture(scope="module")
+def readings_dir(spark):
+    d = tempfile.mkdtemp(prefix="readings_stream_")
+    df = spark.createDataFrame(readings_rows() + [_SENTINEL], READINGS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestBatchStreamingParity:
+    def test_windowed_averages_match_batch(self, spark, readings_dir):
+        stream = sp.read_readings_stream(spark, readings_dir, READINGS_SCHEMA)
+        agg = sp.windowed_averages_stream(stream)
+        got = _strip(sp.run_available_now(agg, "stream_win"))
+        batch = rp.window_aggregate(
+            spark.createDataFrame(readings_rows(), READINGS_SCHEMA)
+        ).collect()
+
+        def key(r):
+            return (r["sensor_mac"], r["time"].isoformat())
+
+        got_map = {key(r): r for r in got}
+        batch_map = {key(r): r for r in batch}
+        assert set(got_map) == set(batch_map)
+        for k in batch_map:
+            for c in ("temperature", "humidity", "movement_delta", "samples"):
+                assert got_map[k][c] == batch_map[k][c], (k, c)
+
+
+class TestStreamingDedup:
+    def test_drop_duplicates_with_watermark(self, spark):
+        d = tempfile.mkdtemp(prefix="dups_")
+        try:
+            df = spark.createDataFrame(
+                [
+                    ("M1", 1, "2024-06-01T00:00:00", 1.0),
+                    ("M1", 1, "2024-06-01T00:00:10", 2.0),  # dup key, dropped
+                    ("M1", 2, "2024-06-01T00:01:00", 3.0),
+                ],
+                "sensor_mac string, scan_id long, ts_s string, temperature double",
+            ).select(
+                "sensor_mac",
+                "scan_id",
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "temperature",
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            stream = sp.read_readings_stream(
+                spark, d, "sensor_mac string, scan_id long, ts timestamp, temperature double"
+            )
+            out = sp.run_available_now(sp.dedup_stream(stream), "stream_dedup")
+            assert len(out) == 2  # one per (mac, scan)
+            kept = {(r["sensor_mac"], r["scan_id"]) for r in out}
+            assert kept == {("M1", 1), ("M1", 2)}
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+class TestWindows:
+    def test_sliding_means(self, spark, readings_dir):
+        stream = sp.read_readings_stream(spark, readings_dir, READINGS_SCHEMA)
+        out = _strip(
+            sp.run_available_now(
+                sp.sliding_means_stream(
+                    stream, window="30 minutes", slide="10 minutes"
+                ),
+                "stream_slide",
+            )
+        )
+        # Each sensor-01 window-0 reading lands in 3 overlapping windows.
+        w = [r for r in out if r["sensor_mac"] == "AA:BB:CC:DD:EE:01"]
+        assert len(w) > len({r["window_start"] for r in out if r["sensor_mac"] == "AA:BB:CC:DD:EE:02"})
+        assert all(r["samples"] >= 1 for r in out)
+
+    def test_session_windows(self, spark, readings_dir):
+        stream = sp.read_readings_stream(spark, readings_dir, READINGS_SCHEMA)
+        out = _strip(
+            sp.run_available_now(
+                sp.session_windows_stream(stream, gap="6 minutes", key="sensor_mac"),
+                "stream_sess",
+            )
+        )
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["sensor_mac"], []).append(r)
+        # Sensor 01: readings every 5 min 0..25, then 30..40 — a 6-min gap
+        # keeps them in ONE session (25→30 is 5 min < 6); sensor 02 has
+        # one burst. The silent sensor 42 appears in no session.
+        assert "AA:BB:CC:DD:EE:42" not in by_key
+        s01 = by_key["AA:BB:CC:DD:EE:01"]
+        assert sum(r["n_events"] for r in s01) == 9
+        assert len(s01) == 1
+        for r in out:
+            assert r["session_end"] > r["session_start"]
+
+
+class TestSink:
+    def test_foreach_batch_parquet_sink(self, spark, readings_dir):
+        out_dir = tempfile.mkdtemp(prefix="sink_out_")
+        ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+        try:
+            stream = sp.read_readings_stream(spark, readings_dir, READINGS_SCHEMA)
+            agg = sp.windowed_averages_stream(stream)
+            q = sp.write_parquet_sink(agg, out_dir, ckpt)
+            q.awaitTermination()
+            written = spark.read.parquet(out_dir).filter(
+                F.col("sensor_mac") != SENTINEL_MAC
+            )
+            batch = rp.window_aggregate(
+                spark.createDataFrame(readings_rows(), READINGS_SCHEMA)
+            )
+            assert written.count() == batch.count()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
