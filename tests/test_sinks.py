@@ -1,0 +1,104 @@
+"""Sink round-trip tests: parquet (plain/partitioned/dynamic-overwrite),
+CSV and JSON, plus the JDBC writer's option wiring (no database in the
+container — the writer is inspected, not saved)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_ruuvitag_etl_spark.sources import load, sinks
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sink_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestParquetSink:
+    def test_roundtrip(self, spark, tmpdir):
+        src = load(spark, SF_SMALL, "orders")
+        sinks.write_parquet(src, f"{tmpdir}/plain", mode="overwrite")
+        back = spark.read.parquet(f"{tmpdir}/plain")
+        assert back.count() == src.count()
+        assert set(back.columns) == set(src.columns)
+
+    def test_partitioned_layout_prunes(self, spark, tmpdir):
+        src = load(spark, SF_SMALL, "orders").withColumn(
+            "order_year", F.year("o_orderdate")
+        )
+        sinks.write_parquet(
+            src, f"{tmpdir}/byyear", mode="overwrite", partition_by=("order_year",)
+        )
+        back = spark.read.parquet(f"{tmpdir}/byyear")
+        one_year = back.filter(F.col("order_year") == 1996)
+        plan = one_year._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan  # pruning pushed to the scan
+        assert one_year.count() == src.filter(F.year("o_orderdate") == 1996).count()
+
+    def test_dynamic_partition_overwrite_is_idempotent(self, spark, tmpdir):
+        src = load(spark, SF_SMALL, "orders").withColumn(
+            "order_year", F.year("o_orderdate")
+        )
+        path = f"{tmpdir}/dyn"
+        sinks.write_parquet(src, path, mode="overwrite", partition_by=("order_year",))
+        before = spark.read.parquet(path).count()
+        # Re-writing the same slice must replace, not duplicate (S2 parity)
+        slice_1996 = src.filter(F.col("order_year") == 1996)
+        sinks.overwrite_partitions(slice_1996, path, ("order_year",))
+        after = spark.read.parquet(path).count()
+        assert after == before
+
+    def test_pipeline_output_sink(self, spark, tmpdir):
+        """P1+S1: the two split projections write to two tables."""
+        from rust_ruuvitag_etl_spark.operators import ruuvi_pipeline as rp
+
+        from .fixtures import RAW_SCHEMA, TAGS, TAGS_SCHEMA, raw_adverts_rows
+
+        raw = spark.createDataFrame(raw_adverts_rows(), RAW_SCHEMA)
+        tags = spark.createDataFrame(TAGS, TAGS_SCHEMA)
+        sensor_data, movement_data = rp.ruuvi_batch_pipeline(raw, tags)
+        sinks.write_parquet(sensor_data, f"{tmpdir}/sensor_data", mode="overwrite")
+        sinks.write_parquet(movement_data, f"{tmpdir}/movement_data", mode="overwrite")
+        s = spark.read.parquet(f"{tmpdir}/sensor_data")
+        m = spark.read.parquet(f"{tmpdir}/movement_data")
+        assert s.count() == m.count() > 0
+
+
+class TestTextSinks:
+    def test_csv_roundtrip(self, spark, tmpdir):
+        src = load(spark, SF_SMALL, "nation")
+        sinks.write_csv(src, f"{tmpdir}/csv")
+        back = (
+            spark.read.option("header", "true")
+            .schema(src.schema)
+            .csv(f"{tmpdir}/csv")
+        )
+        assert sorted(r["n_name"] for r in back.collect()) == sorted(
+            r["n_name"] for r in src.collect()
+        )
+
+    def test_json_roundtrip(self, spark, tmpdir):
+        src = load(spark, SF_SMALL, "region")
+        sinks.write_json(src, f"{tmpdir}/json")
+        back = spark.read.schema(src.schema).json(f"{tmpdir}/json")
+        assert back.count() == src.count()
+
+
+class TestJdbcWriter:
+    def test_options_wired(self, spark):
+        src = load(spark, SF_SMALL, "region")
+        w = sinks.jdbc_writer(
+            src,
+            url="jdbc:postgresql://db.example:5432/sensors",
+            table="sensor_data",
+            ssl_root_cert="/certs/ca.pem",
+        )
+        assert w is not None  # construction succeeds without a database
