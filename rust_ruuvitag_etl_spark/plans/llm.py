@@ -117,6 +117,44 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+    FROM embeddings
+),
+scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.ev) + 1),
+                    i -> a.ev[i] * b.ev[i]))
+           / (sqrt(list_sum(list_transform(a.ev, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.ev, x -> x * x)))) AS c
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM scored WHERE c >= 0.3
+""",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs, blocked on label (the
+    blocking-key pattern bounds the pair space; at 100 TB the block key
+    comes from LSH — see dedup_embedding_lsh_pairs). Threshold 0.3 fits
+    this synthetic corpus (near-orthogonal vectors, max ≈ 0.47)."""
+    em = load(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(em, threshold=0.3, block_col="label")
+
+
+@query("dedup_embedding_lsh_pairs", oracle=None)  # approximate by design
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup: 16-bit signature → 4 banded
+    equi-joins (shuffle keyed by band bits, never a cross join) → exact
+    cosine verify. The 100 TB path for dedup_embedding_cosine_pairs;
+    recall pinned by tests/test_llm_ops.py on constructed duplicates."""
+    em = load(spark, sf_dir, "embeddings")
+    return sim.rhp_lsh_near_dup_pairs(em, threshold=0.3)
+
+
 # --- text analysis --------------------------------------------------------
 
 

@@ -1,1 +1,8 @@
-from .tables import TABLES, load, load_all, register_views  # noqa: F401
+from .tables import (  # noqa: F401
+    TABLES,
+    load,
+    load_all,
+    load_csv,
+    load_json,
+    register_views,
+)

@@ -145,6 +145,38 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """CSV scan with mandatory declared schema (never inferred — schema
+    inference triggers an extra full pass over the data and guesses
+    types; at 100 TB both are unacceptable). ``FAILFAST`` mirrors the
+    reference's reject-malformed-input stance
+    (``/root/reference/src/bluetooth/scanner.rs:36-45``); pass
+    ``mode='DROPMALFORMED'`` for the quarantine-style pipeline."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
+def load_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """JSON-lines scan with mandatory declared schema; same
+    reject-malformed stance as :func:`load_csv`."""
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 

@@ -117,3 +117,73 @@ class TestApproxCountDistinct:
         exact = li.select(F.countDistinct("l_partkey")).head()[0]
         approx = li.select(F.approx_count_distinct("l_partkey", 0.02)).head()[0]
         assert abs(approx - exact) / exact < 0.1
+
+
+class TestEmbeddingNearDup:
+    """Exact vs LSH embedding near-dup (operators/similarity.py)."""
+
+    def _corpus_with_dups(self, spark):
+        """120 base vectors + 20 near-duplicates (tiny perturbation of a
+        base vector → cosine ≈ 0.999)."""
+        import random as _r
+
+        rng = _r.Random(99)
+        rows = []
+        base = []
+        for i in range(120):
+            v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+            base.append(v)
+            rows.append((i, v, i % 10))
+        for j in range(20):
+            src = base[j * 6]
+            v = [x + rng.gauss(0.0, 0.01) for x in src]
+            rows.append((200 + j, v, (j * 6) % 10))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+
+    def test_exact_finds_planted_dups(self, spark):
+        corpus = self._corpus_with_dups(spark)
+        pairs = sim.cosine_near_dup_pairs(
+            corpus, threshold=0.9, block_col=None
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        expected = {(j * 6, 200 + j) for j in range(20)}
+        assert expected <= found
+        # near-orthogonal non-dups must NOT appear at 0.9
+        assert len(found - expected) == 0
+
+    def test_lsh_recall_on_planted_dups(self, spark):
+        corpus = self._corpus_with_dups(spark)
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in sim.cosine_near_dup_pairs(
+                corpus, threshold=0.9, block_col=None
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in sim.rhp_lsh_near_dup_pairs(
+                corpus, threshold=0.9
+            ).collect()
+        }
+        # LSH verifies candidates with exact cosine → no false positives.
+        assert lsh <= exact
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+    def test_lsh_subset_of_exact_unblocked(self, spark):
+        """On the real corpus (no planted dups) every LSH pair passes the
+        same threshold as the exact unblocked join."""
+        em = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in sim.cosine_near_dup_pairs(
+                em, threshold=0.3, block_col=None
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in sim.rhp_lsh_near_dup_pairs(em, threshold=0.3).collect()
+        }
+        assert lsh <= exact

@@ -102,3 +102,45 @@ class TestJdbcWriter:
             ssl_root_cert="/certs/ca.pem",
         )
         assert w is not None  # construction succeeds without a database
+
+
+class TestFormatSources:
+    """CSV/JSON readers (sources/tables.py load_csv/load_json): declared
+    schema, FAILFAST on malformed rows."""
+
+    def test_csv_source_roundtrip(self, spark, tmpdir):
+        from rust_ruuvitag_etl_spark.sources import load_csv
+
+        src = load(spark, SF_SMALL, "customer")
+        sinks.write_csv(src, f"{tmpdir}/c")
+        back = load_csv(spark, f"{tmpdir}/c", src.schema)
+        assert back.schema == src.schema
+        assert sorted(r["c_custkey"] for r in back.collect()) == sorted(
+            r["c_custkey"] for r in src.collect()
+        )
+
+    def test_json_source_roundtrip(self, spark, tmpdir):
+        from rust_ruuvitag_etl_spark.sources import load_json
+
+        src = load(spark, SF_SMALL, "orders")
+        sinks.write_json(src, f"{tmpdir}/j")
+        back = load_json(spark, f"{tmpdir}/j", src.schema)
+        assert back.count() == src.count()
+        a = back.agg(F.sum("o_totalprice")).head()[0]
+        b = src.agg(F.sum("o_totalprice")).head()[0]
+        assert abs(a - b) < 1e-6
+
+    def test_csv_failfast_rejects_malformed(self, spark, tmpdir):
+        import pyspark.sql.types as T
+        from rust_ruuvitag_etl_spark.sources import load_csv
+
+        p = f"{tmpdir}/bad.csv"
+        with open(p, "w") as fh:
+            fh.write("k,v\n1,a\nnot_an_int,b\n")
+        schema = T.StructType(
+            [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+        )
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            load_csv(spark, str(p), schema).collect()
