@@ -1,4 +1,12 @@
 from .registry import REGISTRY, Query, query  # noqa: F401
 
 # Importing the plan modules populates REGISTRY via the @query decorator.
-from . import llm, relational, relational2, relational3, ruuvi, timeseries  # noqa: E402, F401
+from . import (  # noqa: E402, F401
+    llm,
+    relational,
+    relational2,
+    relational3,
+    relational4,
+    ruuvi,
+    timeseries,
+)

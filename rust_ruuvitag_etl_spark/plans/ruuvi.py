@@ -359,3 +359,46 @@ def ruuvi_str_to_map_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_tags"), F.min("name").alias("first_name")
     )
+
+
+@query(
+    "ruuvi_movement_delta_pandas",
+    oracle=f"""
+WITH readings AS ({_READINGS_SQL})
+SELECT user_id,
+       time_bucket(INTERVAL 30 MINUTES, ts) AS window_start,
+       CAST(((MAX_BY(mc, event_id) - MIN_BY(mc, event_id)) % 256 + 256) % 256
+            AS INTEGER) AS movement_delta
+FROM readings
+GROUP BY user_id, time_bucket(INTERVAL 30 MINUTES, ts)
+""",
+)
+def ruuvi_movement_delta_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 as an ``applyInPandas`` grouped transform — the reusable
+    custom-aggregate surface SURVEY.md §2.1 calls for (the wrapping
+    first/last delta of ``utils.rs:64-71`` needs an *ordered* group,
+    which a grouped-agg UDF cannot guarantee but a per-group pandas sort
+    can). Grouped by SENSOR, not (sensor, window): the window fold runs
+    vectorized inside pandas, so the Python crossing count is
+    O(distinct sensors), not O(groups) — the granularity choice that
+    keeps Arrow batches big at scale. Oracle: the min_by/max_by
+    formulation — proving the imperative and algebraic forms agree."""
+    import pandas as pd
+
+    r = _readings(spark, sf_dir).withColumn(
+        "window_start",
+        F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 1800) * 1800),
+    )
+
+    def deltas(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        g = pdf.groupby("window_start", sort=False)["mc"]
+        out = ((g.last() - g.first()) % 256).astype("int32").reset_index()
+        out["user_id"] = pdf["user_id"].iloc[0]
+        return out.rename(columns={"mc": "movement_delta"})[
+            ["user_id", "window_start", "movement_delta"]
+        ]
+
+    return r.groupBy("user_id").applyInPandas(
+        deltas, schema="user_id bigint, window_start timestamp, movement_delta int"
+    )

@@ -86,3 +86,26 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines export sink."""
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 16,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink (``bucketBy`` + ``saveAsTable``).
+
+    Bucketing persists a hash-partitioning ON DISK: two tables bucketed
+    the same way on the join key sort-merge-join with ZERO shuffle on
+    either side — at 100 TB this turns the nightly fact-to-fact join
+    from the dominant shuffle into a local merge (verified by
+    tests/test_bucketed.py asserting no Exchange under the join). Spark
+    cannot bucket a path-based ``parquet(path)`` write; the table
+    catalog carries the bucket spec."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
