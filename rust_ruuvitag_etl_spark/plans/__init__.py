@@ -7,6 +7,7 @@ from . import (  # noqa: E402, F401
     relational2,
     relational3,
     relational4,
+    relational5,
     ruuvi,
     timeseries,
 )
