@@ -1,0 +1,88 @@
+"""Second LLM-wave tests: trigram language-ID invariants, bigram
+frequency semantics, rolling-hash order sensitivity, LSH→verify
+pipeline containment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rust_ruuvitag_etl_spark.functions import text as tf
+from rust_ruuvitag_etl_spark.plans import REGISTRY
+
+from .conftest import SF_SMALL
+
+
+class TestLangId:
+    def test_one_prediction_per_heldout_doc(self, spark):
+        out = REGISTRY["text_langid_trigram"].fn(spark, SF_SMALL)
+        rows = out.collect()
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids)), "multiple predictions for a doc"
+        assert all(r["doc_id"] % 5 == 0 for r in rows), "train doc leaked"
+        assert all(r["hits"] > 0 for r in rows)
+        assert all(r["correct"] == (r["predicted_lang"] == r["lang"]) for r in rows)
+
+    def test_deterministic(self, spark):
+        a = sorted(map(tuple, REGISTRY["text_langid_trigram"].fn(spark, SF_SMALL).collect()))
+        b = sorted(map(tuple, REGISTRY["text_langid_trigram"].fn(spark, SF_SMALL).collect()))
+        assert a == b
+
+
+class TestTopBigrams:
+    def test_hand_computed_tiny_corpus(self, spark):
+        df = spark.createDataFrame(
+            [("a b a b",), ("a b c",)], ["text"]
+        ).select(tf.ws_tokens(F.lower(F.col("text"))).alias("toks"))
+        bigrams = F.expr(
+            "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1])) ELSE array() END"
+        )
+        counts = {
+            r["bigram"]: r["n"]
+            for r in df.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert counts == {"a b": 3, "b a": 1, "b c": 1}
+
+    def test_sorted_desc_top20(self, spark):
+        rows = REGISTRY["text_top_bigrams"].fn(spark, SF_SMALL).collect()
+        assert len(rows) == 20
+        ns = [r["n"] for r in rows]
+        assert ns == sorted(ns, reverse=True)
+
+
+class TestRollingHash:
+    def test_order_sensitive_and_stable(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "beta alpha gamma")],
+            ["doc_id", "text"],
+        )
+        tok_vals = F.transform(
+            tf.ws_tokens(F.col("text")),
+            lambda t: (F.length(t) * 7 + F.ascii(F.substring(t, 1, 1))).cast("bigint"),
+        )
+        rhash = F.aggregate(
+            tok_vals, F.lit(7).cast("bigint"), lambda a, x: (a * 31 + x) % 1000000007
+        )
+        h = {r["doc_id"]: r["h"] for r in df.select("doc_id", rhash.alias("h")).collect()}
+        assert h[1] == h[2], "identical text must hash identically"
+        assert h[1] != h[3], "token order must change the hash"
+
+    def test_registry_rows_cover_all_docs(self, spark):
+        from rust_ruuvitag_etl_spark.sources import load
+
+        out = REGISTRY["text_rolling_hash"].fn(spark, SF_SMALL)
+        assert out.count() == load(spark, SF_SMALL, "documents").count()
+
+
+class TestMinhashVerified:
+    def test_verified_subset_of_candidates_above_threshold(self, spark):
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in REGISTRY["dedup_minhash_lsh_pairs"].fn(spark, SF_SMALL).collect()
+        }
+        verified = REGISTRY["dedup_minhash_verified"].fn(spark, SF_SMALL).collect()
+        assert all((r["id_a"], r["id_b"]) in cands for r in verified)
+        assert all(r["jaccard"] >= 0.2 for r in verified)
