@@ -117,3 +117,29 @@ def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
     return media.mapInPandas(
         batches, schema="media_id long, frame_no int, frame binary"
     )
+
+
+def resize_media(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize plumbing for image payloads: every real deployment swaps
+    the body for a codec-backed resample (Pillow/opencv — absent here);
+    the stand-in keeps every ``factor``-th byte so output size, schema,
+    and Arrow batch shape match the real op. Runs as mapInPandas so the
+    binary column stays in Arrow buffers end-to-end — never Python
+    row-at-a-time."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"].map(lambda b: bytes(b[::factor])),
+                    "media_type": pdf["media_type"],
+                    "scale_factor": factor,
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, content binary, media_type string, scale_factor int",
+    )

@@ -134,3 +134,69 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = mm.documents_as_media(docs)
     return mm.extract_features(media).select("media_id", "n_bytes", "digest")
+
+
+@query(
+    "sliding_window_user_value",
+    oracle="""
+WITH w AS (
+    SELECT user_id, value,
+           unnest([
+               make_timestamp((CAST(floor(epoch_us(CAST(ts AS TIMESTAMP))
+                   / 900000000) AS BIGINT) - 1) * 900000000),
+               make_timestamp(CAST(floor(epoch_us(CAST(ts AS TIMESTAMP))
+                   / 900000000) AS BIGINT) * 900000000)
+           ]) AS window_start
+    FROM events
+)
+SELECT user_id, window_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM w
+GROUP BY user_id, window_start
+""",
+)
+def sliding_window_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time window, 30 min wide sliding by
+    15 min: every event lands in exactly two windows (W1 generalized —
+    the reference only tumbles, ``/root/reference/src/main.rs:54``).
+    Spark expands the window assignment in-row (a narrow explode of 2
+    struct values), then one shuffle keyed by (user, window_start); the
+    oracle states the same assignment arithmetic with an explicit
+    unnest of the two bucket starts. Sums run in decimal so window
+    totals are partition-order independent."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.window("ts", "30 minutes", "15 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query("multimodal_frame_sample", oracle=None)  # binary frame slices; shape-checked in tests
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: chunk
+    each blob into fixed-size pseudo-frames, keep every 10th, emit
+    (media_id, frame_no, digest, n_bytes). The mapInPandas plumbing —
+    schema, Arrow batching, per-row fan-out — is exactly what a real
+    ffmpeg-backed frame extractor needs; only the byte-slicing body is
+    a stand-in (operators/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.documents_as_media(docs), every_nth=10)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.md5("frame").alias("digest"),
+        F.octet_length("frame").alias("n_bytes"),
+    )

@@ -72,3 +72,31 @@ class TestMultimodal:
         frames = mm.sample_frames(mm.documents_as_media(docs), every_nth=2).collect()
         assert [r["frame_no"] for r in frames] == [0, 2, 4, 6, 8]
         assert all(len(r["frame"]) == 256 for r in frames)
+
+    def test_resize_keeps_every_kth_byte(self, spark):
+        docs = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+        out = mm.resize_media(mm.documents_as_media(docs), factor=2).collect()
+        assert len(out) == 1
+        assert bytes(out[0]["content"]) == b"aceg"
+        assert out[0]["scale_factor"] == 2
+
+
+class TestSlidingWindow:
+    def test_each_event_in_exactly_two_windows(self, spark):
+        from rust_ruuvitag_etl_spark.plans import REGISTRY
+        from rust_ruuvitag_etl_spark.sources import load
+        from .conftest import SF_SMALL
+
+        out = REGISTRY["sliding_window_user_value"].fn(spark, SF_SMALL)
+        total = out.agg(F.sum("n")).collect()[0][0]
+        n_events = load(spark, SF_SMALL, "events").count()
+        assert total == 2 * n_events
+
+    def test_window_starts_quarter_aligned(self, spark):
+        from rust_ruuvitag_etl_spark.plans import REGISTRY
+        from .conftest import SF_SMALL
+
+        rows = REGISTRY["sliding_window_user_value"].fn(spark, SF_SMALL).head(50)
+        for r in rows:
+            ws = r["window_start"]
+            assert ws.minute % 15 == 0 and ws.second == 0
