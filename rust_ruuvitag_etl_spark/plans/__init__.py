@@ -9,6 +9,7 @@ from . import (  # noqa: E402, F401
     relational3,
     relational4,
     relational5,
+    relational6,
     ruuvi,
     timeseries,
 )

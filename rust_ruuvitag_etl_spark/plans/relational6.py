@@ -1,0 +1,188 @@
+"""Sixth relational wave: multiset set operations (INTERSECT ALL /
+EXCEPT ALL), purposeful cross join (dense dimension×time grid), and
+forward-fill imputation via IGNORE NULLS window frames — the remaining
+§2.1 set-op/window gaps plus the gap-filling pattern every time-series
+training pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import query
+
+
+@query(
+    "set_ops_intersect_all",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+GROUP BY o_orderpriority
+""",
+)
+def set_ops_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection — per-value multiplicity is
+    min of the two sides, unlike the dedup-ing INTERSECT). Spark plans
+    it as a count-comparing aggregate on the value key: one shuffle per
+    side, no pairwise join."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "set_ops_except_all",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+GROUP BY o_orderpriority
+""",
+)
+def set_ops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference — multiplicities subtract,
+    flooring at zero). Same aggregate-on-value plan shape as
+    INTERSECT ALL."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cross_join_dense_grid",
+    oracle="""
+WITH years AS (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr FROM orders),
+rev AS (
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, yr
+)
+SELECT na.n_name, y.yr, CAST(COALESCE(r.n_orders, 0) AS BIGINT) AS n_orders
+FROM nation na
+CROSS JOIN years y
+LEFT JOIN rev r ON r.n_name = na.n_name AND r.yr = y.yr
+""",
+)
+def cross_join_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purposeful CROSS JOIN: densify the (nation × order-year) grid so
+    zero-activity cells exist explicitly (the shape every time-series
+    model input needs). Both grid sides are tiny (dims × distinct
+    years) so the cross product is a broadcast nested loop over a few
+    hundred rows, then a broadcast left join fills in observed counts —
+    the fact table is touched exactly once."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    years = o.select(F.year("o_orderdate").alias("yr")).distinct()
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n_orders_obs"))
+    )
+    grid = n.select("n_name").crossJoin(F.broadcast(years))
+    return (
+        grid.join(F.broadcast(rev), ["n_name", "yr"], "left")
+        .select(
+            "n_name",
+            "yr",
+            F.coalesce("n_orders_obs", F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "window_fill_forward",
+    oracle="""
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM events
+""",
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation: error readings are nulled out and
+    replaced by the user's last good value (last_value IGNORE NULLS
+    over an unbounded-preceding ROWS frame). One shuffle on user_id;
+    the fill is a running scan per sorted partition — the standard
+    sensor-gap repair before feature extraction. Values are carried,
+    not recomputed, so parity is exact with no float discipline
+    needed. Deterministic tie-break: (ts, event_id)."""
+    ev = load(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(good, ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+@query(
+    "window_ntile_distribution",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile(4) quartiles, percent_rank,
+    cume_dist of order value within each status. ntile assigns by row
+    POSITION, so the orderBy carries an explicit orderkey tie-break —
+    without it, equal prices would make quartile membership
+    partition-order dependent (the same discipline as A3's
+    order-sensitive first/last). One shuffle on o_orderstatus."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query("agg_approx_percentile", oracle=None)  # sketch-based, engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per event type: the KLL/GK-sketch path for
+    quantiles at 100 TB, where exact percentile's full sort-per-group
+    is the bottleneck. Mergeable sketches → partial aggregation
+    map-side, one small shuffle. Accuracy (1e-4 relative error here) is
+    engine-specific, hence rows-only; the exact twin is
+    percentiles_event_values."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
