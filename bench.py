@@ -28,12 +28,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q18_large_volume_orders",
     "window_topk_orders_per_customer",
     "window_rolling_avg",
+    "sliding_window_user_value",
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
     "similarity_bruteforce_topk",
     "text_quality_scores",
+    "text_langid_trigram",
 ]
 
 

@@ -82,7 +82,10 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the only wide shuffles are keyed by (lang, trigram) and
     doc_id, both uniform. Ties break deterministically (hits DESC,
     lang ASC) so the prediction is engine-independent."""
-    d = load(spark, sf_dir, "documents").select(
+    # spread(): a small local parquet arrives as ONE split, which would
+    # pin the trigram explode to one core; at scale the input has enough
+    # splits and passes through untouched.
+    d = dd.spread(load(spark, sf_dir, "documents")).select(
         "doc_id", "lang", F.lower(F.trim("text")).alias("t")
     )
     tri = d.select("doc_id", "lang", F.expr(_TRIGRAMS).alias("tris"))
@@ -143,7 +146,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join/lead window needed), then explode + one count shuffle +
     TakeOrderedAndProject. The n-gram frequency table that seeds
     vocabulary building and boilerplate detection."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = dd.spread(load(spark, sf_dir, "documents")).select(
         tf.ws_tokens(F.lower(F.col("text"))).alias("toks")
     )
     # Spark arrays are 0-indexed in lambda subscripts (DuckDB's are

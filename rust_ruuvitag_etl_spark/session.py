@@ -41,6 +41,16 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate re-evaluates the generator expression
+        # inside an inferred pre-filter; for expensive generators (the
+        # trigram/shingle transforms this engine explodes everywhere)
+        # that triples the CPU cost and the filter pushes below
+        # repartitions into the narrow scan stage. Excluding it keeps
+        # semantics (Generate itself drops empty/null arrays).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
 
 
@@ -62,6 +72,12 @@ def ensure_session_configs(spark: SparkSession) -> SparkSession:
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long + convert in the loader.
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # see configure(): avoid tripled evaluation of expensive
+        # exploded generator expressions.
+        (
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
     ]:
         try:
             spark.conf.set(key, val)
