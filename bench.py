@@ -46,9 +46,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/session warm-up on a trivial action so query timings measure
-    # the queries, not executor startup.
+    # Warm-up: one untimed pass over the whole suite so the timed pass
+    # measures steady-state query execution, not one-time session costs
+    # (parquet footer/schema reads, codegen compilation, broadcast
+    # thread-pool spin-up) that would otherwise all land on whichever
+    # query happens to run first.
     spark.range(1000).count()
+    for name in HEADLINE:
+        REGISTRY[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     total = 0.0
