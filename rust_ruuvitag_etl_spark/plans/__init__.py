@@ -11,5 +11,6 @@ from . import (  # noqa: E402, F401
     relational5,
     relational6,
     ruuvi,
+    streaming_batchck,
     timeseries,
 )

@@ -186,3 +186,39 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "json_roundtrip_events",
+    oracle="""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS INTEGER) AS k_value,
+       '{"k":' || regexp_extract(props, '"k": *(-?[0-9]+)', 1) || '}' AS rejson
+FROM events
+""",
+)
+def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path access + re-serialization: get_json_object pulls $.k
+    without a full parse (a codegen'd path evaluator — the cheap way to
+    probe one field out of a huge JSON blob at scale), and to_json
+    re-serializes the typed struct. The oracle rebuilds the canonical
+    serialization by string concat so it does not depend on DuckDB's
+    json extension."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        F.to_json(F.struct(k.alias("k"))).alias("rejson"),
+    )
+
+
+@query("stat_freq_items", oracle=None)  # sketch-based, engine-specific
+def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (Karp-Papadimitriou-Shenker sketch)
+    over order priority and status: the one-pass, mergeable heavy-hitter
+    estimator for 100 TB categorical profiling. Support 0.1 → at most
+    ~10 candidates per column; exact twins are trivial group-bys, hence
+    rows-only here."""
+    o = load(spark, sf_dir, "orders")
+    return o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)

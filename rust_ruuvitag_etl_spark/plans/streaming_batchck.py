@@ -1,0 +1,119 @@
+"""Streaming queries surfaced to the correctness gate: each runs a real
+Structured Streaming job (availableNow trigger → memory sink) inside
+the registry callable and returns the final result table, so the DuckDB
+differential verifies STREAMING execution against the batch-SQL oracle
+— the strongest batch↔stream agreement check available.
+
+Upgrade of W1 (the reference's processing-time loop,
+``/root/reference/src/main.rs:81-122``) to event-time micro-batch
+execution. Complete output mode, so no watermark is needed and every
+window is emitted at end-of-stream (append mode would hold back
+trailing windows since the watermark never passes the last event).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import SCHEMAS, _ensure_nanos_conf
+from .registry import query
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source STREAM with the declared schema
+    (streams never infer — same stance as the batch loaders)."""
+    _ensure_nanos_conf(spark)
+    # The file stream source lists a DIRECTORY; testdata ships events as
+    # a single file, so stream the parent dir with a glob pinned to it.
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@query(
+    "streaming_windowed_means",
+    oracle="""
+SELECT user_id,
+       time_bucket(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP)) AS window_start,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       CAST(COUNT(*) AS BIGINT) AS samples
+FROM events
+GROUP BY user_id, window_start
+""",
+)
+def streaming_windowed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship tumbling-window aggregation executed by Structured
+    Streaming (not batch): file stream → event-time 30-min windows →
+    decimal-exact means → availableNow trigger drains the source in
+    micro-batches → memory sink. The returned table is the streaming
+    state's final answer, which the driver diffs against the plain
+    batch SQL oracle — proving the streaming and batch planners agree
+    row-for-row. At scale the same plan runs continuously with a
+    watermark (streaming/pipeline.py); complete-mode-over-availableNow
+    is the bounded-input harness."""
+    name = f"swm_{uuid.uuid4().hex[:10]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id", F.window("ts", "30 minutes").alias("w"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("samples"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            "avg_value",
+            "samples",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique_users
+FROM (SELECT DISTINCT event_type, user_id FROM events)
+GROUP BY event_type
+""",
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates (B8 upgraded): distinct (event_type,
+    user_id) pairs tracked in streaming state across micro-batches,
+    then counted per type. Bounded input → no watermark needed; the
+    production variant bounds state with
+    ``dropDuplicatesWithinWatermark`` (streaming/pipeline.py)."""
+    name = f"sdd_{uuid.uuid4().hex[:10]}"
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -67,6 +67,10 @@ def ensure_session_configs(spark: SparkSession) -> SparkSession:
     (driver-owned sessions may not have gone through ``configure``)."""
     for key, val in [
         ("spark.sql.session.timeZone", "UTC"),
+        # Streaming jobs can't rely on AQE to coalesce the default 200
+        # shuffle partitions (AQE is disabled for stateful workloads);
+        # size to the local core budget explicitly.
+        ("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
