@@ -1,0 +1,102 @@
+"""Plan-posture regression tests: the physical-plan properties that
+matter at 100 TB, asserted so a regression (lost pushdown, lost
+broadcast, re-inferred expensive generator filter) fails CI rather than
+silently slowing the cluster. Companion to tools/plan_audit.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from rust_ruuvitag_etl_spark.plans import REGISTRY
+from rust_ruuvitag_etl_spark.sources import load
+
+from .conftest import SF_SMALL
+
+
+def _plan(name: str, spark) -> str:
+    # FileScan metadata (PushedFilters/ReadSchema) is truncated at 100
+    # chars by default, which would hide the very fields these tests
+    # assert on.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    return (
+        REGISTRY[name].fn(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+class TestColumnPruning:
+    def test_q1_reads_only_needed_columns(self, spark):
+        plan = _plan("q1_pricing_summary", spark)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, plan
+        cols = {c.split(":")[0] for c in schemas[0].split(",")}
+        # 7 of lineitem's 11 columns; the scan must not read the rest.
+        assert cols == {
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        }, cols
+
+    def test_two_column_projection_prunes_scan(self, spark):
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        df = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+class TestPredicatePushdown:
+    def test_date_filter_reaches_scan(self, spark):
+        plan = _plan("q6_revenue_delta", spark)
+        assert "PushedFilters" in plan
+        pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+        assert "l_shipdate" in pushed or "GreaterThan" in pushed, pushed
+
+
+class TestJoinStrategy:
+    def test_q5_all_dim_joins_broadcast(self, spark):
+        plan = _plan("q5_region_revenue", spark)
+        assert "SortMergeJoin" not in plan, "dim join degraded to sort-merge"
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_flagship_single_aggregation_shuffle(self, spark):
+        plan = _plan("ruuvi_flagship", spark)
+        # one window-agg shuffle; the enrichment join must broadcast,
+        # contributing a BroadcastExchange but no extra shuffle Exchange.
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert "BroadcastHashJoin" in plan
+
+
+class TestGeneratorFilterRegression:
+    def test_trigram_transform_not_reevaluated_in_filter(self, spark):
+        """InferFiltersFromGenerate must stay excluded: it re-evaluates
+        the expensive trigram transform inside an inferred pre-filter
+        (3x CPU) and pushes it below the repartition into the narrow
+        scan stage (see session.py)."""
+        plan = _plan("text_langid_trigram", spark)
+        for filt in re.findall(r"Filter \(([^\n]*)\)", plan):
+            assert "transform(" not in filt, filt
+
+
+class TestPythonBoundary:
+    def test_no_python_in_relational_surface(self, spark):
+        """Python (Arrow/pandas UDF) operators appear ONLY in the three
+        queries that are deliberately Python-backed; the whole relational
+        and text surface must stay JVM-side."""
+        allowed = {
+            "ruuvi_movement_delta_pandas",
+            "multimodal_binary_features",
+            "multimodal_frame_sample",
+        }
+        markers = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        offenders = []
+        for name in sorted(REGISTRY):
+            if name in allowed or name.startswith("streaming_"):
+                continue
+            plan = _plan(name, spark)
+            if any(m in plan for m in markers):
+                offenders.append(name)
+        assert not offenders, offenders
