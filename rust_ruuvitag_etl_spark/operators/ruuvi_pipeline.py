@@ -159,3 +159,28 @@ def ruuvi_batch_pipeline(
         readings = dedup_last_wins(readings)
     agg = window_aggregate(readings, window=window)
     return split_outputs(enrich_names(agg, tags))
+
+
+def observed(df: DataFrame, name: str = "pipeline_metrics"):
+    """Attach the reference's run-summary observability
+    (``/root/reference/src/main.rs:157-172`` logs sensors-reported /
+    total-readings and warns when NO sensor reported) as zero-cost
+    observed metrics: computed during the write/collect action itself,
+    no second pass over the data.
+
+    Returns (df, observation); read ``observation.get`` after an action
+    to obtain {'rows': n, 'sensors': k} and raise the empty-run warning
+    the reference logs.
+    """
+    from pyspark.sql import Observation
+
+    key = "sensor_mac" if "sensor_mac" in df.columns else df.columns[0]
+    obs = Observation(name)
+    return (
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct(key).alias("sensors"),
+        ),
+        obs,
+    )

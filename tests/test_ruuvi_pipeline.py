@@ -199,3 +199,30 @@ class TestScalarHelpers:
             ).collect()
         ]
         assert out == [0, 255, 1, 16, 0]
+
+
+class TestObservability:
+    def test_observed_metrics_match_reference_summary(self, spark):
+        """A4/observability parity: the reference logs per-window sensor
+        and reading counts (main.rs:157-167) and warns on an empty run
+        (main.rs:170-172); here the same numbers come from observed
+        metrics piggybacked on the action — no second pass."""
+        from rust_ruuvitag_etl_spark.operators import ruuvi_pipeline as rp
+
+        from .fixtures import READINGS_SCHEMA, readings_rows
+
+        df = spark.createDataFrame(readings_rows(), READINGS_SCHEMA)
+        observed_df, obs = rp.observed(df)
+        n = observed_df.count()
+        assert obs.get["rows"] == n
+        assert obs.get["sensors"] >= 1
+
+    def test_empty_run_detectable(self, spark):
+        from rust_ruuvitag_etl_spark.operators import ruuvi_pipeline as rp
+
+        from .fixtures import READINGS_SCHEMA
+
+        df = spark.createDataFrame([], READINGS_SCHEMA)
+        observed_df, obs = rp.observed(df, name="empty_run")
+        observed_df.count()
+        assert obs.get["rows"] == 0  # → the reference's 'no sensors' warning
