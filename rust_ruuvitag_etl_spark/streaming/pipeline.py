@@ -159,3 +159,31 @@ def run_available_now(df: DataFrame, query_name: str) -> list:
     )
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: pair each left event with the
+    right-side events of the same key whose timestamp falls in
+    (left.ts - max_gap, left.ts]. The dual watermarks bound BOTH join
+    state stores — without them a stream-stream join buffers forever
+    (the scale-killer); with them state evicts as event time passes.
+    New surface: the reference is single-stream only.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"r.{ts_col} > l.{ts_col} - INTERVAL {max_gap} AND "
+            f"r.{ts_col} <= l.{ts_col}"
+        ),
+        "inner",
+    )

@@ -145,3 +145,65 @@ class TestSink:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestStreamStreamIntervalJoin:
+    def test_matches_batch_range_join(self, spark):
+        """Stream-stream interval join (dual watermarks bounding both
+        state stores) must produce exactly the rows of the equivalent
+        batch range join on a bounded input."""
+        from rust_ruuvitag_etl_spark.sources.tables import SCHEMAS, _ensure_nanos_conf
+        from rust_ruuvitag_etl_spark.streaming import pipeline as sp
+
+        _ensure_nanos_conf(spark)
+        sf = "/root/testdata/sf0.001"
+        batch_ev = (
+            spark.read.schema(SCHEMAS["events"])
+            .parquet(f"{sf}/events.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+        def stream():
+            return (
+                spark.readStream.schema(SCHEMAS["events"])
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            )
+
+        purchases = (
+            stream().filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+        )
+        views = (
+            stream().filter(F.col("event_type") == "view")
+            .select("user_id", "ts", F.col("event_id").alias("view_id"))
+        )
+        joined = sp.interval_join_streams(
+            purchases.withColumnRenamed("ts", "ts"),
+            views,
+            key="user_id",
+            ts_col="ts",
+        ).select("purchase_id", "view_id")
+        rows = sp.run_available_now(joined, "ssj_out")
+        got = {(r["purchase_id"], r["view_id"]) for r in rows}
+
+        bp = batch_ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        bv = batch_ev.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("vu"), F.col("ts").alias("vts"),
+            F.col("event_id").alias("view_id"),
+        )
+        expected = {
+            (r["purchase_id"], r["view_id"])
+            for r in bp.join(
+                bv,
+                (F.col("pu") == F.col("vu"))
+                & (F.col("vts") > F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+                & (F.col("vts") <= F.col("pts")),
+            ).collect()
+        }
+        assert got == expected
+        assert len(got) > 0
