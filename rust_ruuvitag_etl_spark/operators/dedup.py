@@ -268,3 +268,101 @@ def simhash_dedup_candidates(
     if max_hamming is not None:
         pairs = pairs.filter(F.col("hamming") <= max_hamming)
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs via min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors, converging in O(cluster diameter)
+    iterations (near-dup clusters are shallow — a handful of rounds).
+
+    Returns (node, label) with label = min doc id of the component.
+
+    Scale posture: each iteration is one shuffle-join keyed by node id +
+    one aggregate; ``localCheckpoint`` truncates the growing lineage so
+    iteration N doesn't replay iterations 1..N-1 (the classic iterative-
+    algorithm trap); the driver-side loop carries only a changed-row
+    COUNT, never data. Early-exits on convergence.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_best_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: F.Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup endgame: collapse each near-dup cluster to its single
+    best document (highest ``quality``, smallest id on ties); documents
+    in no cluster survive untouched. Returns the deduplicated corpus
+    with a ``cluster`` column (null for singletons).
+
+    Pipeline shape every 100 TB dedup runs: LSH candidates → verify →
+    connected components → per-cluster argmax (one max_by aggregate —
+    no sort, no window)."""
+    comps = connected_components(pairs, id_a="id_a", id_b="id_b")
+    scored = docs.withColumn("_q", quality)
+    labeled = scored.join(
+        comps.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    clustered = (
+        labeled.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in scored.columns]),
+                F.struct(F.col("_q"), (-F.col(id_col)).alias("_neg")),
+            ).alias("_best")
+        )
+        .select(
+            *[F.col(f"_best.{c}").alias(c) for c in scored.columns],
+            F.col("label").alias("cluster"),
+        )
+    )
+    singletons = labeled.filter(F.col("label").isNull()).select(
+        *scored.columns, F.lit(None).cast("long").alias("cluster")
+    )
+    return clustered.unionByName(singletons).drop("_q")

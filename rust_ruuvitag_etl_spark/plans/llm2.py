@@ -210,3 +210,20 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     cands = dd.minhash_lsh_candidates(docs)
     return dd.jaccard_pairs(docs, cands, threshold=0.2)
+
+
+@query("dedup_keep_best_canonical", oracle=None)  # xxhash64 pairs; semantics pinned by tests
+def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete dedup endgame: MinHash-LSH candidates → exact
+    Jaccard verify (≥0.2) → connected components (min-label propagation,
+    lineage-checkpointed) → keep the highest-quality doc per cluster.
+    Returns the surviving corpus with cluster ids; the row count IS the
+    deduplicated corpus size. Every stage is a shuffle keyed by doc/hash
+    ids — no cross join, no driver-side data."""
+    docs = load(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(docs)
+    verified = dd.jaccard_pairs(docs, cands, threshold=0.2).select("id_a", "id_b")
+    kept = dd.keep_best_representative(
+        docs, verified, quality=tf.quality_score(F.col("text"))
+    )
+    return kept.select("doc_id", "lang", "source", "cluster")

@@ -132,12 +132,16 @@ def session_windows_stream(
 def write_parquet_sink(
     df: DataFrame, path: str, checkpoint: str, trigger_available_now: bool = True
 ):
-    """S1 as a streaming sink: foreachBatch parquet append. Idempotent
-    by batchId-checkpointing (replaces the reference's S2 retry loop —
-    Spark task retries + exactly-once sink bookkeeping)."""
+    """S1 as a streaming sink: foreachBatch parquet writer with REAL
+    replay idempotence (replaces the reference's S2 retry loop,
+    ``/root/reference/src/database/connection.rs:52-134``): each
+    micro-batch lands in its own ``batch_id=N`` partition directory with
+    overwrite mode, so a batch replayed after a failure overwrites its
+    own output instead of appending duplicates. Readers just scan
+    ``path`` (batch_id becomes an ordinary partition column)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     writer = df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -86,3 +86,41 @@ class TestMinhashVerified:
         verified = REGISTRY["dedup_minhash_verified"].fn(spark, SF_SMALL).collect()
         assert all((r["id_a"], r["id_b"]) in cands for r in verified)
         assert all(r["jaccard"] >= 0.2 for r in verified)
+
+
+class TestKeepBestDedup:
+    def test_chain_collapses_to_best(self, spark):
+        from rust_ruuvitag_etl_spark.operators import dedup as dd
+
+        docs = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.1)], ["doc_id", "q"]
+        )
+        # chain 1-2, 2-3 → one cluster {1,2,3}; 10 is a singleton
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        out = dd.keep_best_representative(docs, pairs, quality=F.col("q")).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert set(by_id) == {2, 10}, by_id  # best-of-cluster + singleton
+        assert by_id[2]["cluster"] == 1  # min-id component label
+        assert by_id[10]["cluster"] is None
+
+    def test_components_min_label(self, spark):
+        from rust_ruuvitag_etl_spark.operators import dedup as dd
+
+        pairs = spark.createDataFrame(
+            [(5, 6), (6, 7), (8, 9)], ["id_a", "id_b"]
+        )
+        labels = {
+            r["node"]: r["label"]
+            for r in dd.connected_components(pairs).collect()
+        }
+        assert labels == {5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+    def test_registry_corpus_shrinks_or_equal(self, spark):
+        from rust_ruuvitag_etl_spark.sources import load
+
+        out = REGISTRY["dedup_keep_best_canonical"].fn(spark, SF_SMALL)
+        n_docs = load(spark, SF_SMALL, "documents").count()
+        n_kept = out.count()
+        assert 0 < n_kept <= n_docs
+        # cluster representatives are unique
+        assert out.select("doc_id").distinct().count() == n_kept

@@ -146,6 +146,21 @@ class TestSink:
             shutil.rmtree(out_dir, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
 
+    def test_replayed_batch_overwrites_not_duplicates(self, spark, readings_dir):
+        """A micro-batch replayed after a failure must overwrite its own
+        batch_id partition, not append a duplicate copy (the sink's
+        exactly-once convention replacing the reference's retry loop)."""
+        out_dir = tempfile.mkdtemp(prefix="sink_replay_")
+        try:
+            df = rp.window_aggregate(
+                spark.createDataFrame(readings_rows(), READINGS_SCHEMA)
+            )
+            df.write.mode("overwrite").parquet(f"{out_dir}/batch_id=0")
+            df.write.mode("overwrite").parquet(f"{out_dir}/batch_id=0")  # replay
+            assert spark.read.parquet(out_dir).count() == df.count()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
 
 class TestStreamStreamIntervalJoin:
     def test_matches_batch_range_join(self, spark):
