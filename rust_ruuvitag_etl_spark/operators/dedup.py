@@ -301,7 +301,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -317,15 +317,22 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        # Near-dup clusters have tiny diameters, so the first rounds
+        # always change labels — pay for the convergence count (a full
+        # extra join-action per round) only once propagation has had a
+        # chance to finish.
+        if i >= 2:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels
 
 
