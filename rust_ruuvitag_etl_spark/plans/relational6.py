@@ -222,3 +222,71 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only here."""
     o = load(spark, sf_dir, "orders")
     return o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+
+
+@query(
+    "q2_min_cost_supplier_wins",
+    oracle="""
+WITH ranked AS (
+    SELECT l_partkey, l_suppkey,
+           row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
+    FROM lineitem
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS parts_won
+FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rn = 1
+GROUP BY s.s_name
+""",
+)
+def q2_min_cost_supplier_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted to this schema): the correlated
+    min-cost-supplier subquery becomes a per-part window argmin — which
+    supplier offers each part at the lowest unit price — then a win
+    count per supplier. Unit price is a single per-row IEEE division of
+    identical inputs on both engines, so the ORDER BY is bit-stable;
+    ties break on suppkey. One shuffle on partkey for the window, one
+    broadcast join to supplier, one count shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_partkey").orderBy(
+        (F.col("l_extendedprice") / F.col("l_quantity")).asc(),
+        F.col("l_suppkey").asc(),
+    )
+    winners = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        winners.join(F.broadcast(s), winners["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("parts_won"))
+    )
+
+
+@query(
+    "array_predicates_embeddings",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+       (len(list_filter(embedding, x -> x < -0.2)) > 0) AS has_strong_negative,
+       (len(list_filter(embedding, x -> abs(x) > 1.0)) = 0) AS all_unit_bounded
+FROM embeddings
+""",
+)
+def array_predicates_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order predicates — filter/exists/forall over the
+    embedding column, all inside codegen (the per-row feature-gating
+    shape a training pipeline runs before batching). Comparisons only,
+    no float arithmetic → exact parity; DuckDB states exists/forall via
+    list_filter counts."""
+    em = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return em.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.exists(e, lambda x: x < -0.2).alias("has_strong_negative"),
+        F.forall(e, lambda x: F.abs(x) <= 1.0).alias("all_unit_bounded"),
+    )
