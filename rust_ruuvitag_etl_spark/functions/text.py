@@ -8,6 +8,8 @@ differential harness can check it.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -89,6 +91,58 @@ def fingerprint(text: Column) -> Column:
     whitespace). md5 (not xxhash64) so DuckDB computes the identical value."""
     norm = F.lower(F.trim(F.regexp_replace(text, _WS, " ")))
     return F.md5(norm)
+
+
+# --- portable 60-bit hash (md5-derived) -----------------------------------
+# Spark and DuckDB compute identical md5 digests; the first 15 hex chars
+# (60 bits) parse to the same non-negative BIGINT on both engines, so the
+# whole MinHash/SimHash/LSH dedup family becomes exactly oracle-diffable
+# (unlike xxhash64, which has no DuckDB twin). 60 uniform bits is ample
+# for near-dup hashing: collision odds at 10^9 docs are ~4e-3 per pair
+# family, and every downstream consumer re-verifies candidates exactly.
+
+H60_PRIME = 2305843009213693951  # 2^61 - 1 (Mersenne): rehash modulus
+
+
+def _rehash_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k universal-hash permutations
+    h_i = (a_i*h + b_i) mod P. Fixed seed → identical constants in the
+    Spark plan and the generated oracle SQL."""
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, H60_PRIME), rng.randrange(0, H60_PRIME))
+        for _ in range(k)
+    ]
+
+
+REHASH_AB = _rehash_constants(64)
+
+
+def h60(col: Column) -> Column:
+    """Portable 60-bit string hash: first 15 hex chars of md5 as BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`h60` over the SQL expression ``expr``."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def rehash(col: Column, i: int) -> Column:
+    """i-th linear permutation of a 60-bit hash: (a_i*h + b_i) mod P.
+
+    Computed wrap-free in DECIMAL (ANSI-safe: a*h < 2^122 fits
+    decimal(38,0)); the oracle mirrors with HUGEINT arithmetic."""
+    a, b = REHASH_AB[i]
+    return (
+        (F.lit(a).cast("decimal(19,0)") * col + F.lit(b)) % F.lit(H60_PRIME)
+    ).cast("long")
+
+
+def rehash_sql(expr: str, i: int) -> str:
+    """DuckDB twin of :func:`rehash` (HUGEINT wrap-free arithmetic)."""
+    a, b = REHASH_AB[i]
+    return f"CAST((CAST({a} AS HUGEINT) * ({expr}) + {b}) % {H60_PRIME} AS BIGINT)"
 
 
 def shingles(text: Column, n: int = 3) -> Column:

@@ -5,16 +5,18 @@ dedup, ``/root/reference/src/bluetooth/scanner.rs:99,185``).
 Scale posture:
 - exact dedup: hash-groupBy on a fingerprint — one shuffle keyed by the
   hash, near-perfectly balanced by construction (hashes are uniform);
-- MinHash: explode shingles → ONE xxhash64 per shingle → k linear
-  permutations ``a_i*h + b_i`` → groupBy-min. The per-shingle hash is
-  computed once (not k times), partial aggregation combines map-side, so
-  the shuffle carries only |docs| × k longs regardless of corpus size.
+- MinHash: explode shingles → ONE portable 60-bit hash per shingle
+  (md5-derived, so the DuckDB oracle replicates it exactly) → k linear
+  permutations ``(a_i*h + b_i) mod P`` → groupBy-min. The per-shingle
+  hash is computed once (not k times), partial aggregation combines
+  map-side, so the shuffle carries only |docs| × k longs regardless of
+  corpus size.
 - MinHash-LSH: band signatures → explode to (band, band_hash) buckets →
   self-join inside buckets only. The candidate join is equi-keyed on the
   bucket, so no quadratic cross join ever materializes (the pre-filter
   pattern from the PAPERS.md similarity-join literature).
-- SimHash: explode tokens → 64 conditional-sum aggregates (codegen'd)
-  → sign bits reassembled; banded on 4×16-bit chunks for candidate
+- SimHash: explode tokens → 60 conditional-sum aggregates (codegen'd)
+  → sign bits reassembled; banded on 4×15-bit chunks for candidate
   pairs within Hamming distance ≤3 (pigeonhole over 4 bands).
 
 All heavy per-row work happens after :func:`spread`, which fans a
@@ -37,7 +39,16 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     large input already has enough splits and passes through untouched.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # Metadata-only check (no .rdd materialization at plan-build
+        # time): a scan backed by fewer files than the parallelism
+        # target is at risk of under-splitting; anything else — many
+        # files, or a non-scan plan where inputFiles() is empty —
+        # passes through untouched.
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -59,12 +70,12 @@ def exact_dedup(
 def _shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    """(id, h) rows: one xxhash64 per distinct shingle occurrence."""
+    """(id, h) rows: one portable 60-bit hash per shingle occurrence."""
     base = spread(df).select(
         F.col(id_col),
         F.explode(tf.shingles(F.col(text_col), n=shingle_n)).alias("_s"),
     )
-    return base.select(F.col(id_col), F.xxhash64("_s").alias("_h"))
+    return base.select(F.col(id_col), tf.h60(F.col("_s")).alias("_h"))
 
 
 def minhash_signatures(
@@ -76,14 +87,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc as an array<long> of length n_hashes.
 
-    min_i over shingles of xxhash64(i, xxhash64(shingle)): one STRING
-    hash per shingle, then k cheap long-rehashes (seeded by the hash
-    index — no ANSI-hostile overflow arithmetic), one partial+final
-    min-aggregate — the shuffle carries k longs per doc.
+    min_i over shingles of rehash_i(h60(shingle)): one STRING hash per
+    shingle, then k linear permutations (a_i*h + b_i) mod P in wrap-free
+    decimal arithmetic (ANSI-safe, and exactly replicable in the DuckDB
+    oracle via HUGEINT), one partial+final min-aggregate — the shuffle
+    carries k longs per doc.
     """
     hashed = _shingle_hashes(df, text_col, id_col, shingle_n)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
+        F.min(tf.rehash(F.col("_h"), i)).alias(f"_m{i}")
         for i in range(n_hashes)
     ]
     agg = hashed.groupBy(id_col).agg(*mins)
@@ -116,11 +128,16 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("minhash", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
+                        tf.h60(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "minhash", b * rows_per_band + r + 1
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -185,24 +202,28 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+SIMHASH_BITS = 60  # matches the portable hash width (bits 60+ of h60 are 0)
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per doc via explode + 64 conditional-sum aggregates.
+    """60-bit SimHash per doc via explode + 60 conditional-sum aggregates.
 
-    Each token hashes once (xxhash64); per bit position the vote is
-    +1/-1 by hash bit; the signature reassembles from the 64 sums'
-    signs. Fully codegen'd, map-side combined — no per-row Python, no
-    64-pass array traversal.
+    Each token hashes once (portable md5-derived 60-bit hash, so the
+    DuckDB oracle reproduces the signature exactly); per bit position the
+    vote is +1/-1 by hash bit; the signature reassembles from the 60
+    sums' signs. Fully codegen'd, map-side combined — no per-row Python,
+    no 60-pass array traversal.
     """
     toks = spread(df).select(
         F.col(id_col),
         F.explode(tf.ws_tokens(F.lower(F.col(text_col)))).alias("_t"),
     )
-    hashed = toks.select(F.col(id_col), F.xxhash64("_t").alias("_h"))
+    hashed = toks.select(F.col(id_col), tf.h60(F.col("_t")).alias("_h"))
     votes = []
-    for i in range(64):
-        bit = (1 << i) if i < 63 else -(1 << 63)
+    for i in range(SIMHASH_BITS):
+        bit = 1 << i
         votes.append(
             F.sum(
                 F.when(F.col("_h").bitwiseAND(F.lit(bit)) != 0, 1).otherwise(-1)
@@ -210,8 +231,8 @@ def simhash_signatures(
         )
     agg = hashed.groupBy(id_col).agg(*votes)
     sig = F.lit(0).cast("long")
-    for i in range(64):
-        bit = (1 << i) if i < 63 else -(1 << 63)
+    for i in range(SIMHASH_BITS):
+        bit = 1 << i
         sig = sig.bitwiseOR(
             F.when(F.col(f"_v{i}") > 0, F.lit(bit).cast("long")).otherwise(
                 F.lit(0).cast("long")
@@ -226,11 +247,13 @@ def simhash_dedup_candidates(
     id_col: str = "doc_id",
     max_hamming: int | None = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: candidates share one of the 4 16-bit
+    """SimHash near-dup pairs: candidates share one of the 4 15-bit
     chunks (pigeonhole: complete for Hamming distance ≤3), then the
     exact Hamming check keeps true near-dups. ``max_hamming=None``
     returns all banding candidates."""
     sig = simhash_signatures(df, text_col, id_col)
+    chunk_bits = SIMHASH_BITS // 4
+    chunk_mask = (1 << chunk_bits) - 1
     chunks = sig.select(
         id_col,
         "simhash",
@@ -239,8 +262,8 @@ def simhash_dedup_candidates(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", chunk_bits * i)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("chunk"),
                     )
                     for i in range(4)
@@ -272,7 +295,7 @@ def simhash_dedup_candidates(
 
 def connected_components(
     pairs: DataFrame,
-    max_iter: int = 10,
+    max_iter: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
 ) -> DataFrame:
@@ -282,6 +305,9 @@ def connected_components(
     iterations (near-dup clusters are shallow — a handful of rounds).
 
     Returns (node, label) with label = min doc id of the component.
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds (a silent early exit would split long chain
+    clusters and let duplicates survive undetected).
 
     Scale posture: each iteration is one shuffle-join keyed by node id +
     one aggregate; ``localCheckpoint`` truncates the growing lineage so
@@ -301,6 +327,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for i in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -330,9 +357,16 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
         else:
             labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations (cluster diameter exceeds the bound); raise "
+            "max_iter — an early exit would silently split clusters"
+        )
     return labels
 
 

@@ -171,6 +171,13 @@ def observed(df: DataFrame, name: str = "pipeline_metrics"):
     Returns (df, observation); read ``observation.get`` after an action
     to obtain {'rows': n, 'sensors': k} and raise the empty-run warning
     the reference logs.
+
+    Parity caveat: ``rows`` (and therefore the empty-run signal) is
+    exact; ``sensors`` is APPROXIMATE (HyperLogLog++) because Spark
+    rejects DISTINCT aggregates inside observed metrics
+    (INVALID_OBSERVED_METRICS) — on large runs the count can deviate ~2%
+    from the reference's exact count. Exact parity needs a separate
+    ``countDistinct`` aggregation pass (one extra job over the output).
     """
     from pyspark.sql import Observation
 

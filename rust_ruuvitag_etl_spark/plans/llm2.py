@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import text as tf
 from ..operators import dedup as dd
 from ..sources import load
+from . import _dedup_oracles as dor
 from .registry import query
 
 # Char trigrams of the lowercased text; 1-based substring on both
@@ -199,7 +200,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rhash.alias("rhash"))
 
 
-@query("dedup_minhash_verified", oracle=None)  # xxhash64 has no DuckDB twin
+@query("dedup_minhash_verified", oracle=dor.MINHASH_VERIFIED_SQL)
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline: MinHash-LSH candidate generation
     (banded equi-join, no cross join) followed by exact 3-gram Jaccard
@@ -212,7 +213,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, cands, threshold=0.2)
 
 
-@query("dedup_keep_best_canonical", oracle=None)  # xxhash64 pairs; semantics pinned by tests
+@query("dedup_keep_best_canonical", oracle=dor.KEEP_BEST_CANONICAL_SQL)
 def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete dedup endgame: MinHash-LSH candidates → exact
     Jaccard verify (≥0.2) → connected components (min-label propagation,

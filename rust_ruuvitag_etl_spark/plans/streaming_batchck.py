@@ -13,8 +13,6 @@ trailing windows since the watermark never passes the last event).
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,7 +55,12 @@ def streaming_windowed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-for-row. At scale the same plan runs continuously with a
     watermark (streaming/pipeline.py); complete-mode-over-availableNow
     is the bounded-input harness."""
-    name = f"swm_{uuid.uuid4().hex[:10]}"
+    # Fixed per-query sink name: the availableNow query has terminated
+    # by the time we return, so the next invocation's memory sink
+    # REPLACES the temp view instead of accumulating uuid-named tables
+    # (and their cached results) in driver memory across bench/audit
+    # re-runs.
+    name = "swm_streaming_windowed_means"
     agg = (
         _events_stream(spark, sf_dir)
         .groupBy("user_id", F.window("ts", "30 minutes").alias("w"))
@@ -100,7 +103,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     then counted per type. Bounded input → no watermark needed; the
     production variant bounds state with
     ``dropDuplicatesWithinWatermark`` (streaming/pipeline.py)."""
-    name = f"sdd_{uuid.uuid4().hex[:10]}"
+    name = "sdd_streaming_dedup_counts"  # fixed: see streaming_windowed_means
     dedup = (
         _events_stream(spark, sf_dir)
         .select("event_type", "user_id")

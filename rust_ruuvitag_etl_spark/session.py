@@ -65,12 +65,25 @@ def get_spark(app_name: str = "rust-ruuvitag-etl-spark", master: str | None = No
 def ensure_session_configs(spark: SparkSession) -> SparkSession:
     """Best-effort: apply runtime-settable configs to an existing session
     (driver-owned sessions may not have gone through ``configure``)."""
+    # Shuffle partitions: only override Spark's untuned default of 200
+    # (streaming can't rely on AQE to coalesce it) or honor an explicit
+    # env opt-in — never clobber a deployment-tuned value.
+    try:
+        current_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        current_shuffle = "200"
+    if (
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ
+        or current_shuffle in ("200", None)
+    ):
+        try:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS
+            )
+        except Exception:
+            pass
     for key, val in [
         ("spark.sql.session.timeZone", "UTC"),
-        # Streaming jobs can't rely on AQE to coalesce the default 200
-        # shuffle partitions (AQE is disabled for stateful workloads);
-        # size to the local core budget explicitly.
-        ("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized

@@ -95,6 +95,7 @@ def write_bucketed(
     num_buckets: int = 16,
     sort_cols: tuple[str, ...] = (),
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed-table sink (``bucketBy`` + ``saveAsTable``).
 
@@ -104,8 +105,14 @@ def write_bucketed(
     from the dominant shuffle into a local merge (verified by
     tests/test_bucketed.py asserting no Exchange under the join). Spark
     cannot bucket a path-based ``parquet(path)`` write; the table
-    catalog carries the bucket spec."""
+    catalog carries the bucket spec.
+
+    ``path`` makes the table external at that location (the catalog
+    still carries the bucket spec) — callers that must control where
+    files land (e.g. a repo-local warehouse) pass it explicitly."""
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)

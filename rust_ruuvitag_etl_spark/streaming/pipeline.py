@@ -165,6 +165,31 @@ def run_available_now(df: DataFrame, query_name: str) -> list:
     return df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
 
 
+_DURATION_UNITS = {
+    "millisecond": 0.001,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def _duration_seconds(spec: str) -> float:
+    """Parse a Spark CalendarInterval-style duration ('2 hours',
+    '90 minutes') into seconds, for watermark/gap sanity checks."""
+    total = 0.0
+    parts = spec.strip().lower().split()
+    if len(parts) % 2 != 0:
+        raise ValueError(f"unparseable duration: {spec!r}")
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _DURATION_UNITS:
+            raise ValueError(f"unknown duration unit {unit!r} in {spec!r}")
+        total += float(qty) * _DURATION_UNITS[unit]
+    return total
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,
@@ -179,7 +204,16 @@ def interval_join_streams(
     state stores — without them a stream-stream join buffers forever
     (the scale-killer); with them state evicts as event time passes.
     New surface: the reference is single-stream only.
+
+    Raises if ``watermark`` < ``max_gap``: join state would be evicted
+    before the interval closes and matches would be dropped silently.
     """
+    if _duration_seconds(watermark) < _duration_seconds(max_gap):
+        raise ValueError(
+            f"watermark ({watermark!r}) must be >= max_gap ({max_gap!r}): "
+            "a shorter watermark evicts join state before the interval "
+            "closes and silently drops matches"
+        )
     l = left.withWatermark(ts_col, watermark).alias("l")
     r = right.withWatermark(ts_col, watermark).alias("r")
     return l.join(

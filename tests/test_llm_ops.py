@@ -108,7 +108,7 @@ class TestSimilarity:
             .collect()
         }
         recall = len(bf & ivf) / len(bf)
-        assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+        assert recall >= 0.8, f"IVF recall collapsed: {recall}"
 
 
 class TestApproxCountDistinct:
