@@ -17,4 +17,5 @@ from . import (  # noqa: E402, F401
     relational4,
     relational5,
     relational6,
+    relational7,
 )
