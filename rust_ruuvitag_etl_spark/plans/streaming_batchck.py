@@ -120,3 +120,53 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+  AND CAST(v.ts AS TIMESTAMP) > CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+  AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+""",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join executed by Structured Streaming and
+    diffed against the batch range-join oracle: each purchase pairs with
+    the same user's views in the preceding hour. Dual watermarks (2 h ≥
+    the 1 h interval — enforced by interval_join_streams) bound both
+    join state stores; inner-join matches emit as they occur (append
+    mode), so the bounded availableNow run yields exactly the batch
+    answer. The strongest stateful-streaming parity check the engine
+    exposes: two unsynchronized sources, keyed state, and a range
+    predicate in one query."""
+    from ..streaming.pipeline import interval_join_streams
+
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "ts", F.col("event_id").alias("view_id"))
+    )
+    joined = interval_join_streams(
+        purchases, views, key="user_id", ts_col="ts",
+        max_gap="1 hour", watermark="2 hours",
+    ).select("purchase_id", "view_id")
+    name = "sij_streaming_interval_join"  # fixed: see streaming_windowed_means
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
