@@ -371,16 +371,36 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct", oracle=None)  # HLL: no exact oracle by design
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the sketch path a 100 TB
-    distinct-count takes. No SQL oracle: estimates are
-    implementation-specific; the unit test bounds the relative error
-    against the exact count instead."""
+    distinct-count takes. The HLL estimate itself is engine-specific, so
+    the query outputs the EXACT count plus ``approx_ok`` = 'estimate
+    within 5% relative error of exact' computed Spark-side; the oracle
+    emits the exact counts and ``TRUE`` — i.e. the hash match itself
+    enforces the sketch's error bound in SQL (rsd 0.02 → 5% is a
+    comfortable margin)."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02).cast("double")
+                - F.countDistinct("l_partkey").cast("double")
+            )
+            / F.countDistinct("l_partkey").cast("double")
+            <= F.lit(0.05)
+        ).alias("approx_ok"),
     )
 
 

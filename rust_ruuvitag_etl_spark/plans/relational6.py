@@ -173,18 +173,47 @@ def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile", oracle=None)  # sketch-based, engine-specific
+@query(
+    "agg_approx_percentile",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90_exact,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99_exact,
+       TRUE AS approx_ok
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile per event type: the KLL/GK-sketch path for
-    quantiles at 100 TB, where exact percentile's full sort-per-group
-    is the bottleneck. Mergeable sketches → partial aggregation
-    map-side, one small shuffle. Accuracy (1e-4 relative error here) is
-    engine-specific, hence rows-only; the exact twin is
-    percentiles_event_values."""
-    ev = load(spark, sf_dir, "events")
+    """approx_percentile per event type: the GK-sketch path for
+    quantiles at 100 TB, where exact percentile's full sort-per-group is
+    the bottleneck (mergeable sketches → map-side partials, one small
+    shuffle). The sketch value is engine-specific, so the output carries
+    the EXACT percentiles plus ``approx_ok`` = 'each sketch quantile
+    lies between the exact quantiles at q∓0.01' (accuracy 10000 → rank
+    error ≤1e-4, two orders inside that bracket); the oracle emits the
+    exact values and TRUE, so the hash match enforces the bound."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    approx = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    lo = F.expr("percentile(value, array(0.49D, 0.89D, 0.98D))")
+    hi = F.expr("percentile(value, array(0.51D, 0.91D, 1.0D))")
+    ok = F.aggregate(
+        F.zip_with(
+            F.zip_with(approx, lo, lambda a, l: a >= l),
+            F.zip_with(approx, hi, lambda a, h: a <= h),
+            lambda x, y: x & y,
+        ),
+        F.lit(True),
+        lambda acc, v: acc & v,
+    )
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
         F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_exact"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99_exact"),
+        ok.alias("approx_ok"),
     )
 
 
@@ -213,15 +242,78 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_freq_items", oracle=None)  # sketch-based, engine-specific
+@query(
+    "stat_freq_items",
+    oracle="""
+WITH pr AS (
+    SELECT o_orderpriority AS item FROM orders
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 0.1 * (SELECT COUNT(*) FROM orders)
+),
+st AS (
+    SELECT o_orderstatus AS item FROM orders
+    GROUP BY o_orderstatus
+    HAVING COUNT(*) > 0.1 * (SELECT COUNT(*) FROM orders)
+)
+SELECT list_sort(list(pr.item)) AS exact_freq_priorities,
+       (SELECT list_sort(list(st.item)) FROM st) AS exact_freq_statuses,
+       TRUE AS sketch_ok
+FROM pr
+""",
+)
 def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate frequent items (Karp-Papadimitriou-Shenker sketch)
     over order priority and status: the one-pass, mergeable heavy-hitter
-    estimator for 100 TB categorical profiling. Support 0.1 → at most
-    ~10 candidates per column; exact twins are trivial group-bys, hence
-    rows-only here."""
+    estimator for 100 TB categorical profiling. The sketch's candidate
+    list is engine-specific, but KPS guarantees NO FALSE NEGATIVES at
+    the support threshold — so the output carries the exact frequent
+    sets plus ``sketch_ok`` = 'sketch candidates ⊇ exact frequent
+    items', and the oracle (exact group-by-HAVING twins + TRUE) turns
+    that guarantee into a hash-checked bound."""
     o = load(spark, sf_dir, "orders")
-    return o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+    sketch = o.stat.freqItems(
+        ["o_orderpriority", "o_orderstatus"], support=0.1
+    ).select(
+        F.col("o_orderpriority_freqItems").alias("sk_pr"),
+        F.col("o_orderstatus_freqItems").alias("sk_st"),
+    )
+    n_orders = o.agg(F.count(F.lit(1)).alias("_n"))
+    exact_pr = (
+        o.groupBy(F.col("o_orderpriority").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("cnt") > 0.1 * F.col("_n"))
+        .agg(F.array_sort(F.collect_list("item")).alias("exact_freq_priorities"))
+    )
+    exact_st = (
+        o.groupBy(F.col("o_orderstatus").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("cnt") > 0.1 * F.col("_n"))
+        .agg(F.array_sort(F.collect_list("item")).alias("exact_freq_statuses"))
+    )
+    return (
+        sketch.crossJoin(F.broadcast(exact_pr))
+        .crossJoin(F.broadcast(exact_st))
+        .select(
+            "exact_freq_priorities",
+            "exact_freq_statuses",
+            (
+                (
+                    F.size(
+                        F.array_except(F.col("exact_freq_priorities"), F.col("sk_pr"))
+                    )
+                    == 0
+                )
+                & (
+                    F.size(
+                        F.array_except(F.col("exact_freq_statuses"), F.col("sk_st"))
+                    )
+                    == 0
+                )
+            ).alias("sketch_ok"),
+        )
+    )
 
 
 @query(
