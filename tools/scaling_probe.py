@@ -9,12 +9,26 @@ sizes; near 1 means linear in the data; above 1 flags super-linear work
 that would NOT survive a 100x scale-up and needs a plan fix. This is
 the local, measurable stand-in for the '1000-executor, 100 TB' question
 the architecture targets.
+
+Two probe axes:
+
+1. **Star-schema axis** — the headline suite plus the shuffle-heaviest
+   registry queries across sf0.001/0.01/0.1 (lineitem/orders/events grow
+   10x per step; documents/embeddings only grow at sf0.1).
+2. **Corpus axis** — the text/dedup/similarity queries against GENERATED
+   corpora at x1/x4/x16 of the sf0.1 documents+embeddings tables
+   (replicated with id offsets and deterministic text/vector
+   perturbations, written under .scaling_corpus/). This measures REAL
+   corpus growth for the LLM-pipeline operators instead of the fixed-size
+   testdata corpora; exponents here are per 4x step
+   (log(t_next/t_prev)/log(4)).
 """
 
 from __future__ import annotations
 
 import math
 import os
+import shutil
 import sys
 import time
 
@@ -26,48 +40,161 @@ from rust_ruuvitag_etl_spark.session import get_spark
 
 SFS = ["0.001", "0.01", "0.1"]
 
+# Shuffle-heaviest registry queries beyond the headline suite (round-1
+# verdict #6): the full LSH→verify dedup composition and the rewritten
+# bucketed-IVF probe.
+EXTRA = ["dedup_minhash_verified", "similarity_ivf_topk"]
+
+CORPUS_MULTS = [1, 4, 16]
+CORPUS_QUERIES = [
+    "text_langid_trigram",
+    "text_quality_scores",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_verified",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+]
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def gen_corpora(spark, base_dir: str, out_root: str) -> dict[int, str]:
+    """Replicate the sf0.1 documents/embeddings tables x1/x4/x16 with id
+    offsets + deterministic perturbations (text suffix per replica;
+    +k*1e-4 on each embedding coordinate) so corpus-bound queries see
+    real data growth. Idempotent: existing outputs are reused."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    em = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    dirs = {}
+    for mult in CORPUS_MULTS:
+        out = os.path.join(out_root, f"x{mult}")
+        dirs[mult] = out
+        if os.path.exists(os.path.join(out, "_DONE")):
+            continue
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        doc_parts = []
+        em_parts = []
+        for k in range(mult):
+            suffix = F.lit("") if k == 0 else F.lit(f" replica{k}")
+            doc_parts.append(
+                docs.select(
+                    (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), suffix).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+            em_parts.append(
+                em.select(
+                    (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                    F.transform(
+                        "embedding", lambda x: (x + F.lit(k * 1e-4)).cast("float")
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+        d = doc_parts[0]
+        for part in doc_parts[1:]:
+            d = d.unionByName(part)
+        e = em_parts[0]
+        for part in em_parts[1:]:
+            e = e.unionByName(part)
+        d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+        e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+        open(os.path.join(out, "_DONE"), "w").close()
+    return dirs
+
+
+def _time_queries(spark, names, sf_dirs) -> dict[str, dict[str, float]]:
+    # Warm-up pass at every scale so timings are steady-state.
+    for key, d in sf_dirs.items():
+        for name in names:
+            REGISTRY[name].fn(spark, d).count()
+    times: dict[str, dict[str, float]] = {n: {} for n in names}
+    for key, d in sf_dirs.items():
+        for name in names:
+            t0 = time.time()
+            REGISTRY[name].fn(spark, d).count()
+            times[name][key] = round(time.time() - t0, 3)
+    return times
+
 
 def main() -> None:
-    out_md = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
-    )
+    root = _repo_root()
+    out_md = os.path.join(root, "SCALING.md")
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up pass at every scale so timings are steady-state.
-    for sf in SFS:
-        for name in HEADLINE:
-            REGISTRY[name].fn(spark, f"/root/testdata/sf{sf}").count()
+    star_names = HEADLINE + EXTRA
+    star_dirs = {sf: f"/root/testdata/sf{sf}" for sf in SFS}
+    star = _time_queries(spark, star_names, star_dirs)
 
-    times: dict[str, dict[str, float]] = {n: {} for n in HEADLINE}
-    for sf in SFS:
-        for name in HEADLINE:
-            t0 = time.time()
-            REGISTRY[name].fn(spark, f"/root/testdata/sf{sf}").count()
-            times[name][sf] = round(time.time() - t0, 3)
+    corpus_dirs = gen_corpora(
+        spark, "/root/testdata/sf0.1", os.path.join(root, ".scaling_corpus")
+    )
+    corpus = _time_queries(
+        spark, CORPUS_QUERIES, {str(m): d for m, d in corpus_dirs.items()}
+    )
 
     lines = [
         "# SCALING — headline suite across scale factors",
         "",
         "Generated by `python tools/scaling_probe.py` (steady-state: one",
-        "untimed warm pass per scale). `exp` is the 0.01→0.1 scaling",
-        "exponent log10(t_0.1/t_0.01): ~0 = fixed-cost dominated, ~1 =",
+        "untimed warm pass per scale).",
+        "",
+        "## Star-schema axis (sf0.001 → 0.1)",
+        "",
+        "`exp` = log10(t_0.1/t_0.01): ~0 = fixed-cost dominated, ~1 =",
         "linear in data, >1 = super-linear (needs a plan fix before any",
-        "100x scale-up). documents/embeddings are fixed-size below sf0.1,",
-        "so text/similarity queries legitimately sit near 0.",
+        "100x scale-up). documents/embeddings only grow 10x at the last",
+        "step, so corpus-bound queries are graded on the corpus axis below.",
         "",
         "| query | sf0.001 s | sf0.01 s | sf0.1 s | exp |",
         "|---|---|---|---|---|",
     ]
     worst = 0.0
-    for name in HEADLINE:
-        t1, t2, t3 = (times[name][sf] for sf in SFS)
+    for name in star_names:
+        t1, t2, t3 = (star[name][sf] for sf in SFS)
         exp = math.log10(t3 / t2) if t2 > 0 else float("nan")
         worst = max(worst, exp)
         lines.append(f"| {name} | {t1} | {t2} | {t3} | {exp:+.2f} |")
     lines += [
         "",
-        f"Worst exponent this run: **{worst:+.2f}** (linear = +1.00).",
+        f"Worst star-axis exponent this run: **{worst:+.2f}** (linear = +1.00).",
+        "",
+        "## Corpus axis (sf0.1 documents/embeddings replicated x1/x4/x16)",
+        "",
+        "Generated corpora under `.scaling_corpus/` (id offsets +",
+        "deterministic perturbations — every replica is novel text/vector",
+        "content, so dedup/LSH/similarity state grows for real). `exp` =",
+        "mean per-step log(t_next/t_prev)/log(4): ~1 = linear in corpus.",
+        "",
+        "| query | x1 s | x4 s | x16 s | exp |",
+        "|---|---|---|---|---|",
+    ]
+    worst_c = 0.0
+    for name in CORPUS_QUERIES:
+        t1, t4, t16 = (corpus[name][str(m)] for m in CORPUS_MULTS)
+        steps = []
+        if t1 > 0:
+            steps.append(math.log(t4 / t1) / math.log(4))
+        if t4 > 0:
+            steps.append(math.log(t16 / t4) / math.log(4))
+        exp = sum(steps) / len(steps) if steps else float("nan")
+        worst_c = max(worst_c, exp)
+        lines.append(f"| {name} | {t1} | {t4} | {t16} | {exp:+.2f} |")
+    lines += [
+        "",
+        f"Worst corpus-axis exponent this run: **{worst_c:+.2f}** (linear = +1.00).",
+        "Sub-linear means fixed costs still dominate at these sizes;",
+        "super-linear flags quadratic candidate growth or a broken bucket",
+        "strategy.",
         "",
     ]
     with open(out_md, "w") as f:
