@@ -101,18 +101,15 @@ def fingerprint(text: Column) -> Column:
 # for near-dup hashing: collision odds at 10^9 docs are ~4e-3 per pair
 # family, and every downstream consumer re-verifies candidates exactly.
 
-H60_PRIME = 2305843009213693951  # 2^61 - 1 (Mersenne): rehash modulus
+P31 = 2147483647  # 2^31 - 1 (Mersenne): rehash modulus
 
 
 def _rehash_constants(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the k universal-hash permutations
-    h_i = (a_i*h + b_i) mod P. Fixed seed → identical constants in the
-    Spark plan and the generated oracle SQL."""
+    h_i = (a_i*(h mod P) + b_i) mod P. Fixed seed → identical constants
+    in the Spark plan and the generated oracle SQL."""
     rng = random.Random(0x5EED)
-    return [
-        (rng.randrange(1, H60_PRIME), rng.randrange(0, H60_PRIME))
-        for _ in range(k)
-    ]
+    return [(rng.randrange(1, P31), rng.randrange(0, P31)) for _ in range(k)]
 
 
 REHASH_AB = _rehash_constants(64)
@@ -129,20 +126,22 @@ def h60_sql(expr: str) -> str:
 
 
 def rehash(col: Column, i: int) -> Column:
-    """i-th linear permutation of a 60-bit hash: (a_i*h + b_i) mod P.
+    """i-th universal-hash permutation: (a_i*(h mod P31) + b_i) mod P31.
 
-    Computed wrap-free in DECIMAL (ANSI-safe: a*h < 2^122 fits
-    decimal(38,0)); the oracle mirrors with HUGEINT arithmetic."""
+    Pure BIGINT arithmetic that cannot overflow (h mod P31 < 2^31 and
+    a_i < 2^31 → product < 2^62), so it is ANSI-safe without decimal
+    widening, runs at long-multiply speed inside codegen, and DuckDB
+    evaluates the identical expression for the oracle. 31-bit minhash
+    values are ample: per-hash collision odds 2^-31, and every candidate
+    pair is re-verified exactly downstream."""
     a, b = REHASH_AB[i]
-    return (
-        (F.lit(a).cast("decimal(19,0)") * col + F.lit(b)) % F.lit(H60_PRIME)
-    ).cast("long")
+    return (F.lit(a) * (col % F.lit(P31)) + F.lit(b)) % F.lit(P31)
 
 
 def rehash_sql(expr: str, i: int) -> str:
-    """DuckDB twin of :func:`rehash` (HUGEINT wrap-free arithmetic)."""
+    """DuckDB twin of :func:`rehash` (same non-overflowing BIGINT ops)."""
     a, b = REHASH_AB[i]
-    return f"CAST((CAST({a} AS HUGEINT) * ({expr}) + {b}) % {H60_PRIME} AS BIGINT)"
+    return f"({a} * (({expr}) % {P31}) + {b}) % {P31}"
 
 
 def shingles(text: Column, n: int = 3) -> Column:
