@@ -178,10 +178,10 @@ def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part value vs a global-fraction scalar
     threshold. Adaptation: no partsupp, so 'inventory value' is the
     discounted lineitem revenue routed through EUROPE suppliers. The
-    scalar subquery decorrelates into a 1-row broadcast joined below the
-    per-part aggregate (the aggregate computes ONCE and feeds both the
-    rows and the threshold via a reused exchange). Both sums are exact
-    decimals, so the double threshold compare is engine-identical."""
+    scalar subquery decorrelates into an unpartitioned window SUM over
+    the per-part AGGREGATE (|parts| rows, not lineitem) — the fact chain
+    is scanned once, unlike a naive self-join of the CTE. Both sums are
+    exact decimals, so the double threshold compare is engine-identical."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation")
@@ -193,11 +193,9 @@ def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_vol6()).alias("value"))
     )
-    threshold = pv.agg(
-        (F.sum("value").cast("double") * F.lit(0.001)).alias("_thr")
-    )
+    total = F.sum("value").over(Window.partitionBy())
     return (
-        pv.crossJoin(F.broadcast(threshold))  # 1-row broadcast scalar
+        pv.withColumn("_thr", total.cast("double") * F.lit(0.001))
         .filter(F.col("value").cast("double") > F.col("_thr"))
         .select("partkey", F.col("value").cast("double").alias("total_value"))
     )
@@ -375,7 +373,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return s.join(
-        shipped, s["s_suppkey"] == shipped["l_suppkey"], "left_semi"
+        F.broadcast(shipped), s["s_suppkey"] == shipped["l_suppkey"], "left_semi"
     ).select("s_suppkey", "s_name")
 
 

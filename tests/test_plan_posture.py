@@ -70,6 +70,38 @@ class TestJoinStrategy:
         assert "BroadcastHashJoin" in plan
 
 
+class TestDecorrelatedShapes:
+    def test_q8_snowflake_dims_all_broadcast(self, spark):
+        plan = _plan("q8_national_market_share", spark)
+        assert "SortMergeJoin" not in plan, "dim join degraded to sort-merge"
+        assert plan.count("BroadcastHashJoin") >= 5, plan
+
+    def test_q21_semi_anti_no_nested_loop(self, spark):
+        plan = _plan("q21_waiting_suppliers", spark)
+        assert "LeftSemi" in plan, plan
+        assert "LeftAnti" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_q22_anti_join_scalar_avg(self, spark):
+        plan = _plan("q22_global_sales_opportunity", spark)
+        assert "LeftAnti" in plan, plan
+        # the only nested-loop is the 1-row broadcast scalar average
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+class TestIvfProbePosture:
+    def test_probe_path_no_bnlj_bounded_exchanges(self, spark):
+        """The IVF probe must never re-assign or shuffle the corpus: the
+        bucketed index scan feeds ONE broadcast hash equi-join on
+        centroid_id; the only shuffle exchanges are the two tiny
+        window ranks (round-1 verdict: was 10 Exch + 2 BNLJ)."""
+        plan = _plan("similarity_ivf_topk", spark)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 3, plan
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 class TestGeneratorFilterRegression:
     def test_trigram_transform_not_reevaluated_in_filter(self, spark):
         """InferFiltersFromGenerate must stay excluded: it re-evaluates
