@@ -12,6 +12,7 @@ from . import (  # noqa: E402, F401
     streaming_batchck,
     llm,
     llm2,
+    llm3,
     relational2,
     relational3,
     relational4,
