@@ -184,14 +184,33 @@ def sliding_window_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample", oracle=None)  # binary frame slices; shape-checked in tests
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH f AS (
+    SELECT doc_id AS media_id,
+           CAST(u.f AS INTEGER) AS frame_no,
+           substring(text, CAST(u.f AS BIGINT) * 256 + 1, 256) AS frame
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, greatest(length(text) // 256, 1), 10))
+                  AS f) u
+)
+SELECT media_id, frame_no, md5(frame) AS digest,
+       CAST(length(frame) AS INTEGER) AS n_bytes
+FROM f
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over opaque binary payloads: chunk
     each blob into fixed-size pseudo-frames, keep every 10th, emit
     (media_id, frame_no, digest, n_bytes). The mapInPandas plumbing —
     schema, Arrow batching, per-row fan-out — is exactly what a real
     ffmpeg-backed frame extractor needs; only the byte-slicing body is
-    a stand-in (operators/multimodal.py)."""
+    a stand-in (operators/multimodal.py). Oracle note: DuckDB has no
+    BLOB slicing, but the corpus is pure ASCII (verified 0 multi-byte
+    docs at every sf), so char-based substring over the text reproduces
+    the Python byte slices and md5(varchar) digests the same bytes —
+    the Arrow pipeline's output is hash-checked end to end."""
     docs = load(spark, sf_dir, "documents")
     frames = mm.sample_frames(mm.documents_as_media(docs), every_nth=10)
     return frames.select(
