@@ -6,7 +6,7 @@ feature extraction — oracle-verified where DuckDB can express the twin
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import multimodal as mm
@@ -218,4 +218,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_no",
         F.md5("frame").alias("digest"),
         F.octet_length("frame").alias("n_bytes"),
+    )
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+WITH b AS (
+    SELECT user_id,
+           time_bucket(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP))
+               AS window_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM events GROUP BY user_id, window_start
+),
+bounds AS (
+    SELECT user_id, MIN(window_start) AS mn, MAX(window_start) AS mx
+    FROM b GROUP BY user_id
+),
+grid AS (
+    SELECT user_id,
+           unnest(generate_series(mn, mx, INTERVAL 30 MINUTES)) AS window_start
+    FROM bounds
+),
+j AS (
+    SELECT g.user_id, g.window_start, b.avg_value
+    FROM grid g LEFT JOIN b
+      ON b.user_id = g.user_id AND b.window_start = g.window_start
+)
+SELECT user_id, window_start, avg_value,
+       last_value(avg_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY window_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       (avg_value IS NULL) AS is_gap
+FROM j
+""",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill (the TimescaleDB op the reference's
+    sensor domain wants): aggregate per 30-min bucket, DENSIFY each
+    user's series onto a complete bucket grid (sequence + explode — the
+    grid is generated per key from its own min/max, never a global
+    calendar cross join), then forward-fill empty buckets from the last
+    observed value. Shuffles: one keyed agg, one grid join (broadcast:
+    the aggregated side is |users|x|buckets|, tiny next to raw events),
+    one window scan per user. At 100 TB the grid stays proportional to
+    the AGGREGATED row count, not the event count."""
+    ev = load(spark, sf_dir, "events")
+    b = (
+        ev.groupBy("user_id", F.window("ts", "30 minutes").alias("w"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value")
+        )
+        .select("user_id", F.col("w.start").alias("window_start"), "avg_value")
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("window_start").alias("mn"), F.max("window_start").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 30 MINUTES"))
+            ).alias("window_start"),
+        )
+    )
+    j = grid.join(b, ["user_id", "window_start"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "window_start",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("avg_value").isNull().alias("is_gap"),
     )
