@@ -202,8 +202,11 @@ _PLANES = _hyperplanes(16, 64, 1234)
 
 
 def _plane_dot(plane: list[float]) -> str:
+    # list_inner_product accumulates left-to-right like Spark's
+    # aggregate-fold dot, and vectorizes (the per-element
+    # literal-indexing lambda form ran ~20x slower in DuckDB).
     lit = "[" + ", ".join(repr(x) for x in plane) + "]"
-    return f"list_sum(list_transform(range(1, 65), i -> ev[i] * ({lit})[i]))"
+    return f"list_inner_product(ev, {lit})"
 
 
 _RHP_SIGBITS = "\n        + ".join(

@@ -114,30 +114,34 @@ WITH t AS (
     FROM documents WHERE trim(text) <> ''
 ),
 runs AS (
-    SELECT doc_id, lang, n_tokens,
-           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+    SELECT doc_id, lang, doc_id % 64 AS shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang, doc_id % 64 ORDER BY doc_id
                                ROWS UNBOUNDED PRECEDING) AS cum
     FROM t
 )
-SELECT doc_id, lang, n_tokens,
+SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
        CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
 FROM runs
 """,
 )
 def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to ~512-token training packs
-    by running token total within each language shard (contiguous
-    greedy packing — the deterministic, shuffle-friendly variant of bin
-    packing every data loader uses). The window partitions by lang, so
-    at 100 TB the running sum parallelizes across shards instead of
-    serializing through one global ordering; pack_id = floor(preceding
-    cum / budget) is engine-exact integer math."""
+    by running token total within each (lang, shard) — contiguous
+    greedy packing, the deterministic shuffle-friendly variant of bin
+    packing every data loader uses. The 64-way doc_id shard inside each
+    language keeps the running-sum windows numerous and uniform (a
+    lang-only partition would serialize a 100 TB corpus through ~10
+    tasks); a pack is addressed by (lang, shard, pack_id). pack_id =
+    floor(preceding cum / budget) is engine-exact integer math."""
     docs = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     t = docs.select(
-        "doc_id", "lang", tf.token_count(F.col("text")).alias("n_tokens")
+        "doc_id",
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(64)).alias("shard"),
+        tf.token_count(F.col("text")).alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -145,6 +149,7 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id",
         "lang",
+        F.col("shard").cast("long").alias("shard"),
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / F.lit(512)).alias("pack_id"),
     )
