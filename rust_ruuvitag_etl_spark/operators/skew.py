@@ -57,6 +57,30 @@ def salted_sum_count(
     )
 
 
+def salted_shuffle_join(
+    big: DataFrame,
+    medium: DataFrame,
+    key: str,
+    salt_from: str | Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof SHUFFLE join for when the other side is too big to
+    broadcast: the big side salts its key (hot key's rows spread over
+    ``n_salts`` reducers); the medium side replicates each row across
+    ALL salts (an in-row sequence+explode — ``n_salts``× the medium
+    side, never the big side); the join runs on (key, salt). Same rows
+    as the plain join — oracle-checked by ``skew_salted_join``. Prefer
+    AQE skew-join splitting first; reach for this when the skew is known
+    and stable (one chatty sensor) and you want a deterministic plan."""
+    salt_col = F.col(salt_from) if isinstance(salt_from, str) else salt_from
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(salt_col), F.lit(n_salts)))
+    m = medium.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return b.join(m, [key, "_salt"], how).drop("_salt")
+
+
 def salted_broadcast_left(
     big: DataFrame,
     small: DataFrame,

@@ -138,3 +138,39 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.salted_sum_count(
         li, key="l_suppkey", value="l_quantity", salt_from="l_orderkey", n_salts=16
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE join (operators/skew.py): the fact side salts its
+    join key so a hot order's lineitems spread over 16 reducers; the
+    other side replicates per salt via an in-row sequence+explode (16x
+    the medium side, never the fact side); the join keys on
+    (key, salt). The oracle is the PLAIN join — proving salting
+    preserves the relation exactly. For when the non-skewed side is too
+    big to broadcast and the skew is known and stable; AQE's runtime
+    skew split handles the unknown-skew case."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("bigint").alias("lq")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = skew.salted_shuffle_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        key="k",
+        salt_from="l_linenumber",
+        n_salts=16,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum("lq").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -123,6 +123,66 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_windows",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                     OR date_diff('millisecond', prev_ts, ts) > 300000
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+numbered AS (
+    SELECT user_id, ts, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTES AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed by Structured Streaming: 5-minute-gap
+    sessions merge in streaming state across micro-batches (the hardest
+    stateful window — sessions have no fixed boundaries, so state must
+    merge adjacent windows as events arrive), drained with availableNow
+    in complete mode and diffed against the batch gaps-and-islands
+    oracle. Third stream↔batch agreement proof alongside the tumbling
+    window and the interval join."""
+    name = "ssw_streaming_session_windows"  # fixed: see streaming_windowed_means
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id", F.session_window("ts", "5 minutes").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "streaming_interval_join",
     oracle="""
 SELECT p.event_id AS purchase_id, v.event_id AS view_id
