@@ -16,8 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import load
 from ..sources.tables import SCHEMAS, _ensure_nanos_conf
 from .registry import query
+from .ruuvi import FLAGSHIP_ORACLE
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,6 +115,70 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("streaming_ruuvi_flagship", oracle=FLAGSHIP_ORACLE)
+def streaming_ruuvi_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference dataflow executed the way the reference executes it
+    — as a continuous pipeline: validate → per-sensor 30-min tumbling
+    windows → decimal-exact mean + samples + wrapped movement delta
+    (min_by/max_by are algebraic, so they stream) → broadcast
+    stream-static enrichment against the registry table with 'Unknown'
+    default → sink. Diffed against the SAME oracle as the batch
+    ruuvi_flagship, so batch plan, streaming plan, and DuckDB all agree
+    on the reference's end-to-end semantics
+    (``/root/reference/src/main.rs:66-185``)."""
+    ev = _events_stream(spark, sf_dir)
+    readings = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.pmod(F.col("event_id"), F.lit(256)).cast("int").alias("mc"),
+    )
+    agg = (
+        readings.groupBy("user_id", F.window("ts", "30 minutes").alias("w"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("samples"),
+            F.pmod(
+                F.max_by("mc", "event_id") - F.min_by("mc", "event_id"), F.lit(256)
+            )
+            .cast("int")
+            .alias("movement_delta"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            "avg_value",
+            "samples",
+            "movement_delta",
+        )
+    )
+    names = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("_nm")
+    )
+    enriched = agg.join(F.broadcast(names), "user_id", "left").select(
+        "user_id",
+        "window_start",
+        "avg_value",
+        "samples",
+        "movement_delta",
+        F.coalesce("_nm", F.lit("Unknown")).alias("name"),
+    )
+    name = "srf_streaming_ruuvi_flagship"  # fixed: see streaming_windowed_means
+    q = (
+        enriched.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
