@@ -13,7 +13,7 @@ trailing windows since the watermark never passes the last event).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load
@@ -122,6 +122,80 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_stateful_monitor",
+    oracle="""
+WITH r AS (
+    SELECT user_id, ts, event_id, value,
+           CAST(event_id % 256 AS INTEGER) AS mc
+    FROM events WHERE value IS NOT NULL
+),
+o AS (
+    SELECT user_id, ts, event_id, value, mc,
+           LAG(mc) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_mc
+    FROM r
+),
+agg AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS total_readings,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               / (100.0 * COUNT(*)) AS running_mean_temp,
+           CAST(SUM(CASE WHEN prev_mc IS NULL THEN 0
+                    ELSE ((mc - prev_mc) % 256 + 256) % 256 END) AS BIGINT)
+               AS movement_total
+    FROM o GROUP BY user_id
+),
+last AS (
+    SELECT user_id, mc AS last_movement_counter FROM (
+        SELECT user_id, mc,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM r) WHERE rn = 1
+)
+SELECT CAST(a.user_id AS VARCHAR) AS sensor_mac,
+       a.total_readings, a.running_mean_temp,
+       l.last_movement_counter, a.movement_total
+FROM agg a JOIN last l ON l.user_id = a.user_id
+""",
+)
+def streaming_stateful_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator in the correctness gate: the
+    applyInPandasWithState per-sensor monitor (running count / mean /
+    wrapped movement accumulation carried ACROSS micro-batches — state
+    the built-in windows can't express, reference
+    ``src/main.rs:72,97-102``) drained with availableNow and diffed
+    against a batch LAG-window oracle. Update mode appends one refreshed
+    row per sensor per batch; the final per-sensor row (max readings) is
+    the monitor's end-of-stream answer."""
+    ev = _events_stream(spark, sf_dir)
+    readings = ev.filter(F.col("value").isNotNull()).select(
+        F.col("user_id").cast("string").alias("sensor_mac"),
+        "ts",
+        "event_id",
+        F.col("value").alias("temperature"),
+        F.pmod(F.col("event_id"), F.lit(256)).cast("int").alias("movement_counter"),
+    )
+    from ..streaming.stateful import sensor_monitor_stream
+
+    monitored = sensor_monitor_stream(readings)
+    name = "ssm_streaming_stateful_monitor"  # fixed: see streaming_windowed_means
+    q = (
+        monitored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("sensor_mac").orderBy(F.desc("total_readings"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 @query("streaming_ruuvi_flagship", oracle=FLAGSHIP_ORACLE)

@@ -42,8 +42,13 @@ MONITOR_SCHEMA = StructType(
     ]
 )
 
-# state tuple: (count, sum_temp, last_mc, movement_total)
-STATE_SCHEMA = "count LONG, sum_temp DOUBLE, last_mc INTEGER, movement_total LONG"
+# state tuple: (count, sum_cents, last_mc, movement_total).
+# Temperatures accumulate as integer CENTS, not a float sum: exact,
+# associative, immune to accumulation-order drift across micro-batches —
+# and therefore exactly reproducible by a batch SQL oracle (readings are
+# 2-dp decimals; a double sum would make the running mean depend on
+# batch boundaries).
+STATE_SCHEMA = "count LONG, sum_cents LONG, last_mc INTEGER, movement_total LONG"
 
 
 def _monitor(
@@ -56,24 +61,30 @@ def _monitor(
     (``utils.rs:64-71``) accumulates across batches: each consecutive
     pair contributes ``(cur - prev) mod 256``."""
     if state.exists:
-        count, sum_temp, last_mc, movement_total = state.get
+        count, sum_cents, last_mc, movement_total = state.get
     else:
-        count, sum_temp, last_mc, movement_total = 0, 0.0, None, 0
+        count, sum_cents, last_mc, movement_total = 0, 0, None, 0
     for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+        # Stable sort with an id tie-break when available: rows with
+        # equal timestamps must fold in a deterministic order or the
+        # movement accumulation (and any differential oracle) drifts.
+        order = [c for c in ("ts", "event_id") if c in pdf.columns]
+        pdf = pdf.sort_values(order, kind="mergesort")
         count += len(pdf)
-        sum_temp += float(pdf["temperature"].sum())
+        sum_cents += int(round(float(pdf["temperature"].sum()) * 100))
         for mc in pdf["movement_counter"]:
             mc = int(mc)
             if last_mc is not None:
                 movement_total += (mc - last_mc) % 256
             last_mc = mc
-    state.update((count, sum_temp, last_mc, movement_total))
+    state.update((count, sum_cents, last_mc, movement_total))
+    # One IEEE division of exact integers → bit-identical in any engine.
+    mean = sum_cents / (100.0 * count) if count else None
     yield pd.DataFrame(
         {
             "sensor_mac": [key[0]],
             "total_readings": [count],
-            "running_mean_temp": [round(sum_temp / count, 2) if count else None],
+            "running_mean_temp": [mean],
             "last_movement_counter": [last_mc],
             "movement_total": [movement_total],
         }
