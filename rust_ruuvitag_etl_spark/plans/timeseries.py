@@ -298,3 +298,36 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("avg_value").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+WITH r AS (
+    SELECT doc_id AS media_id,
+           array_to_string(list_transform(
+               range(1, length(text) + 1, 4), i -> substr(text, i, 1)), '')
+               AS resized
+    FROM documents
+)
+SELECT media_id, md5(resized) AS digest,
+       CAST(length(resized) AS BIGINT) AS n_bytes,
+       CAST(4 AS INTEGER) AS scale_factor
+FROM r
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (every 4th byte as the codec-free stand-in
+    for a real resample) over Arrow-batched mapInPandas — binary stays
+    in Arrow buffers end to end. Oracle: the corpus is pure ASCII, so
+    every-4th-char selection over the text reproduces the byte stride
+    and md5 digests the same bytes (same trick as
+    multimodal_frame_sample)."""
+    docs = load(spark, sf_dir, "documents")
+    resized = mm.resize_media(mm.documents_as_media(docs), factor=4)
+    return resized.select(
+        "media_id",
+        F.md5("content").alias("digest"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        "scale_factor",
+    )
