@@ -122,6 +122,7 @@ class TestPythonBoundary:
             "ruuvi_movement_delta_pandas",
             "multimodal_binary_features",
             "multimodal_frame_sample",
+            "multimodal_resize",
         }
         markers = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
         offenders = []
