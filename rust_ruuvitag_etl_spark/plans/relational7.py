@@ -507,3 +507,53 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "topk_agg_orders_per_customer",
+    oracle="""
+WITH l AS (
+    SELECT o_custkey,
+           list_slice(list({'p': o_totalprice, 'k': o_orderkey}
+                ORDER BY o_totalprice DESC, o_orderkey ASC), 1, 3) AS top3
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST((u.t).k AS BIGINT) AS o_orderkey,
+       (u.t).p AS o_totalprice,
+       CAST(pos AS INTEGER) AS rn
+FROM l, LATERAL (SELECT unnest(top3) AS t,
+                        generate_subscripts(top3, 1) AS pos) u
+""",
+)
+def topk_agg_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k as an AGGREGATE, not a window: collect → sort →
+    slice inside one hash aggregate. Same result set as
+    window_topk_orders_per_customer, but the window variant must sort
+    EVERY group's full row set after the shuffle, while this shape
+    partial-aggregates map-side — at 100 TB the shuffle carries at most
+    k rows per (group × mapper) once Spark's ObjectHashAggregate
+    combines, and there is no per-group sort of the long tail. The
+    deterministic (price DESC, orderkey ASC) tie-break matches the
+    window twin, making the two plans result-identical and
+    oracle-checked against each other's SQL shape."""
+    o = load(spark, sf_dir, "orders")
+    # struct sorts lexicographically: (-price, orderkey) ascending ==
+    # (price DESC, orderkey ASC)
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("np"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+    )
+    top3 = F.slice(F.array_sort(F.collect_list(item)), 1, 3)
+    return (
+        o.groupBy("o_custkey")
+        .agg(top3.alias("top3"))
+        .select("o_custkey", F.posexplode("top3").alias("pos", "t"))
+        .select(
+            "o_custkey",
+            F.col("t.k").alias("o_orderkey"),
+            F.col("t.p").alias("o_totalprice"),
+            (F.col("pos") + 1).cast("int").alias("rn"),
+        )
+    )
