@@ -557,3 +557,64 @@ def topk_agg_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + 1).cast("int").alias("rn"),
         )
     )
+
+
+@query(
+    "agg_corr_regression",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+       ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_price_qty,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: correlation, sample covariance,
+    and OLS regression (slope/intercept/R²) — all single-pass mergeable
+    moment aggregates (partial-aggregated map-side, one tiny shuffle),
+    which is why they scale where a two-pass textbook formula would not.
+    Both engines use the same co-moment accumulation, so rounded values
+    are engine-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(x, y), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp(x, y), 4).alias("covar_price_qty"),
+        F.round(F.regr_slope(x, y), 4).alias("slope"),
+        F.round(F.regr_intercept(x, y), 4).alias("intercept"),
+        F.round(F.regr_r2(x, y), 6).alias("r2"),
+    )
+
+
+@query(
+    "histogram_fixed_width",
+    oracle="""
+SELECT event_type,
+       CAST(CASE WHEN value >= 100.0 THEN 19
+            ELSE floor(value / 5.0) END AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL AND value >= 0.0
+GROUP BY event_type, bin
+""",
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 bins of width 5 over [0, 100], top bin
+    clamped): binning is a narrow integer map computed next to the scan,
+    then ONE count shuffle keyed by (type, bin) — cardinality is bins x
+    types regardless of input size, the profile every ingestion
+    pipeline runs at 100 TB. Integer bin arithmetic is engine-exact (no
+    float-boundary hazard beyond the division both engines share)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0.0)
+    )
+    bin_col = (
+        F.when(F.col("value") >= 100.0, F.lit(19))
+        .otherwise(F.floor(F.col("value") / 5.0))
+        .cast("int")
+    )
+    return ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
