@@ -19,4 +19,5 @@ from . import (  # noqa: E402, F401
     relational5,
     relational6,
     relational7,
+    storage,
 )

@@ -102,6 +102,23 @@ class TestIvfProbePosture:
         assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+class TestStorageLayouts:
+    def test_partitioned_scan_prunes_directories(self, spark):
+        """The event_type predicate must land in PartitionFilters (a
+        directory prune — at 100 TB only the matching subtree is ever
+        listed), not in a post-scan Filter."""
+        plan = _plan("partitioned_scan_pruned", spark)
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "event_type" in m.group(1), plan
+
+    def test_bucketed_join_has_no_shuffle(self, spark):
+        """Matching 8-bucket layouts on the join key: the fact-to-fact
+        join must run bucket-local with ZERO exchanges."""
+        plan = _plan("bucketed_join_colocated", spark)
+        join_section = plan[plan.index("Join") :] if "Join" in plan else plan
+        assert "Exchange hashpartitioning" not in join_section, plan
+
+
 class TestGeneratorFilterRegression:
     def test_trigram_transform_not_reevaluated_in_filter(self, spark):
         """InferFiltersFromGenerate must stay excluded: it re-evaluates
