@@ -100,3 +100,37 @@ class TestSlidingWindow:
         for r in rows:
             ws = r["window_start"]
             assert ws.minute % 15 == 0 and ws.second == 0
+
+
+class TestGapFill:
+    def test_grid_contiguous_and_fill_forward(self, spark):
+        from rust_ruuvitag_etl_spark.plans.timeseries import timeseries_gap_fill
+
+        from .conftest import SF_SMALL
+
+        out = timeseries_gap_fill(spark, SF_SMALL)
+        rows = out.orderBy("user_id", "window_start").collect()
+        assert rows
+        by_user: dict[int, list] = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        checked_gap = False
+        for user, rs in by_user.items():
+            # grid is contiguous at 30-minute steps
+            for a, b in zip(rs, rs[1:]):
+                assert (
+                    b["window_start"] - a["window_start"]
+                ).total_seconds() == 1800, (user, a, b)
+            # first bucket is observed (grid starts at min observed)
+            assert rs[0]["avg_value"] is not None
+            # forward fill: filled_value equals the last observed value
+            last = None
+            for r in rs:
+                if r["avg_value"] is not None:
+                    last = r["avg_value"]
+                    assert r["is_gap"] is False
+                else:
+                    assert r["is_gap"] is True
+                    checked_gap = True
+                assert r["filled_value"] == last
+        assert checked_gap, "corpus produced no gaps; test is vacuous"
