@@ -176,3 +176,114 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))
     ) % 100
     return docs.filter(bucket < 20).select("doc_id", "lang")
+
+
+_QUALITY_EXPR_SQL = """
+    ROUND((
+      CASE WHEN (CASE WHEN len(ltoks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(ltoks, x -> LENGTH(x)))
+                           AS DOUBLE) / len(ltoks) END) BETWEEN 3.0 AND 10.0
+           THEN 1.0 ELSE 0.5 END
+      + LEAST(GREATEST(
+          (CASE WHEN len(ltoks) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(ltoks, x -> x IN
+               ('the','a','an','and','or','of','to','in','is','it')))
+               AS DOUBLE) / len(ltoks) END) * 4.0, 0.0), 1.0)
+      + 1.0 - LEAST(GREATEST(
+          (CASE WHEN LENGTH(text) = 0 THEN 0.0
+           ELSE CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     AS DOUBLE) / LENGTH(text) END) * 4.0, 0.0), 1.0)
+    ) / 3.0, 4)
+"""
+
+
+@query(
+    "corpus_prep_end_to_end",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           {_QUALITY_EXPR_SQL} AS q
+    FROM (SELECT doc_id, lang, text,
+                 string_split_regex(lower(trim(text)), '\\s+') AS ltoks
+          FROM documents)
+),
+kept AS (
+    SELECT doc_id, lang,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g') AS rtext
+    FROM scored WHERE q >= 0.5
+),
+fp AS (
+    SELECT doc_id, lang, rtext,
+           md5(lower(trim(regexp_replace(rtext, '\\s+', ' ', 'g')))) AS f
+    FROM kept
+),
+winners AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+deduped AS (SELECT fp.* FROM fp JOIN winners USING (doc_id)),
+sampled AS (
+    SELECT doc_id, lang, rtext FROM deduped
+    WHERE {tf.h60_sql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 < 20
+),
+tok AS (
+    SELECT doc_id, lang, doc_id % 64 AS shard,
+           CAST(len(string_split_regex(trim(rtext), '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM sampled WHERE trim(rtext) <> ''
+),
+runs AS (
+    SELECT doc_id, lang, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM tok
+)
+SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM runs
+""",
+)
+def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus preparation FLAGSHIP: the individual
+    operators composed into one declarative plan — quality filter
+    (≥0.5) → PII redaction → exact dedup on the redacted fingerprint
+    (min doc_id wins) → deterministic 20% stratified sample → 512-token
+    sequence packing per (lang, 64-way shard). One Catalyst plan,
+    entirely JVM-side: filters/regex next to the scan, one dedup
+    shuffle keyed by the fingerprint hash, sample as a pushable filter,
+    one packing window — the whole pipeline a 100 TB pretraining run
+    executes nightly, hash-verified end to end against the composed
+    oracle."""
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.filter(tf.quality_score(F.col("text")) >= 0.5).select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL, "[EMAIL]"), _PHONE, "[PHONE]"
+        ).alias("rtext"),
+    )
+    fp = kept.withColumn("f", tf.fingerprint(F.col("rtext")))
+    winners = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    deduped = fp.join(winners, "doc_id", "left_semi")
+    bucket = tf.h60(
+        F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))
+    ) % 100
+    sampled = deduped.filter(bucket < 20)
+    tok = sampled.filter(F.trim(F.col("rtext")) != "").select(
+        "doc_id",
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(64)).alias("shard"),
+        tf.token_count(F.col("rtext")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return tok.select(
+        "doc_id",
+        "lang",
+        F.col("shard").cast("long").alias("shard"),
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(512)).alias("pack_id"),
+    )
