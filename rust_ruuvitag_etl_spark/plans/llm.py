@@ -338,6 +338,20 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(em, queries_df, k=10)
 
 
+@query("similarity_bruteforce_topk_arrow", oracle=_SIM_ORACLE)
+def similarity_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of similarity_bruteforce_topk (same oracle, same
+    answer, bit-for-bit): corpus batches score against the broadcast
+    query matrix in one vectorized matmul per Arrow batch — the
+    dense-math scale path where interpreted HOF lambdas fall behind.
+    Parity with the expression variant pinned in tests/test_llm_ops.py."""
+    em = load(spark, sf_dir, "embeddings")
+    queries_df = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim.cosine_topk_arrow(em, queries_df, k=10)
+
+
 @query("similarity_ivf_topk", oracle=None)  # approximate by design
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, the production two-phase shape: (build, once per corpus)

@@ -88,6 +88,24 @@ class TestSimilarity:
             assert r["vec_id"] == qid  # self-similarity = 1.0 wins
             assert abs(r["cosine"] - 1.0) < 1e-6
 
+    def test_arrow_twin_bit_identical(self, spark):
+        """The numpy/Arrow top-k must equal the expression form exactly
+        (values AND ranks) — they share one oracle."""
+        from rust_ruuvitag_etl_spark.plans.llm import (
+            similarity_bruteforce_topk,
+            similarity_bruteforce_topk_arrow,
+        )
+
+        a = {
+            (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+            for r in similarity_bruteforce_topk(spark, SF_SMALL).collect()
+        }
+        b = {
+            (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+            for r in similarity_bruteforce_topk_arrow(spark, SF_SMALL).collect()
+        }
+        assert a == b
+
     def test_ivf_recall_vs_bruteforce(self, spark):
         """IVF with nprobe=2 of 8 centroids keeps reasonable top-5 recall."""
         from rust_ruuvitag_etl_spark.plans.llm import (

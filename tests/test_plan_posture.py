@@ -140,6 +140,7 @@ class TestPythonBoundary:
             "multimodal_binary_features",
             "multimodal_frame_sample",
             "multimodal_resize",
+            "similarity_bruteforce_topk_arrow",
         }
         markers = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
         offenders = []
