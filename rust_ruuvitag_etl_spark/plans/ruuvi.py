@@ -402,3 +402,60 @@ def ruuvi_movement_delta_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("user_id").applyInPandas(
         deltas, schema="user_id bigint, window_start timestamp, movement_delta int"
     )
+
+
+@query(
+    "ruuvi_binary_roundtrip",
+    oracle="""
+SELECT event_id,
+       ROUND((((event_id * 7) % 2001) * 2 - 2000) * 0.005, 2) AS temperature,
+       ROUND(LEAST((((event_id * 11) % 10001) * 4) * 0.0025, 100.0), 2)
+           AS humidity,
+       ROUND(((event_id * 13) % 65536 + 50000) / 100.0, 2) AS pressure,
+       ROUND(((event_id * 17) % 4001 - 2000) * 0.001, 3) AS acceleration_x,
+       ROUND(((event_id * 19) % 4001 - 2000) * 0.001, 3) AS acceleration_y,
+       ROUND(((event_id * 23) % 4001 - 2000) * 0.001, 3) AS acceleration_z,
+       CAST(event_id % 256 AS INTEGER) AS movement_counter
+FROM events
+""",
+)
+def ruuvi_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 decode proven on REAL binary: deterministic field values
+    derived from event_id are PACKED into genuine 24-byte format-5
+    payloads (hex-assembled big-endian, sign-wrapped i16s — pure
+    expressions, ``scanner.rs:17-28`` layout), then decoded by the
+    production expression decoder (functions/ruuvi.py:decode_format5:
+    substring → hex → conv → sign-extend → scale → clamp → round). The
+    oracle computes the same fields ARITHMETICALLY, so a hash match
+    proves the whole binary pack/unpack chain — byte order, sign
+    extension, scale factors, clamp, rounding — is the identity on
+    fields. Generated temperatures use even raw counts and humidities
+    multiples of 4 so every scaled value lands exactly on the 2-dp
+    grid: round() is then the identity on both engines (odd raws create
+    .xx5 decimal ties whose direction is engine-dependent — Spark
+    rounds the shortest decimal repr, DuckDB the true binary value). The decode tree is what a 100 TB payload scan runs inside
+    WholeStageCodegen next to the parquet reader."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+
+    def u16hex(raw):  # wrap to u16, 4 hex chars big-endian
+        return F.lpad(F.hex(F.pmod(raw, F.lit(65536))), 4, "0")
+
+    e = F.col("event_id")
+    payload_hex = F.concat(
+        F.lit("05"),
+        u16hex(F.pmod(e * 7, F.lit(2001)) * 2 - 2000),
+        u16hex(F.pmod(e * 11, F.lit(10001)) * 4),
+        u16hex(F.pmod(e * 13, F.lit(65536))),
+        u16hex(F.pmod(e * 17, F.lit(4001)) - 2000),
+        u16hex(F.pmod(e * 19, F.lit(4001)) - 2000),
+        u16hex(F.pmod(e * 23, F.lit(4001)) - 2000),
+        F.lit("0000"),  # bytes 13-14: battery/tx power (unused by decoder)
+        F.lpad(F.hex(F.pmod(e, F.lit(256))), 2, "0"),  # byte 15: movement
+        F.lit("0" * 16),  # bytes 16-23: sequence/MAC tail (unused)
+    )
+    payloads = ev.select("event_id", F.unhex(payload_hex).alias("payload"))
+    valid = payloads.filter(rf.is_valid_format5(F.col("payload")))
+    fields = rf.decode_format5(F.col("payload"))
+    return valid.select(
+        "event_id", *[expr.alias(name) for name, expr in fields.items()]
+    )
