@@ -618,3 +618,66 @@ def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type", bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "fuzzy_match_levenshtein",
+    oracle="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching via edit distance — the record-linkage /
+    fuzzy-dedup primitive for near-identical identifiers. Pair space is
+    bounded by the nation blocking key (the standard blocking pattern;
+    at 100 TB the block key comes from LSH or phonetic buckets), the
+    Levenshtein check runs only inside blocks, and both engines share
+    the same unit-cost edit-distance definition."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "csv_roundtrip_inline",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       o_orderkey || ',' || o_orderstatus || ',' || o_orderpriority AS csv_line
+FROM orders
+""",
+)
+def csv_roundtrip_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-row CSV codec round-trip: to_csv packs selected columns into a
+    delimited line, from_csv parses it back with a declared schema, and
+    the output carries the REPARSED fields plus the wire line — so a
+    hash match proves serialize→parse is the identity (the ingestion
+    path for every text-format feed). Pure expressions; the oracle
+    states the expected line and fields directly."""
+    o = load(spark, sf_dir, "orders")
+    line = F.to_csv(F.struct("o_orderkey", "o_orderstatus", "o_orderpriority"))
+    parsed = F.from_csv(
+        line, "o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING"
+    )
+    return o.select(line.alias("_line"), parsed.alias("_p")).select(
+        F.col("_p.o_orderkey").alias("o_orderkey"),
+        F.col("_p.o_orderstatus").alias("o_orderstatus"),
+        F.col("_p.o_orderpriority").alias("o_orderpriority"),
+        F.col("_line").alias("csv_line"),
+    )
