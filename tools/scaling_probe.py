@@ -196,6 +196,15 @@ def main() -> None:
         "super-linear flags quadratic candidate growth or a broken bucket",
         "strategy.",
         "",
+        "Reading the verify row: the replicated corpus is an adversarially",
+        "DENSE near-dup workload — every doc gains replica near-copies, so",
+        "the TRUE pair count grows quadratically within each replica",
+        "cluster (16 copies → 120 pairs). `dedup_minhash_verified`'s ~+1.0",
+        "exponent tracks its OUTPUT (the pairs it must exactly verify), not",
+        "a broken bucket strategy; candidate GENERATION",
+        "(`dedup_minhash_lsh_pairs`) stays sub-linear, which is the part",
+        "that must scale.",
+        "",
     ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
