@@ -681,3 +681,59 @@ def csv_roundtrip_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_p.o_orderpriority").alias("o_orderpriority"),
         F.col("_line").alias("csv_line"),
     )
+
+
+@query(
+    "string_agg_per_nation",
+    oracle="""
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS members,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT c_nationkey, c_name FROM customer WHERE c_acctbal > 9000)
+GROUP BY c_nationkey
+""",
+)
+def string_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG): ordered, delimited member roster
+    per nation. Spark has no ordered string_agg aggregate, so the plan
+    collects, array_sorts in-row, and concat_ws joins — same one-shuffle
+    hash aggregate, deterministic because the sort happens AFTER
+    collection (order-dependent aggregation over an unordered shuffle
+    would be nondeterministic)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("members"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "union_by_name_evolving",
+    oracle="""
+SELECT o_orderkey AS id, o_totalprice AS amount, o_orderpriority AS priority,
+       CAST(NULL AS VARCHAR) AS segment
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT c_custkey AS id, c_acctbal AS amount, CAST(NULL AS VARCHAR) AS priority,
+       c_mktsegment AS segment
+FROM customer
+""",
+)
+def union_by_name_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two sources with partially overlapping
+    columns combine by NAME with null fill (unionByName
+    allowMissingColumns) — the ingestion pattern when feeds gain or
+    lose columns over time. Positional UNION would silently misalign;
+    by-name alignment is the safe default at 100 TB where upstream
+    schemas drift."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("amount"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return o.unionByName(c, allowMissingColumns=True)
