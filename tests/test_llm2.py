@@ -124,3 +124,30 @@ class TestKeepBestDedup:
         assert 0 < n_kept <= n_docs
         # cluster representatives are unique
         assert out.select("doc_id").distinct().count() == n_kept
+
+
+class TestConnectedComponentsConvergence:
+    def test_long_chain_converges_with_enough_iters(self, spark):
+        """A 25-hop chain needs ~25 label-propagation rounds: with a
+        generous bound every node must collapse to label 0."""
+        from rust_ruuvitag_etl_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(25)], "id_a long, id_b long"
+        )
+        labels = connected_components(pairs, max_iter=60)
+        got = {r["node"]: r["label"] for r in labels.collect()}
+        assert set(got.values()) == {0}, got
+
+    def test_raises_instead_of_silently_splitting(self, spark):
+        """Round-1 advice: hitting the iteration cap must raise, not
+        return a silently split cluster."""
+        import pytest
+
+        from rust_ruuvitag_etl_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(25)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iter=5).collect()
