@@ -459,3 +459,47 @@ def ruuvi_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return valid.select(
         "event_id", *[expr.alias(name) for name, expr in fields.items()]
     )
+
+
+@query(
+    "ruuvi_validation_quarantine",
+    oracle="""
+SELECT CASE WHEN event_id % 10 = 0 THEN 'bad_length'
+            WHEN event_id % 10 = 1 THEN 'bad_format'
+            ELSE 'valid' END AS reject_reason,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY reject_reason
+""",
+)
+def ruuvi_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3's production shape: the validation predicate SPLITS the feed
+    into valid rows and a quarantined reject stream with reasons,
+    instead of silently dropping (the reference returns None and loses
+    the evidence, ``scanner.rs:36-45``). Payloads are generated with a
+    deterministic corruption pattern — every 10th truncated (bad
+    length), every 10th+1 carrying format byte 0x04 — classified by the
+    SAME predicate the pipeline filters on, and the per-reason counts
+    are oracle-checked arithmetically. At 100 TB the reject stream is
+    what monitoring and replay feed on."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    fmt_hex = F.when(F.pmod(e, F.lit(10)) == 1, F.lit("04")).otherwise(F.lit("05"))
+    body = F.concat(
+        fmt_hex,
+        F.lpad(F.hex(F.pmod(e * 7, F.lit(65536))), 4, "0"),
+        F.lit("0" * 42),  # remaining 21 bytes zeroed (total 24 bytes)
+    )
+    # every 10th payload truncated to 20 bytes (40 hex chars)
+    payload_hex = F.when(
+        F.pmod(e, F.lit(10)) == 0, F.substring(body, 1, 40)
+    ).otherwise(body)
+    payloads = ev.select("event_id", F.unhex(payload_hex).alias("payload"))
+    reason = (
+        F.when(F.length("payload") != rf.PAYLOAD_LEN, "bad_length")
+        .when(rf.be_u8(F.col("payload"), 1) != rf.DATA_FORMAT, "bad_format")
+        .otherwise("valid")
+    )
+    return payloads.select(reason.alias("reject_reason")).groupBy(
+        "reject_reason"
+    ).agg(F.count(F.lit(1)).alias("n"))
