@@ -116,3 +116,50 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """Small-file compaction — the nightly maintenance job every 100 TB
+    parquet lake runs. Streaming appends, per-task writers, and dynamic
+    partition overwrites all accumulate files far below the optimal
+    scan granule; a directory of 10k x 1 MB files costs 10k task
+    startups and NameNode/listing pressure where ~80 x 128 MB files
+    scan in a handful of waves.
+
+    Reads the directory, coalesces to ceil(total_bytes /
+    target_file_bytes) output files (never below ``min_files``), and
+    atomically replaces via write-to-temp + swap (readers of the old
+    path keep a consistent view until the rename). Returns the new file
+    count. ``coalesce`` (not ``repartition``): compaction must not pay
+    a shuffle — it only narrows the writer parallelism.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(min_files, math.ceil(total / target_file_bytes))
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -144,3 +144,23 @@ class TestFormatSources:
 
         with _pt.raises(Exception):
             load_csv(spark, str(p), schema).collect()
+
+
+class TestCompaction:
+    def test_compact_preserves_data_and_reduces_files(self, spark, tmp_path):
+        import os
+
+        from rust_ruuvitag_etl_spark.sources.sinks import compact_parquet
+
+        path = str(tmp_path / "shattered")
+        df = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+        df.repartition(32).write.parquet(path)  # 32 tiny files
+        before = sum(
+            1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+        assert before >= 32
+        after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+        assert after < before and after >= 1
+        got = spark.read.parquet(path)
+        assert got.count() == 10_000
+        assert got.agg({"id": "sum"}).head()[0] == sum(range(10_000))
