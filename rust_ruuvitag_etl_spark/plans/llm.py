@@ -1,10 +1,12 @@
 """LLM-data-pipeline queries (BASELINE.json north star): dedup,
 similarity search, text analysis over ``documents`` / ``embeddings``.
 
-Oracle strategy: everything hash-based uses md5 (DuckDB computes the
-identical digest); xxhash64-based ops (MinHash/SimHash — Spark-native
-hashes with no DuckDB twin) register without oracle SQL → driver runs
-the rows-only check, and the unit tests pin their semantics instead.
+Oracle strategy: the whole hash-based family runs on the portable
+md5-derived 60-bit hash + Mersenne-31 permutations (functions/text.py),
+which DuckDB evaluates identically — so MinHash/SimHash/LSH signatures,
+buckets, and candidate pairs are all EXACTLY oracle-diffable (generated
+SQL in plans/_dedup_oracles.py). The only rows-only query left is the
+approximate IVF top-k, whose recall is pinned by unit tests.
 """
 
 from __future__ import annotations

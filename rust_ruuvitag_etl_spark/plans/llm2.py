@@ -2,10 +2,11 @@
 corpus-learned character-trigram model, n-gram frequency tables,
 rolling-hash fingerprints, and the full LSH→verify dedup composition.
 
-All four are pure DataFrame plans (no Python in the hot path); the
-first three carry exact DuckDB oracles, the LSH composition is
-rows-only (xxhash64 has no DuckDB twin) with recall pinned by unit
-tests.
+All are pure DataFrame plans (no Python in the hot path) with exact
+DuckDB oracles — including the LSH compositions, which became exactly
+diffable when the dedup family moved to the portable md5-derived hash
+(see plans/_dedup_oracles.py); recall/quality invariants are pinned by
+unit tests on top.
 """
 
 from __future__ import annotations
