@@ -13,6 +13,7 @@ from . import (  # noqa: E402, F401
     llm,
     llm2,
     llm3,
+    llm4,
     relational2,
     relational3,
     relational4,
