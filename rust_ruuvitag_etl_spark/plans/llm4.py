@@ -113,3 +113,109 @@ def text_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@query(
+    "text_bm25_ranking",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM documents WHERE trim(text) <> ''
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM d
+),
+tf_t AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf_raw
+    FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+    WHERE token IN ('data', 'join', 'filter')
+    GROUP BY doc_id, token
+),
+df_t AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf_t GROUP BY token),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+parts AS (
+    SELECT t.doc_id, t.token,
+           ln((CAST(s.n_docs AS DOUBLE) - d2.df + 0.5) / (d2.df + 0.5) + 1.0)
+           * (t.tf_raw * 2.2)
+           / (t.tf_raw + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+    FROM tf_t t
+    JOIN df_t d2 ON d2.token = t.token
+    JOIN dl ON dl.doc_id = t.doc_id
+    CROSS JOIN stats s
+),
+scored AS (
+    SELECT doc_id,
+           COALESCE(MAX(CASE WHEN token = 'data' THEN part END), 0.0)
+           + COALESCE(MAX(CASE WHEN token = 'join' THEN part END), 0.0)
+           + COALESCE(MAX(CASE WHEN token = 'filter' THEN part END), 0.0)
+               AS score
+    FROM parts GROUP BY doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 20
+""",
+)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword ranking (k1=1.2, b=0.75) for the query
+    {data, join, filter}: the retrieval scorer on top of the tf/df
+    tables. Corpus stats (N, avgdl) are a 1-row broadcast scalar; the
+    df table is vocabulary-small and broadcasts; per-doc term parts sum
+    in a FIXED term order (conditional max per term, then one explicit
+    addition) so the 3-double sum is engine-identical — a free-order
+    SUM would make round-6 ties engine-dependent. Top-20 via
+    row_number, ties broken by doc_id."""
+    docs = dd.spread(load(spark, sf_dir, "documents")).filter(
+        F.trim(F.col("text")) != ""
+    )
+    terms = ["data", "join", "filter"]
+    d = docs.select(
+        "doc_id", tf.ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size("toks").cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    toks = d.select("doc_id", F.explode("toks").alias("token")).filter(
+        F.col("token").isin(terms)
+    )
+    tf_t = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf_raw"))
+    df_t = tf_t.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    part = (
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        )
+        * (F.col("tf_raw") * 2.2)
+        / (F.col("tf_raw") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    parts = (
+        tf_t.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))  # 1-row broadcast scalar
+        .select("doc_id", "token", part.alias("part"))
+    )
+    term_cols = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("part"))), F.lit(0.0)
+        )
+        for t in terms
+    ]
+    score = term_cols[0] + term_cols[1] + term_cols[2]
+    scored = parts.groupBy("doc_id").agg(score.alias("score"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", F.round("score", 6).alias("bm25"), F.col("rank").cast("int").alias("rank"))
+    )
