@@ -115,9 +115,33 @@ def _rehash_constants(k: int) -> list[tuple[int, int]]:
 REHASH_AB = _rehash_constants(64)
 
 
-def h60(col: Column) -> Column:
-    """Portable 60-bit string hash: first 15 hex chars of md5 as BIGINT."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+H60_MASK = (1 << 60) - 1  # both families emit non-negative 60-bit longs
+
+HASH_FAMILIES = ("portable", "fast")
+
+
+def h60(col: Column, family: str = "portable") -> Column:
+    """60-bit string hash, selectable family.
+
+    ``portable``: first 15 hex chars of md5 as BIGINT — DuckDB computes
+    the identical value, so every consumer (MinHash/SimHash/LSH) becomes
+    exactly oracle-diffable. md5 is cryptographic and costs real CPU per
+    call, so this is the *differential-testing* family.
+
+    ``fast``: xxhash64 masked to the low 60 bits — several times cheaper
+    per call and just as uniform, but engine-specific (no DuckDB twin).
+    The *production* family: in the dedup operators the hash runs once
+    per shingle occurrence, which at 100 TB is the dominant CPU term.
+
+    Both emit non-negative longs with zero bits above 59, so every
+    downstream consumer (rehash permutations, SimHash bit votes, band
+    bucketing) works identically with either family.
+    """
+    if family == "portable":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    if family == "fast":
+        return F.xxhash64(col).bitwiseAND(F.lit(H60_MASK))
+    raise ValueError(f"unknown hash family {family!r}; expected one of {HASH_FAMILIES}")
 
 
 def h60_sql(expr: str) -> str:

@@ -5,12 +5,15 @@ dedup, ``/root/reference/src/bluetooth/scanner.rs:99,185``).
 Scale posture:
 - exact dedup: hash-groupBy on a fingerprint — one shuffle keyed by the
   hash, near-perfectly balanced by construction (hashes are uniform);
-- MinHash: explode shingles → ONE portable 60-bit hash per shingle
-  (md5-derived, so the DuckDB oracle replicates it exactly) → k linear
+- MinHash: explode shingles → ONE 60-bit hash per shingle → k linear
   permutations ``(a_i*h + b_i) mod P`` → groupBy-min. The per-shingle
   hash is computed once (not k times), partial aggregation combines
   map-side, so the shuffle carries only |docs| × k longs regardless of
-  corpus size.
+  corpus size. The hash family is pluggable: ``fast`` (xxhash64, the
+  production default — the per-shingle hash is the dominant CPU term at
+  100 TB) or ``portable`` (md5-derived, bit-identical in DuckDB — what
+  the oracle-checked registry plans pin; signatures differ between
+  families, the verified near-dup pairs do not).
 - MinHash-LSH: band signatures → explode to (band, band_hash) buckets →
   self-join inside buckets only. The candidate join is equi-keyed on the
   bucket, so no quadratic cross join ever materializes (the pre-filter
@@ -68,14 +71,25 @@ def exact_dedup(
 
 
 def _shingle_hashes(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    hash_family: str = "fast",
 ) -> DataFrame:
-    """(id, h) rows: one portable 60-bit hash per shingle occurrence."""
+    """(id, h) rows: one 60-bit hash per shingle occurrence.
+
+    ``hash_family='fast'`` (xxhash64, production default — the hash is
+    the dominant per-shingle CPU term at 100 TB) or ``'portable'``
+    (md5-derived, exactly replicable in DuckDB — what the oracle-checked
+    registry plans pin)."""
     base = spread(df).select(
         F.col(id_col),
         F.explode(tf.shingles(F.col(text_col), n=shingle_n)).alias("_s"),
     )
-    return base.select(F.col(id_col), tf.h60(F.col("_s")).alias("_h"))
+    return base.select(
+        F.col(id_col), tf.h60(F.col("_s"), family=hash_family).alias("_h")
+    )
 
 
 def minhash_signatures(
@@ -84,14 +98,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """MinHash signature per doc as an array<long> of length n_hashes.
 
     min_i over shingles of rehash_i(h60(shingle)): one STRING hash per
     shingle, then k linear permutations (a_i*h + b_i) mod P in
     overflow-free BIGINT arithmetic (ANSI-safe, and exactly replicable
-    in the DuckDB oracle), one partial+final min-aggregate — the shuffle
-    carries k longs per doc.
+    in the DuckDB oracle when ``hash_family='portable'``), one
+    partial+final min-aggregate — the shuffle carries k longs per doc.
+    ``hash_family='fast'`` (default) swaps the per-shingle md5 for
+    xxhash64: same uniformity, severalfold cheaper, no oracle twin —
+    signatures differ between families but the verified near-dup pairs
+    they induce do not (pinned by tests/test_llm_ops.py).
 
     Design note (measured, sf0.1): an explode-free in-row variant
     (array_min over transform per permutation) returns identical
@@ -99,7 +118,7 @@ def minhash_signatures(
     function lambdas interpreted, outside WholeStageCodegen, while this
     explode + hash-aggregate path is fully codegen'd. Keep the explode.
     """
-    hashed = _shingle_hashes(df, text_col, id_col, shingle_n)
+    hashed = _shingle_hashes(df, text_col, id_col, shingle_n, hash_family)
     mins = [
         F.min(tf.rehash(F.col("_h"), i)).alias(f"_m{i}")
         for i in range(n_hashes)
@@ -117,16 +136,21 @@ def minhash_lsh_candidates(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH.
 
     rows/band = n_hashes/bands; docs sharing any full band collide.
     Output: (id_a, id_b) with id_a < id_b, distinct. The bucket
     self-join reuses the signature aggregation's shuffle (identical
-    subplans → ReusedExchange under AQE).
+    subplans → ReusedExchange under AQE). ``hash_family`` selects the
+    per-shingle/bucket hash: 'fast' (xxhash64, production default) or
+    'portable' (md5-derived, oracle-exact).
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_n, hash_family
+    )
     buckets = sigs.select(
         id_col,
         F.explode(
@@ -143,7 +167,8 @@ def minhash_lsh_candidates(
                                     ).cast("string")
                                     for r in range(rows_per_band)
                                 ],
-                            )
+                            ),
+                            family=hash_family,
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -212,21 +237,27 @@ SIMHASH_BITS = 60  # matches the portable hash width (bits 60+ of h60 are 0)
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "fast",
 ) -> DataFrame:
     """60-bit SimHash per doc via explode + 60 conditional-sum aggregates.
 
-    Each token hashes once (portable md5-derived 60-bit hash, so the
-    DuckDB oracle reproduces the signature exactly); per bit position the
-    vote is +1/-1 by hash bit; the signature reassembles from the 60
-    sums' signs. Fully codegen'd, map-side combined — no per-row Python,
-    no 60-pass array traversal.
+    Each token hashes once (``hash_family='fast'`` xxhash64 production
+    default; ``'portable'`` md5-derived so the DuckDB oracle reproduces
+    the signature exactly); per bit position the vote is +1/-1 by hash
+    bit; the signature reassembles from the 60 sums' signs. Fully
+    codegen'd, map-side combined — no per-row Python, no 60-pass array
+    traversal.
     """
     toks = spread(df).select(
         F.col(id_col),
         F.explode(tf.ws_tokens(F.lower(F.col(text_col)))).alias("_t"),
     )
-    hashed = toks.select(F.col(id_col), tf.h60(F.col("_t")).alias("_h"))
+    hashed = toks.select(
+        F.col(id_col), tf.h60(F.col("_t"), family=hash_family).alias("_h")
+    )
     votes = []
     for i in range(SIMHASH_BITS):
         bit = 1 << i
@@ -252,12 +283,13 @@ def simhash_dedup_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int | None = 3,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share one of the 4 15-bit
     chunks (pigeonhole: complete for Hamming distance ≤3), then the
     exact Hamming check keeps true near-dups. ``max_hamming=None``
     returns all banding candidates."""
-    sig = simhash_signatures(df, text_col, id_col)
+    sig = simhash_signatures(df, text_col, id_col, hash_family)
     chunk_bits = SIMHASH_BITS // 4
     chunk_mask = (1 << chunk_bits) - 1
     chunks = sig.select(

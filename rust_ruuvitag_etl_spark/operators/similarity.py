@@ -125,17 +125,29 @@ def ivf_assign(
     equi-join, not a nested-loop cross join), and the per-vector argmax
     is a ``max_by`` aggregate — partial-aggregated map-side, so the one
     shuffle carries |corpus| rows, not |corpus| × |centroids|.
+
+    ``id_col`` must be a unique non-null vector id: it is the groupBy
+    key of the argmax (NULL ids would collapse into one group). The
+    join key is NULL-coalesced so a NULL-id row is never silently
+    dropped by the equi-join — it surfaces in the output where the
+    uniqueness violation is visible, instead of vanishing.
     """
     # pmod(id, 1) == 0 on both sides but is not statically foldable, so
     # Catalyst plans a Broadcast HASH Join (a lit(1) key would be
-    # constant-folded back into a nested-loop cross join).
+    # constant-folded back into a nested-loop cross join). coalesce(...)
+    # keeps NULL-id rows joinable (pmod(NULL,1) is NULL and an inner
+    # join would silently drop the vector from the index).
     c = centroids.select(
         F.col(centroid_id_col),
         F.col(centroid_vec_col).alias("_cvec"),
-        F.pmod(F.col(centroid_id_col), F.lit(1)).alias("_one"),
+        F.coalesce(
+            F.pmod(F.col(centroid_id_col), F.lit(1)), F.lit(0)
+        ).alias("_one"),
     )
     scored = (
-        corpus.withColumn("_one", F.pmod(F.col(id_col), F.lit(1)))
+        corpus.withColumn(
+            "_one", F.coalesce(F.pmod(F.col(id_col), F.lit(1)), F.lit(0))
+        )
         .join(F.broadcast(c), "_one")
         .select(
             F.col(id_col),
@@ -251,11 +263,14 @@ def ivf_probe_topk(
     c = centroids.select(
         F.col("centroid_id"),
         F.col("centroid").alias("_cvec"),
-        # non-foldable constant key → broadcast hash join, not BNLJ
-        F.pmod(F.col("centroid_id"), F.lit(1)).alias("_one"),
+        # non-foldable constant key → broadcast hash join, not BNLJ;
+        # NULL-coalesced so NULL-id rows are not silently dropped
+        F.coalesce(F.pmod(F.col("centroid_id"), F.lit(1)), F.lit(0)).alias("_one"),
     )
     qprobe = (
-        queries.withColumn("_one", F.pmod(F.col(query_id_col), F.lit(1)))
+        queries.withColumn(
+            "_one", F.coalesce(F.pmod(F.col(query_id_col), F.lit(1)), F.lit(0))
+        )
         .join(F.broadcast(c), "_one")
         .select(
             query_id_col,

@@ -70,9 +70,20 @@ def salted_shuffle_join(
     ``n_salts`` reducers); the medium side replicates each row across
     ALL salts (an in-row sequence+explode — ``n_salts``× the medium
     side, never the big side); the join runs on (key, salt). Same rows
-    as the plain join — oracle-checked by ``skew_salted_join``. Prefer
-    AQE skew-join splitting first; reach for this when the skew is known
-    and stable (one chatty sensor) and you want a deterministic plan."""
+    as the plain join — oracle-checked by ``skew_salted_join``.
+
+    Only ``inner``, ``left`` and ``left_semi`` are supported: the
+    medium side is replicated per salt, so any join type that emits
+    UNMATCHED medium-side rows (right/full outer) would emit them once
+    per salt — ``n_salts`` duplicate null-extended rows. Raises for
+    those. Prefer AQE skew-join splitting first; reach for this when
+    the skew is known and stable (one chatty sensor) and you want a
+    deterministic plan."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "semi"):
+        raise ValueError(
+            f"salted_shuffle_join supports inner/left/left_semi, not {how!r}: "
+            "unmatched medium-side rows would duplicate once per salt"
+        )
     salt_col = F.col(salt_from) if isinstance(salt_from, str) else salt_from
     b = big.withColumn("_salt", F.pmod(F.xxhash64(salt_col), F.lit(n_salts)))
     m = medium.withColumn(

@@ -50,19 +50,20 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) near-dup candidate pairs over 3-gram
     shingles. The banded equi-join shuffles by bucket hash only — no
     quadratic cross join (the PAPERS.md similarity-join pre-filter
-    pattern). Portable md5-derived hashes make the oracle exact: DuckDB
-    reproduces signatures, buckets, and pairs bit-for-bit."""
+    pattern). The portable md5-derived hash family makes the oracle
+    exact: DuckDB reproduces signatures, buckets, and pairs bit-for-bit
+    (production callers default to hash_family='fast' = xxhash64)."""
     docs = load(spark, sf_dir, "documents")
-    return dd.minhash_lsh_candidates(docs)
+    return dd.minhash_lsh_candidates(docs, hash_family="portable")
 
 
 @query("dedup_simhash_candidates", oracle=dor.SIMHASH_CANDIDATES_SQL)
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit) near-dup candidates banded into 4×15-bit chunks
     (pigeonhole: catches all pairs within Hamming distance 3). Portable
-    hash → the oracle reproduces the exact signatures and pairs."""
+    hash family → the oracle reproduces the exact signatures and pairs."""
     docs = load(spark, sf_dir, "documents")
-    return dd.simhash_dedup_candidates(docs)
+    return dd.simhash_dedup_candidates(docs, hash_family="portable")
 
 
 @query(
@@ -354,17 +355,15 @@ def similarity_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFr
     return sim.cosine_topk_arrow(em, queries_df, k=10)
 
 
-@query("similarity_ivf_topk", oracle=None)  # approximate by design
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, the production two-phase shape: (build, once per corpus)
-    k-means the codebook (2 Lloyd rounds — label-derived centroids gave
-    0.52 recall on this isotropic corpus, k-means clears 0.8), assign
-    every vector to its nearest centroid, and persist the assignment
-    BUCKETED by centroid_id; (probe, per query batch) equi-join the
-    nprobe nearest centroids' buckets — the corpus is never re-assigned
-    or shuffled at probe time, and bucket pruning means a probe touches
-    ~nprobe/8 of the index files at 100 TB. Recall ≥0.8 vs brute force
-    pinned in tests/test_llm_ops.py."""
+def _ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF path: (build, once per corpus) k-means the
+    codebook (2 Lloyd rounds — label-derived centroids gave 0.52 recall
+    on this isotropic corpus, k-means clears 0.8), assign every vector
+    to its nearest centroid, persist the assignment BUCKETED by
+    centroid_id; (probe, per query batch) equi-join the nprobe nearest
+    centroids' buckets — the corpus is never re-assigned or shuffled at
+    probe time, and bucket pruning means a probe touches ~nprobe/8 of
+    the index files at 100 TB."""
     import os
     import re
 
@@ -384,7 +383,54 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return sim.ivf_probe_topk(assigned, centroids, queries_df, k=10, nprobe=4)
+    return sim.ivf_probe_topk(assigned, centroids, queries_df, k=10, nprobe=5)
+
+
+# Batch-macro recall floor: ≥75% of the 5×10 exact top-k hits must be
+# found by the probe. Measured macro recall with nprobe=5/8 on the
+# (isotropic — worst-case for ANN) synthetic corpus: 0.82 / 0.82 / 0.80
+# at sf0.001 / 0.01 / 0.1; 0.75 leaves deterministic margin at every
+# scale while still catching a real recall collapse.
+_IVF_RECALL_FLOOR_HITS = 38  # ceil(0.75 × 5 queries × k=10)
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=_SIM_ORACLE.replace(
+        "SELECT query_id, vec_id, cosine, rank FROM ranked",
+        "SELECT query_id, vec_id, cosine, rank, TRUE AS recall_ok FROM ranked",
+    ),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the recall floor enforced IN-QUERY (the sketch
+    pattern from the approx-count family: emit the exact twin plus a
+    bound flag the oracle asserts TRUE, so the hash gate — not just
+    pytest — fails if the approximation degrades).
+
+    The query runs the full production IVF path (:func:`_ivf_probe`:
+    k-means codebook → bucketed persisted index → nprobe=4 probe), joins
+    the IVF hits against the exact brute-force top-10 computed in the
+    same plan, and emits the brute-force rows with a batch-macro
+    ``recall_ok`` = (IVF found ≥75% of the 50 exact hits — see
+    ``_IVF_RECALL_FLOOR_HITS``). The oracle reproduces the exact rows
+    and asserts TRUE — any recall collapse flips the flag and breaks
+    the hash match. The probe-only production path (no brute-force
+    twin) is what bench.py times."""
+    em = load(spark, sf_dir, "embeddings")
+    queries_df = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    bf = sim.cosine_topk(em, queries_df, k=10)
+    ivf_hits = _ivf_probe(spark, sf_dir).select("query_id", "vec_id")
+    flag = (
+        bf.select("query_id", "vec_id")
+        .intersect(ivf_hits)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .select((F.col("_hits") >= _IVF_RECALL_FLOOR_HITS).alias("recall_ok"))
+    )
+    return bf.crossJoin(F.broadcast(flag)).select(
+        "query_id", "vec_id", "cosine", "rank", "recall_ok"
+    )
 
 
 @query(

@@ -210,7 +210,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     The expensive set intersection touches only LSH candidate pairs,
     i.e. O(candidates), not O(n²)."""
     docs = load(spark, sf_dir, "documents")
-    cands = dd.minhash_lsh_candidates(docs)
+    cands = dd.minhash_lsh_candidates(docs, hash_family="portable")
     return dd.jaccard_pairs(docs, cands, threshold=0.2)
 
 
@@ -223,7 +223,7 @@ def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated corpus size. Every stage is a shuffle keyed by doc/hash
     ids — no cross join, no driver-side data."""
     docs = load(spark, sf_dir, "documents")
-    cands = dd.minhash_lsh_candidates(docs)
+    cands = dd.minhash_lsh_candidates(docs, hash_family="portable")
     verified = dd.jaccard_pairs(docs, cands, threshold=0.2).select("id_a", "id_b")
     kept = dd.keep_best_representative(
         docs, verified, quality=tf.quality_score(F.col("text"))

@@ -6,7 +6,7 @@ DataFrame plans with exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tf
@@ -15,30 +15,53 @@ from ..sources import load
 from .registry import query
 
 
+# Posting-list shard fan-out. Sized so the largest per-row posting list
+# (and, more importantly, the largest collect_list AGGREGATION BUFFER —
+# the thing that actually OOMs an executor) holds ~max_df/S doc ids. At
+# 100 TB this is a config scaled to corpus_size / postings_budget; 16 is
+# plenty for the test corpora while still exercising the sharded shape.
+INDEX_SHARDS = 16
+
+
 @query(
     "text_inverted_index",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
     SELECT doc_id, unnest(list_distinct(
                string_split_regex(lower(trim(text)), '\\s+'))) AS token
     FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+    SELECT token, doc_id % {INDEX_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS df_shard,
+           list_sort(list(doc_id)) AS postings
+    FROM toks
+    GROUP BY token, doc_id % {INDEX_SHARDS}
 )
-SELECT token,
-       CAST(COUNT(*) AS BIGINT) AS df,
-       list_sort(list(doc_id)) AS postings
-FROM toks
-GROUP BY token
-HAVING COUNT(*) >= 50
+SELECT token, CAST(shard AS BIGINT) AS shard, df_shard,
+       CAST(SUM(df_shard) OVER (PARTITION BY token) AS BIGINT) AS df,
+       postings
+FROM sh
+QUALIFY df >= 50
 """,
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted index: token → document frequency + sorted posting list
-    (restricted to tokens appearing in ≥50 docs so the output is the
-    index HEAD — at 100 TB postings for rare terms stay sharded, never
-    collected into one row). One explode + one shuffle keyed by token;
-    per-doc distinct happens in-row BEFORE the explode so the shuffle
-    carries each (doc, token) once. The core retrieval artifact every
-    search/RAG corpus build produces."""
+    """Inverted index with SHARDED posting lists: token → (shard,
+    postings) rows, keyed by ``(token, doc_id % S)``, plus per-token
+    document frequency (restricted to df ≥ 50, the index head).
+
+    Scale posture: a frequent token's postings never concentrate in one
+    aggregation buffer or one output row — the groupBy key includes the
+    shard, so both the collect_list state and the emitted array are
+    bounded by ~df/S per row (a stop-word token that appears in 10⁹ docs
+    lands as S rows of 10⁹/S ids each, with S sized to the corpus; an
+    unsharded groupBy(token) would funnel all 10⁹ into ONE buffer — the
+    construct this plan deliberately avoids). Per-doc distinct happens
+    in-row BEFORE the explode so the (doc, token) shuffle carries each
+    pair once; the global df is a window SUM over the already-aggregated
+    (vocab × S)-row table partitioned by token — uniform and tiny
+    relative to the corpus. Consumers address a posting shard by
+    (token, shard) and union shards on read."""
     docs = dd.spread(load(spark, sf_dir, "documents")).filter(
         F.trim(F.col("text")) != ""
     )
@@ -48,13 +71,17 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(tf.ws_tokens(F.lower(F.col("text"))))
         ).alias("token"),
     )
+    sh = toks.groupBy(
+        "token", F.pmod("doc_id", F.lit(INDEX_SHARDS)).cast("long").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("df_shard"),
+        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+    )
+    w = Window.partitionBy("token")
     return (
-        toks.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
-        )
+        sh.withColumn("df", F.sum("df_shard").over(w))
         .filter(F.col("df") >= 50)
+        .select("token", "shard", "df_shard", "df", "postings")
     )
 
 
@@ -167,7 +194,11 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a FIXED term order (conditional max per term, then one explicit
     addition) so the 3-double sum is engine-identical — a free-order
     SUM would make round-6 ties engine-dependent. Top-20 via
-    row_number, ties broken by doc_id."""
+    ``orderBy().limit(20)``, which Spark plans as a distributed
+    TakeOrderedAndProject (per-partition partial top-20, then a 20-row
+    merge on the driver) — never a single-partition window over every
+    scored doc; rank derives from a window over the 20 surviving rows
+    only (plan posture pinned in tests/test_plan_posture.py)."""
     docs = dd.spread(load(spark, sf_dir, "documents")).filter(
         F.trim(F.col("text")) != ""
     )
@@ -211,11 +242,15 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     score = term_cols[0] + term_cols[1] + term_cols[2]
     scored = parts.groupBy("doc_id").agg(score.alias("score"))
-    from pyspark.sql import Window
-
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    # rank over the 20 surviving rows only (constant-size input — the
+    # single-partition exchange here moves 20 rows, not the corpus)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", F.round("score", 6).alias("bm25"), F.col("rank").cast("int").alias("rank"))
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

@@ -272,8 +272,12 @@ WITH ordered AS (
 ),
 flagged AS (
     SELECT user_id, ts, event_id,
+           -- >= (not >): Spark's session_window opens a NEW session
+           -- when the gap equals the gap duration (adjacent [t, t+gap)
+           -- windows do not merge), and with millisecond truncation
+           -- both engines then agree on either side of the boundary.
            CASE WHEN prev_ts IS NULL
-                     OR date_diff('millisecond', prev_ts, ts) > 300000
+                     OR date_diff('millisecond', prev_ts, ts) >= 300000
                 THEN 1 ELSE 0 END AS new_session
     FROM ordered
 ),

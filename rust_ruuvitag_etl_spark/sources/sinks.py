@@ -133,10 +133,13 @@ def compact_parquet(
 
     Reads the directory, coalesces to ceil(total_bytes /
     target_file_bytes) output files (never below ``min_files``), and
-    atomically replaces via write-to-temp + swap (readers of the old
-    path keep a consistent view until the rename). Returns the new file
-    count. ``coalesce`` (not ``repartition``): compaction must not pay
-    a shuffle — it only narrows the writer parallelism.
+    near-atomically replaces via write-to-temp + two renames. NOT truly
+    atomic: between the two ``os.rename`` calls the dataset path briefly
+    does not exist, so a concurrent reader can error (and plain rename
+    only works on a local POSIX filesystem — object stores need a
+    manifest/table-format commit for a real atomic swap). Returns the
+    new file count. ``coalesce`` (not ``repartition``): compaction must
+    not pay a shuffle — it only narrows the writer parallelism.
     """
     import math
     import os

@@ -71,7 +71,14 @@ def _monitor(
         order = [c for c in ("ts", "event_id") if c in pdf.columns]
         pdf = pdf.sort_values(order, kind="mergesort")
         count += len(pdf)
-        sum_cents += int(round(float(pdf["temperature"].sum()) * 100))
+        # Round each ROW to cents before summing: summing floats first
+        # and rounding the batch total once would let float error (or a
+        # shifted batch boundary) move the total by a cent on large
+        # batches — per-row rounding keeps the accumulation exact
+        # integer math regardless of batch size or boundaries.
+        sum_cents += int(
+            pdf["temperature"].mul(100).round().astype("int64").sum()
+        )
         for mc in pdf["movement_counter"]:
             mc = int(mc)
             if last_mc is not None:

@@ -66,6 +66,28 @@ class TestMinHashLSH:
         assert j[(1, 2)] == 1.0
         assert 0.5 < j[(1, 3)] < 1.0
 
+    def test_hash_families_agree_on_verified_pairs(self, spark):
+        """Signatures differ between the portable (md5, oracle-exact) and
+        fast (xxhash64, production) families, but the near-dup pairs that
+        survive exact-Jaccard verification must not: clear duplicates
+        collide under any uniform band hash."""
+        docs = _docs(spark)
+        out = {}
+        for fam in ("portable", "fast"):
+            cands = dd.minhash_lsh_candidates(docs, hash_family=fam)
+            verified = dd.jaccard_pairs(docs, cands, threshold=0.2)
+            out[fam] = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+        assert out["portable"] == out["fast"]
+        assert {(1, 2), (1, 3), (2, 3)} <= out["fast"]
+
+    def test_unknown_hash_family_raises(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="hash family"):
+            dd.minhash_lsh_candidates(
+                _docs(spark), hash_family="sha9000"
+            ).collect()
+
 
 class TestSimHash:
     def test_identical_docs_zero_hamming(self, spark):
@@ -107,10 +129,12 @@ class TestSimilarity:
         assert a == b
 
     def test_ivf_recall_vs_bruteforce(self, spark):
-        """IVF with nprobe=2 of 8 centroids keeps reasonable top-5 recall."""
+        """The probe path (nprobe=5 of 8 centroids) keeps top-5 macro
+        recall ≥0.8; the registry query additionally enforces a top-10
+        macro floor in-query via its recall_ok flag."""
         from rust_ruuvitag_etl_spark.plans.llm import (
+            _ivf_probe,
             similarity_bruteforce_topk,
-            similarity_ivf_topk,
         )
 
         bf = {
@@ -121,12 +145,21 @@ class TestSimilarity:
         }
         ivf = {
             (r["query_id"], r["vec_id"])
-            for r in similarity_ivf_topk(spark, SF_SMALL)
+            for r in _ivf_probe(spark, SF_SMALL)
             .filter(F.col("rank") <= 5)
             .collect()
         }
         recall = len(bf & ivf) / len(bf)
         assert recall >= 0.8, f"IVF recall collapsed: {recall}"
+
+    def test_ivf_registry_query_flags_recall_ok(self, spark):
+        """The registry query emits the exact brute-force rows plus a
+        TRUE recall_ok (the hash-gate contract)."""
+        from rust_ruuvitag_etl_spark.plans.llm import similarity_ivf_topk
+
+        rows = similarity_ivf_topk(spark, SF_SMALL).collect()
+        assert len(rows) == 50
+        assert all(r["recall_ok"] for r in rows)
 
 
 class TestApproxCountDistinct:
