@@ -3,11 +3,15 @@ processed with Arrow-batched ``mapInPandas`` (the pattern the reference's
 24-byte BLE payload decode B2 scales up to — SURVEY.md §2.1).
 
 The Spark-side plumbing (schemas, batch iteration, partitioning) is
-real and tested; the actual image/audio codecs are STUBBED because the
-container has no media libraries: ``decode_image``/``decode_audio``
-raise NotImplementedError unless ``fake=True``, in which case a
-deterministic byte-statistics "decode" stands in so the dataflow can be
-exercised end-to-end.
+real and tested. WAV/PCM16 audio is decoded for REAL via a stdlib
+``struct`` RIFF parser (:func:`decode_wav` — chunk-tree walk, padding
+rule, sign-correct LE sample decode; oracle-checked end-to-end by the
+``multimodal_audio_stats`` registry query on payloads packed
+in-engine). Image and compressed-audio codecs remain STUBBED because
+the container has no media libraries: ``decode_image`` (and
+``decode_audio`` for non-WAV bytes) raise NotImplementedError unless
+``fake=True``, in which case a deterministic byte-statistics "decode"
+stands in so the dataflow can be exercised end-to-end.
 
 Scale posture: mapInPandas streams Arrow record batches — constant
 memory per task regardless of corpus size; binary columns never pass
@@ -40,11 +44,109 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
     return {"width": len(content) % 640, "height": len(content) % 480, "channels": 3}
 
 
+def decode_wav(content: bytes) -> dict:
+    """REAL RIFF/WAVE PCM16 decoder — pure stdlib ``struct``, no media
+    libraries (the audio analog of the reference's format-5 byte decoder,
+    ``/root/reference/src/bluetooth/scanner.rs:35-83``). Walks the RIFF
+    chunk tree (never fixed offsets — real files carry LIST/fact chunks),
+    honors the even-byte chunk padding rule, validates PCM (format tag 1,
+    16-bit), and decodes the data chunk as little-endian signed 16-bit
+    samples.
+
+    Returns ``{"sample_rate", "n_channels", "bits", "samples"}``.
+    Raises ``ValueError`` on malformed payloads and
+    ``NotImplementedError`` for non-PCM16 encodings (compressed codecs
+    need real media libraries)."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, csize = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _byte_rate, _align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            fmt = (audio_fmt, n_ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # RIFF chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only uncompressed PCM16 supported (fmt={audio_fmt}, bits={bits})"
+        )
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "bits": bits,
+        "samples": samples,
+    }
+
+
 def decode_audio(content: bytes, fake: bool = False) -> dict:
-    """Audio decode stub (soundfile/librosa not in this container)."""
+    """Audio decode: REAL for RIFF/WAVE PCM16 payloads (stdlib parser,
+    :func:`decode_wav`); compressed codecs (mp3/ogg/flac — need
+    soundfile/librosa, absent in this container) remain stubbed behind
+    ``fake=True``."""
+    if content[:4] == b"RIFF":
+        d = decode_wav(content)
+        return {
+            "sample_rate": d["sample_rate"],
+            "n_samples": len(d["samples"]),
+        }
     if not fake:
-        raise NotImplementedError("audio codecs unavailable; pass fake=True")
+        raise NotImplementedError(
+            "non-WAV audio codecs unavailable; pass fake=True"
+        )
     return {"sample_rate": 16000, "n_samples": len(content) * 2}
+
+
+WAV_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "sum_samples long, max_abs int, mean_sample double"
+)
+
+
+def wav_audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over REAL WAV payloads:
+    each batch decodes its binary column with the stdlib RIFF/PCM16
+    parser (:func:`decode_wav`) and emits integer-exact sample stats
+    (sum, peak) plus the mean as ONE IEEE division of exact integers —
+    engine-reproducible, so the registry query's DuckDB oracle can
+    assert the whole pack→decode→aggregate chain arithmetically.
+
+    Scale posture: mapInPandas streams record batches — constant memory
+    per task; the payload bytes stay in Arrow buffers until the decode,
+    which touches each blob exactly once."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_samples",
+                "sum_samples", "max_abs", "mean_sample",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_wav(bytes(content))
+                s = d["samples"]
+                total = int(sum(s))
+                out["media_id"].append(mid)
+                out["sample_rate"].append(d["sample_rate"])
+                out["n_channels"].append(d["n_channels"])
+                out["n_samples"].append(len(s))
+                out["sum_samples"].append(total)
+                out["max_abs"].append(max((abs(x) for x in s), default=0))
+                out["mean_sample"].append(total / len(s) if s else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=WAV_STATS_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

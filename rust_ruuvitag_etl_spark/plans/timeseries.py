@@ -79,8 +79,11 @@ WITH ordered AS (
 ),
 flagged AS (
     SELECT user_id, ts, event_id,
+           -- >= (not >): session_window opens a NEW session when the
+           -- gap EQUALS the gap duration (adjacent [t, t+gap) windows
+           -- do not merge)
            CASE WHEN prev_ts IS NULL
-                     OR date_diff('millisecond', prev_ts, ts) > 300000
+                     OR date_diff('millisecond', prev_ts, ts) >= 300000
                 THEN 1 ELSE 0 END AS new_session
     FROM ordered
 ),
@@ -331,3 +334,86 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("content").cast("long").alias("n_bytes"),
         "scale_factor",
     )
+
+
+# --- real-codec audio decode ----------------------------------------------
+# 8 PCM16 samples per payload, derived from event_id via co-prime
+# multipliers so adjacent payloads differ in every sample.
+_WAV_PRIMES = (7, 11, 13, 17, 19, 23, 29, 31)
+
+# Constant 44-byte RIFF/WAVE header for: PCM (fmt tag 1), mono, 16 kHz,
+# 16-bit, data chunk of 16 bytes (8 samples). All little-endian.
+_WAV_HEADER_HEX = (
+    "52494646"  # "RIFF"
+    "34000000"  # riff size = 52 = 4 + (8+16) + (8+16)
+    "57415645"  # "WAVE"
+    "666d7420"  # "fmt "
+    "10000000"  # fmt chunk size = 16
+    "0100"      # audio format = 1 (PCM)
+    "0100"      # channels = 1
+    "803e0000"  # sample rate = 16000
+    "007d0000"  # byte rate = 32000
+    "0200"      # block align = 2
+    "1000"      # bits per sample = 16
+    "64617461"  # "data"
+    "10000000"  # data chunk size = 16
+)
+
+
+def _wav_signed_sql(p: int) -> str:
+    v = f"(event_id * {p}) % 65536"
+    return f"(CASE WHEN {v} >= 32768 THEN {v} - 65536 ELSE {v} END)"
+
+
+_WAV_SUM_SQL = " + ".join(_wav_signed_sql(p) for p in _WAV_PRIMES)
+_WAV_MAXABS_SQL = "GREATEST(" + ", ".join(
+    f"ABS({_wav_signed_sql(p)})" for p in _WAV_PRIMES
+) + ")"
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle=f"""
+SELECT event_id AS media_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8 AS BIGINT) AS n_samples,
+       CAST({_WAV_SUM_SQL} AS BIGINT) AS sum_samples,
+       CAST({_WAV_MAXABS_SQL} AS INTEGER) AS max_abs,
+       CAST({_WAV_SUM_SQL} AS DOUBLE) / 8.0 AS mean_sample
+FROM events
+""",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL codec proven end-to-end (the audio analog of
+    ruuvi_binary_roundtrip): deterministic PCM16 samples derived from
+    event_id are PACKED into genuine 44-byte-header RIFF/WAVE files —
+    pure expressions assembling little-endian chunk bytes — then decoded
+    by the stdlib ``struct`` RIFF parser (operators/multimodal.py:
+    decode_wav: chunk-tree walk → fmt validation → LE sign-correct
+    sample decode) inside Arrow-batched mapInPandas, and reduced to
+    integer-exact stats. The oracle computes the same stats
+    ARITHMETICALLY from event_id, so a hash match proves header layout,
+    chunk walking, byte order, sign handling, and sample extraction are
+    the identity — no fake decode anywhere on this path. Reference
+    analog: the format-5 BLE decoder ``scanner.rs:35-83``; here the
+    payload is a real media container format."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+
+    def u16le_hex(raw):
+        v = F.pmod(raw, F.lit(65536))
+        return F.concat(
+            F.lpad(F.hex(F.pmod(v, F.lit(256))), 2, "0"),
+            F.lpad(F.hex(F.floor(v / F.lit(256))), 2, "0"),
+        )
+
+    e = F.col("event_id")
+    payload_hex = F.concat(
+        F.lit(_WAV_HEADER_HEX),
+        *[u16le_hex(e * p) for p in _WAV_PRIMES],
+    )
+    media = ev.select(
+        F.col("event_id").alias("media_id"),
+        F.unhex(payload_hex).alias("content"),
+    )
+    return mm.wav_audio_stats(media)

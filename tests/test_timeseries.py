@@ -81,6 +81,82 @@ class TestMultimodal:
         assert out[0]["scale_factor"] == 2
 
 
+class TestWavCodec:
+    """The REAL RIFF/PCM16 decoder, cross-checked against files written
+    by the stdlib ``wave`` module (an independent implementation of the
+    format)."""
+
+    def _wav_bytes(self, samples, rate=8000, channels=1):
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    def test_roundtrip_vs_stdlib_wave(self):
+        samples = [0, 1, -1, 32767, -32768, 12345, -12345, 100]
+        d = mm.decode_wav(self._wav_bytes(samples, rate=44100))
+        assert d["sample_rate"] == 44100
+        assert d["n_channels"] == 1
+        assert d["bits"] == 16
+        assert list(d["samples"]) == samples
+
+    def test_decode_audio_routes_riff_to_real_decoder(self):
+        d = mm.decode_audio(self._wav_bytes([5, -5], rate=16000))
+        assert d == {"sample_rate": 16000, "n_samples": 2}
+
+    def test_chunk_walk_skips_unknown_chunks(self):
+        """A LIST chunk (odd-sized, exercising the padding rule) between
+        fmt and data must be skipped, not break the parse."""
+        import struct
+
+        raw = self._wav_bytes([7, -7, 7])
+        fmt_end = raw.index(b"data")
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+        patched = (
+            raw[:4]
+            + struct.pack("<I", struct.unpack_from("<I", raw, 4)[0] + len(extra))
+            + raw[8:fmt_end]
+            + extra
+            + raw[fmt_end:]
+        )
+        d = mm.decode_wav(patched)
+        assert list(d["samples"]) == [7, -7, 7]
+
+    def test_malformed_payloads_raise(self):
+        with pytest.raises(ValueError):
+            mm.decode_wav(b"not a wav at all....")
+        with pytest.raises(ValueError):
+            mm.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+        # non-PCM format tag → NotImplementedError (compressed codec)
+        import struct
+
+        raw = bytearray(self._wav_bytes([1, 2]))
+        fmt_at = raw.index(b"fmt ") + 8
+        struct.pack_into("<H", raw, fmt_at, 3)  # IEEE float tag
+        with pytest.raises(NotImplementedError):
+            mm.decode_wav(bytes(raw))
+
+    def test_wav_audio_stats_spark(self, spark):
+        samples = [10, -20, 30, -40]
+        df = spark.createDataFrame(
+            [(1, bytearray(self._wav_bytes(samples)))],
+            "media_id long, content binary",
+        )
+        row = mm.wav_audio_stats(df).collect()[0]
+        assert row["n_samples"] == 4
+        assert row["sum_samples"] == -20
+        assert row["max_abs"] == 40
+        assert row["mean_sample"] == -5.0
+        assert row["sample_rate"] == 8000
+
+
 class TestSlidingWindow:
     def test_each_event_in_exactly_two_windows(self, spark):
         from rust_ruuvitag_etl_spark.plans import REGISTRY
