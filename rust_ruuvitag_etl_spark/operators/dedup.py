@@ -199,12 +199,29 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    prune_to_candidates: bool = True,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
-    Joins shingle sets back onto the (small) candidate set — the
-    expensive set intersection runs only on LSH survivors.
+    The expensive part — building distinct shingle sets — runs ONLY for
+    documents that appear in some candidate pair: the candidate set is
+    ``localCheckpoint``-materialized (it is small by construction —
+    that is the entire point of LSH), its distinct doc ids semi-join
+    the corpus, and only the surviving docs are shingled. At 100 TB
+    candidates are orders of magnitude smaller than the corpus, so this
+    prune turns two full-corpus shingle scans into two candidate-sized
+    ones; the checkpoint also guarantees the LSH plan executes once,
+    not once per downstream reuse. ``prune_to_candidates=False`` keeps
+    the fully-lazy unpruned plan.
     """
+    if prune_to_candidates:
+        candidate_pairs = candidate_pairs.localCheckpoint(eager=True)
+        ids = (
+            candidate_pairs.select(F.col("id_a").alias(id_col))
+            .union(candidate_pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(ids, id_col, "left_semi")
     sh = spread(df).select(
         F.col(id_col),
         F.array_distinct(tf.shingles(F.col(text_col), shingle_n)).alias("sh"),

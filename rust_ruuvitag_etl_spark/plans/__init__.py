@@ -14,6 +14,7 @@ from . import (  # noqa: E402, F401
     llm2,
     llm3,
     llm4,
+    llm5,
     relational2,
     relational3,
     relational4,

@@ -368,17 +368,31 @@ def _ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
 
     em = load(spark, sf_dir, "embeddings")
-    centroids = sim.kmeans_centroids(em, n_centroids=8, iters=2)
-    table = "ivf_index_" + re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
-    if not spark.catalog.tableExists(table):
+    slug = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
+    table = f"ivf_index_{slug}"
+    ctable = f"ivf_centroids_{slug}"
+    # The codebook is PART of the persisted index (build once per
+    # corpus): recomputing k-means per probe would dominate probe cost
+    # and, worse, a drifted codebook would mismatch the stored
+    # assignment. Both tables build together, probes only read.
+    if not (
+        spark.catalog.tableExists(table) and spark.catalog.tableExists(ctable)
+    ):
         warehouse = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
             "spark-warehouse",
+        )
+        centroids = sim.kmeans_centroids(em, n_centroids=8, iters=2)
+        (
+            centroids.write.mode("overwrite")
+            .option("path", os.path.join(warehouse, ctable))
+            .saveAsTable(ctable)
         )
         sim.ivf_build_index(
             em, centroids, table, num_buckets=8,
             path=os.path.join(warehouse, table),
         )
+    centroids = spark.table(ctable)
     assigned = spark.table(table)
     queries_df = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")

@@ -34,7 +34,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE
+from bench import HEADLINE, OVERRIDES
 from rust_ruuvitag_etl_spark.plans import REGISTRY
 from rust_ruuvitag_etl_spark.session import get_spark
 
@@ -53,6 +53,19 @@ CORPUS_QUERIES = [
     "dedup_minhash_verified",
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
+]
+
+# Skew axis (round-2 verdict #7): zipfian token distributions are the
+# realistic 100 TB failure mode for text/dedup shuffles — a stop-word
+# token lands in (nearly) every document, so any plan that concentrates
+# a token's state on one reducer degrades super-linearly here.
+SKEW_MULTS = [1, 4, 16]
+SKEW_BASE_DOCS = 5_000  # x1 matches the sf0.1 documents row count
+SKEW_VOCAB = 50_000
+SKEW_QUERIES = [
+    "text_inverted_index",
+    "text_tfidf_scores",
+    "dedup_minhash_lsh_pairs",
 ]
 
 
@@ -111,16 +124,68 @@ def gen_corpora(spark, base_dir: str, out_root: str) -> dict[int, str]:
     return dirs
 
 
+def gen_zipf_corpora(spark, out_root: str) -> dict[int, str]:
+    """Generate zipf(s≈1)-token corpora at x1/x4/x16 document counts,
+    entirely with Spark expressions (no driver-side loops): token rank
+    for each position is the inverse-CDF transform ``V^u`` of a
+    hash-derived uniform u — P(rank ≤ r) ≈ ln(r)/ln(V), i.e. classic
+    1/rank frequencies. 'tok1' appears in essentially every document
+    (the stop-word / hot-key regime); doc lengths vary 40–80 tokens.
+    Deterministic (pure hash arithmetic), idempotent via _DONE marker."""
+    from pyspark.sql import functions as F
+
+    dirs = {}
+    for mult in SKEW_MULTS:
+        out = os.path.join(out_root, f"zipf_x{mult}")
+        dirs[mult] = out
+        if os.path.exists(os.path.join(out, "_DONE")):
+            continue
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        n_docs = SKEW_BASE_DOCS * mult
+        d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        n_toks = (F.pmod(F.xxhash64("doc_id"), F.lit(41)) + 40).cast("int")
+        u = lambda j: (
+            F.pmod(F.xxhash64(F.col("doc_id") * 1000 + j), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+        rank = lambda j: F.greatest(
+            F.lit(1), F.pow(F.lit(float(SKEW_VOCAB)), u(j)).cast("int")
+        )
+        text = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_toks),
+                lambda j: F.concat(F.lit("tok"), rank(j).cast("string")),
+            ),
+            " ",
+        )
+        docs = d.select(
+            "doc_id",
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("zipf").alias("source"),
+        ).withColumn("n_chars", F.length("text"))
+        docs.write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        open(os.path.join(out, "_DONE"), "w").close()
+    return dirs
+
+
 def _time_queries(spark, names, sf_dirs) -> dict[str, dict[str, float]]:
+    # Production-path overrides (bench.py): dedup on the fast hash
+    # family, IVF probe-only — the probe grades the plans users run,
+    # not the oracle-gate twins.
+    fns = {n: OVERRIDES.get(n, REGISTRY[n].fn) for n in names}
     # Warm-up pass at every scale so timings are steady-state.
     for key, d in sf_dirs.items():
         for name in names:
-            REGISTRY[name].fn(spark, d).count()
+            fns[name](spark, d).count()
     times: dict[str, dict[str, float]] = {n: {} for n in names}
     for key, d in sf_dirs.items():
         for name in names:
             t0 = time.time()
-            REGISTRY[name].fn(spark, d).count()
+            fns[name](spark, d).count()
             times[name][key] = round(time.time() - t0, 3)
     return times
 
@@ -140,6 +205,11 @@ def main() -> None:
     )
     corpus = _time_queries(
         spark, CORPUS_QUERIES, {str(m): d for m, d in corpus_dirs.items()}
+    )
+
+    skew_dirs = gen_zipf_corpora(spark, os.path.join(root, ".scaling_corpus"))
+    skew = _time_queries(
+        spark, SKEW_QUERIES, {str(m): d for m, d in skew_dirs.items()}
     )
 
     lines = [
@@ -204,6 +274,40 @@ def main() -> None:
         "a broken bucket strategy; candidate GENERATION",
         "(`dedup_minhash_lsh_pairs`) stays sub-linear, which is the part",
         "that must scale.",
+        "",
+        "## Skew axis (zipfian tokens, x1/x4/x16 documents)",
+        "",
+        "Generated zipf(s≈1) corpora under `.scaling_corpus/zipf_x*/`:",
+        f"{SKEW_VOCAB}-token vocabulary with 1/rank frequencies — 'tok1'",
+        "appears in essentially every document, the stop-word / hot-key",
+        "regime that breaks plans which concentrate one token's state on",
+        "one reducer. `exp` = mean per-step log(t_next/t_prev)/log(4).",
+        "",
+        "| query | x1 s | x4 s | x16 s | exp |",
+        "|---|---|---|---|---|",
+    ]
+    worst_s = 0.0
+    for name in SKEW_QUERIES:
+        t1, t4, t16 = (skew[name][str(m)] for m in SKEW_MULTS)
+        steps = []
+        if t1 > 0:
+            steps.append(math.log(t4 / t1) / math.log(4))
+        if t4 > 0:
+            steps.append(math.log(t16 / t4) / math.log(4))
+        exp = sum(steps) / len(steps) if steps else float("nan")
+        worst_s = max(worst_s, exp)
+        lines.append(f"| {name} | {t1} | {t4} | {t16} | {exp:+.2f} |")
+    lines += [
+        "",
+        f"Worst skew-axis exponent this run: **{worst_s:+.2f}** (linear = +1.00).",
+        "The inverted index stays near-flat under skew because postings",
+        "aggregate under (token, doc_id % 16) — the hot token's state",
+        "spreads across shards instead of one collect_list buffer; TF-IDF's",
+        "per-(doc, token) key dilutes the hot token by construction. The",
+        "minhash row is pure per-shingle hash CPU, not skew amplification:",
+        "zipfian TOKEN skew does not skew LSH BUCKETS (bucket keys hash",
+        "whole 4-value signature bands, and the zipf corpus yields zero",
+        "candidate pairs at every size — no hot bucket ever forms).",
         "",
     ]
     with open(out_md, "w") as f:
