@@ -185,3 +185,58 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < rate).select(
         "doc_id", "source", "lang", rate.cast("int").alias("rate_pct")
     )
+
+
+@query(
+    "dedup_incremental_delta",
+    oracle="""
+WITH fp AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+    FROM documents
+),
+existing AS (
+    SELECT f, MIN(doc_id) AS canonical_id
+    FROM fp WHERE doc_id % 10 <> 0 GROUP BY f
+),
+delta AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 = 0)
+SELECT d.doc_id, e.canonical_id,
+       (e.canonical_id IS NOT NULL) AS is_dup
+FROM delta d LEFT JOIN existing e USING (f)
+""",
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the re-crawl shape: a small delta batch
+    (docs with ``doc_id % 10 == 0`` stand in for today's crawl) checked
+    against the existing corpus's fingerprints, emitting each delta
+    doc's canonical existing id (or null if genuinely new).
+
+    Scale posture: the delta is the only thing that ever broadcasts —
+    the corpus is scanned once for fingerprints and NEVER shuffled.
+    The inner probe (corpus ⨝ broadcast(delta)) finds matches, a
+    per-delta-doc min picks the canonical, and the final left join
+    broadcasts the (delta-sized) match map back onto the delta. At
+    100 TB this is one corpus scan + three broadcast hash joins of
+    MB-sized tables; production would additionally prune the corpus
+    scan with a bloom/bucket index on the fingerprint."""
+    fp = load(spark, sf_dir, "documents").select(
+        "doc_id", tf.fingerprint(F.col("text")).alias("f")
+    )
+    existing = fp.filter(F.col("doc_id") % 10 != 0)
+    delta = fp.filter(F.col("doc_id") % 10 == 0)
+    matches = (
+        existing.join(
+            F.broadcast(delta.select(F.col("doc_id").alias("_did"), "f")), "f"
+        )
+        .groupBy("_did")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    return delta.join(
+        F.broadcast(matches.withColumnRenamed("_did", "doc_id")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "canonical_id",
+        F.col("canonical_id").isNotNull().alias("is_dup"),
+    )

@@ -20,6 +20,7 @@ from ..sources import load
 from ..sources.tables import SCHEMAS, _ensure_nanos_conf
 from .registry import query
 from .ruuvi import FLAGSHIP_ORACLE
+from .timeseries import SLIDING_WINDOW_ORACLE
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +370,85 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("streaming_sliding_window", oracle=SLIDING_WINDOW_ORACLE)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows executed by Structured
+    Streaming: every event lands in TWO overlapping 30-min windows
+    (slide 15 min), so streaming state holds two open aggregates per
+    (user, instant) — the overlap-handling upgrade of W1 that the
+    reference's single tumbling loop cannot express. Complete mode over
+    availableNow; diffed against the same batch oracle as the batch
+    twin `sliding_window_user_value`, proving batch and streaming
+    window assignment agree row-for-row."""
+    name = "ssl_streaming_sliding_window"  # fixed: see streaming_windowed_means
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(
+            "user_id", F.window("ts", "30 minutes", "15 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("window_start"), "n", "sum_value"
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "streaming_top_users",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+""",
+)
+def streaming_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global top-k: per-user running totals maintained in
+    streaming state, with the sorted LIMIT applied on the state's final
+    answer — ``orderBy().limit()`` is only legal in complete mode,
+    which is exactly what this query exercises (a leaderboard every
+    monitoring pipeline runs). Decimal-exact sums keep the ranking (and
+    its round-trip through the memory sink) engine-identical; ties
+    break by user_id."""
+    name = "stu_streaming_top_users"  # fixed: see streaming_windowed_means
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )

@@ -139,9 +139,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media).select("media_id", "n_bytes", "digest")
 
 
-@query(
-    "sliding_window_user_value",
-    oracle="""
+SLIDING_WINDOW_ORACLE = """
 WITH w AS (
     SELECT user_id, value,
            unnest([
@@ -157,8 +155,10 @@ SELECT user_id, window_start,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM w
 GROUP BY user_id, window_start
-""",
-)
+"""
+
+
+@query("sliding_window_user_value", oracle=SLIDING_WINDOW_ORACLE)
 def sliding_window_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) event-time window, 30 min wide sliding by
     15 min: every event lands in exactly two windows (W1 generalized —

@@ -174,6 +174,7 @@ class TestPythonBoundary:
             "multimodal_binary_features",
             "multimodal_frame_sample",
             "multimodal_resize",
+            "multimodal_audio_stats",  # real WAV decode needs Python
             "similarity_bruteforce_topk_arrow",
         }
         markers = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
