@@ -434,7 +434,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    bf = sim.cosine_topk(em, queries_df, k=10)
+    # Materialize the (50-row) exact result: it feeds BOTH the output
+    # and the recall intersect — without the checkpoint the full
+    # corpus-scan top-k subplan executes twice.
+    bf = sim.cosine_topk(em, queries_df, k=10).localCheckpoint(eager=True)
     ivf_hits = _ivf_probe(spark, sf_dir).select("query_id", "vec_id")
     flag = (
         bf.select("query_id", "vec_id")
