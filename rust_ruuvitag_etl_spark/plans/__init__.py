@@ -21,5 +21,6 @@ from . import (  # noqa: E402, F401
     relational5,
     relational6,
     relational7,
+    relational8,
     storage,
 )

@@ -1,0 +1,151 @@
+"""Eighth relational wave: mutation-shaped analytics — MERGE-style
+upsert (reconciled as a pure relational plan, no table format needed)
+and SCD2 (slowly-changing-dimension) interval history. Both are the
+table-maintenance patterns a warehouse engine must express even when
+the storage layer is append-only parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import query
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+WITH updates AS (
+    SELECT o_orderkey, o_totalprice + 100.0 AS new_price
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 42.0
+    FROM orders WHERE o_orderkey % 1000 = 0
+),
+merged AS (
+    SELECT COALESCE(o.o_orderkey, u.o_orderkey) AS o_orderkey,
+           COALESCE(u.new_price, o.o_totalprice) AS o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN u.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM orders o FULL OUTER JOIN updates u USING (o_orderkey)
+)
+SELECT o_orderkey, o_totalprice, action FROM merged
+""",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a pure relational plan: a deterministic
+    updates batch (price bump for matched keys, brand-new keys for
+    inserts) reconciled against the base by ONE full-outer join on the
+    primary key — matched rows take the update, unmatched base rows
+    pass through, unmatched updates become inserts, each tagged with
+    its action. This is exactly what a table format's MERGE compiles
+    to; expressed directly, it runs on append-only parquet.
+
+    Scale posture: one shuffle keyed by the (unique, uniform) primary
+    key; with the base bucketed by pk (see bucketed_join_colocated) the
+    base side would not shuffle at all, and real deployments rewrite
+    only the partitions that received changes (dynamic partition
+    overwrite — sources/sinks.py)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 100.0).alias("new_price"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit(42.0).alias("new_price"),
+            )
+        )
+    )
+    merged = o.join(updates, "o_orderkey", "full_outer")
+    return merged.select(
+        "o_orderkey",
+        F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+        F.when(F.col("o_totalprice").isNull(), "insert")
+        .when(F.col("new_price").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+@query(
+    "scd2_user_event_segments",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM ordered
+),
+seg AS (
+    SELECT user_id, event_type, ts, event_id,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS seg_no
+    FROM flagged
+),
+spans AS (
+    SELECT user_id, event_type, seg_no,
+           MIN(ts) AS valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM seg GROUP BY user_id, event_type, seg_no
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg_no)
+           AS valid_to,
+       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg_no)
+           IS NULL) AS is_current,
+       n_events
+FROM spans
+""",
+)
+def scd2_user_event_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing dimension) history derived from the
+    event stream: each run of consecutive same-type events per user
+    becomes one versioned interval [valid_from, valid_to) with
+    ``is_current`` on the open tail — the gaps-and-islands + LEAD
+    pattern every dimension-history build uses. All windows partition
+    by user_id (uniform key, one shuffle reused across the three window
+    functions — Catalyst collapses same-spec windows into one sort);
+    ties break by event_id so segment boundaries are
+    partition-order independent."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    seg = flagged.withColumn(
+        "seg_no",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = seg.groupBy("user_id", "event_type", "seg_no").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg_no")
+    return spans.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -128,3 +128,36 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "orc_roundtrip_supplier",
+    oracle="""
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+       MAX(s_name) AS max_name
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format, round-tripped: supplier written ONCE as
+    ORC (Spark's other first-class columnar source — same predicate
+    pushdown / column pruning machinery as parquet), read back through
+    the ORC reader, aggregated per nation, and hash-matched against the
+    oracle computed from the parquet original — proving the engine's
+    values survive a cross-format round trip bit-for-bit (decimal-exact
+    sums; doubles re-emerge identical because ORC stores IEEE doubles
+    losslessly)."""
+    path = os.path.join(_warehouse(), f"supplier_orc_{_slug(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    s = spark.read.orc(path)
+    return s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+        F.max("s_name").alias("max_name"),
+    )

@@ -196,7 +196,7 @@ def main() -> None:
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    star_names = HEADLINE + EXTRA
+    star_names = list(dict.fromkeys(HEADLINE + EXTRA))
     star_dirs = {sf: f"/root/testdata/sf{sf}" for sf in SFS}
     star = _time_queries(spark, star_names, star_dirs)
 
