@@ -273,12 +273,12 @@ WITH ordered AS (
 ),
 flagged AS (
     SELECT user_id, ts, event_id,
-           -- >= (not >): Spark's session_window opens a NEW session
-           -- when the gap equals the gap duration (adjacent [t, t+gap)
-           -- windows do not merge), and with millisecond truncation
-           -- both engines then agree on either side of the boundary.
+           -- strict >: Spark MERGES an event arriving exactly at
+           -- prev_ts + gap into the same session (measured and pinned
+           -- by tests/test_streaming.py::TestSessionBoundary), so a
+           -- new session opens only when the gap EXCEEDS the duration
            CASE WHEN prev_ts IS NULL
-                     OR date_diff('millisecond', prev_ts, ts) >= 300000
+                     OR date_diff('millisecond', prev_ts, ts) > 300000
                 THEN 1 ELSE 0 END AS new_session
     FROM ordered
 ),

@@ -79,11 +79,13 @@ WITH ordered AS (
 ),
 flagged AS (
     SELECT user_id, ts, event_id,
-           -- >= (not >): session_window opens a NEW session when the
-           -- gap EQUALS the gap duration (adjacent [t, t+gap) windows
-           -- do not merge)
+           -- strict >: Spark MERGES an event arriving exactly at
+           -- prev_ts + gap into the same session (measured on this
+           -- Spark version and pinned by
+           -- tests/test_streaming.py::TestSessionBoundary), so a new
+           -- session opens only when the gap EXCEEDS the duration
            CASE WHEN prev_ts IS NULL
-                     OR date_diff('millisecond', prev_ts, ts) >= 300000
+                     OR date_diff('millisecond', prev_ts, ts) > 300000
                 THEN 1 ELSE 0 END AS new_session
     FROM ordered
 ),

@@ -85,6 +85,19 @@ class TestSaltedAgg:
         # two logical Aggregates: partial over (key, salt), final over key
         assert plan.count("Aggregate") >= 2
 
+    def test_salted_join_rejects_outer_types(self, spark):
+        """right/full outer would emit unmatched medium-side rows once
+        per salt — the operator must refuse, not silently duplicate."""
+        import pytest
+
+        li = load(spark, SF_SMALL, "lineitem")
+        o = load(spark, SF_SMALL, "orders")
+        for how in ("right", "full", "full_outer"):
+            with pytest.raises(ValueError, match="salted_shuffle_join"):
+                skew.salted_shuffle_join(
+                    li, o, "l_orderkey", "l_partkey", how=how
+                )
+
 
 class TestApplyInPandasDelta:
     def test_matches_expression_version(self, spark):

@@ -222,3 +222,53 @@ class TestStreamStreamIntervalJoin:
         }
         assert got == expected
         assert len(got) > 0
+
+
+class TestSessionBoundary:
+    """Pins Spark's MEASURED session-window boundary semantics: an event
+    arriving exactly gap-duration after its predecessor MERGES into the
+    same session; a new session opens only when the gap strictly
+    exceeds the duration. The gaps-and-islands oracles therefore use
+    strict > (a round-3 advice note suggested >=; this test shows that
+    would diverge from Spark exactly at the boundary)."""
+
+    def _sessions(self, spark, gap2_seconds):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (1, base, 1),
+            (1, base + dt.timedelta(seconds=gap2_seconds), 2),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        )
+        spark_n = (
+            df.groupBy("user_id", F.session_window("ts", "5 minutes"))
+            .count()
+            .count()
+        )
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("ev", df.toPandas())
+        oracle_n = con.execute(
+            """
+            SELECT COUNT(DISTINCT session_no) FROM (
+                SELECT SUM(chg) OVER (ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM (SELECT ts, event_id,
+                        CASE WHEN LAG(ts) OVER (ORDER BY ts, event_id) IS NULL
+                             OR date_diff('millisecond',
+                                    LAG(ts) OVER (ORDER BY ts, event_id), ts)
+                                > 300000
+                        THEN 1 ELSE 0 END AS chg FROM ev))
+            """
+        ).fetchone()[0]
+        return spark_n, oracle_n
+
+    def test_exact_gap_merges_in_both_engines(self, spark):
+        assert self._sessions(spark, 300) == (1, 1)  # == gap: one session
+
+    def test_gap_exceeded_splits_in_both_engines(self, spark):
+        assert self._sessions(spark, 301) == (2, 2)  # > gap: two sessions
