@@ -149,3 +149,77 @@ def scd2_user_event_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
         "n_events",
     )
+
+
+@query(
+    "recursive_cte_key_ancestry",
+    oracle="""
+WITH RECURSIVE anc(c_custkey, node, depth) AS (
+    SELECT c_custkey, c_custkey, 0 FROM customer
+    UNION ALL
+    SELECT c_custkey, node // 2, depth + 1 FROM anc WHERE node > 1
+)
+SELECT c_custkey,
+       CAST(MAX(depth) AS INTEGER) AS depth_to_root,
+       CAST(COUNT(*) AS BIGINT) AS chain_len
+FROM anc GROUP BY c_custkey
+""",
+)
+def recursive_cte_key_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE executed by Spark's native recursive-CTE support:
+    walk each customer key up the implicit binary ancestry (k → k/2) to
+    the root — the hierarchy/graph-walk shape (org charts, category
+    trees, BOM explosions) that previously required the driver-side
+    iteration of operators/dedup.py:connected_components. Each recursion
+    level is one narrow projection of the frontier (depth is bounded by
+    log₂(max key) ≈ 18 levels here); rows per level never exceed the
+    anchor size, and the final aggregate is one uniform shuffle keyed by
+    customer."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(c_custkey, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM customer
+            UNION ALL
+            SELECT c_custkey, node DIV 2, depth + 1 FROM anc WHERE node > 1
+        )
+        SELECT c_custkey,
+               CAST(MAX(depth) AS INT) AS depth_to_root,
+               COUNT(*) AS chain_len
+        FROM anc GROUP BY c_custkey
+        """
+    )
+
+
+@query(
+    "lateral_topk_customers_per_nation",
+    oracle="""
+SELECT n.n_name, l.c_custkey, l.c_acctbal
+FROM nation n,
+     LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l
+""",
+)
+def lateral_topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    top-3 customers by balance, the 'top-N per row' idiom SQL users
+    reach for before learning window functions. Catalyst decorrelates
+    the lateral into a ranked join (same physical shape as the
+    row_number variant, one shuffle keyed by nation), so the friendly
+    SQL costs nothing extra; ties break by custkey for engine-exact
+    output."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, l.c_acctbal
+        FROM nation n,
+             LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l
+        """
+    )
