@@ -44,6 +44,9 @@ HEADLINE = [
     "text_langid_trigram",
     "text_tfidf_scores",
     "text_bm25_ranking",
+    "text_inverted_index",
+    "contamination_ngram_eval",
+    "multimodal_audio_stats",
     "corpus_prep_end_to_end",
 ]
 

@@ -1,8 +1,9 @@
 """Fifth LLM-pipeline wave: pretraining-corpus GOVERNANCE operators —
 benchmark-contamination detection, Gopher-style repetition filtering,
-and deterministic domain mixing. These are the quality/safety gates a
-100 TB training-data pipeline runs between dedup and packing. Pure
-DataFrame plans with exact DuckDB oracles.
+deterministic domain mixing, and incremental (delta-vs-corpus) dedup.
+These are the quality/safety gates a 100 TB training-data pipeline runs
+between dedup and packing. Pure DataFrame plans with exact DuckDB
+oracles.
 """
 
 from __future__ import annotations
