@@ -1,0 +1,298 @@
+"""Product/ops-analytics registry queries over the events stream:
+OHLC time-bucket downsampling (hypertable-style rollup), staged funnel
+conversion, weekly retention cohorts, and z-score outlier detection.
+
+These generalize the reference's windowed-aggregate core (30-min
+tumbling means, ``/root/reference/src/main.rs:69-122`` and
+``src/utils.rs:37-95``) to the aggregate shapes a monitoring/analytics
+consumer of the same keyed time-series would run next.
+
+Scale posture: every query is a keyed aggregate or a keyed window —
+shuffles are keyed by (type, bucket), user_id, or cohort week, all
+high-cardinality and uniform; no collects, no cross joins, no
+unpartitioned windows. Float discipline: double sums go through
+DECIMAL so results are accumulation-order-independent, then ONE
+IEEE-double expression at the end, mirrored exactly in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import query
+
+
+@query(
+    "timeseries_ohlc_downsample",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           value, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn_open,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_close
+    FROM events
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+FROM ranked
+GROUP BY event_type, bucket
+""",
+)
+def timeseries_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour) emit the first/max/min/
+    last value plus count and an exact decimal-summed volume — the
+    classic hypertable continuous-aggregate rollup.
+
+    ONE map-side-combinable groupBy aggregate: open/close via
+    min_by/max_by on the (ts, event_id) struct (deterministic — event_id
+    is unique), no sort and no window, so the shuffle carries one partial
+    row per (type, hour, map task) regardless of input size. The oracle
+    expresses first/last via ROW_NUMBER because DuckDB's arg_min over
+    composite keys differs across versions."""
+    ev = load(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH staged AS (
+    SELECT user_id, ts, event_id, event_type,
+           MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_view_so_far
+    FROM events
+),
+clicked AS (
+    SELECT user_id, ts, event_id, event_type, first_view_so_far,
+           MIN(CASE WHEN event_type = 'click'
+                         AND first_view_so_far IS NOT NULL
+                         AND ts > first_view_so_far THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_click_so_far
+    FROM staged
+),
+per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click'
+                         AND first_view_so_far IS NOT NULL
+                         AND ts > first_view_so_far THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase'
+                         AND first_click_so_far IS NOT NULL
+                         AND ts > first_click_so_far THEN ts END) AS t_purchase
+    FROM clicked
+    GROUP BY user_id
+)
+SELECT stage, users,
+       ROUND(users / CAST(MAX(users) OVER () AS DOUBLE), 4) AS pct_of_top
+FROM (
+    SELECT '1_view' AS stage, CAST(COUNT(t_view) AS BIGINT) AS users FROM per_user
+    UNION ALL
+    SELECT '2_click', CAST(COUNT(t_click) AS BIGINT) FROM per_user
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(t_purchase) AS BIGINT) FROM per_user
+)
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after their first
+    qualifying click. Sequential dependencies resolve via running-min
+    windows (first-view-so-far, first-qualifying-click-so-far) — both
+    windows share the user_id partitioning so the whole funnel costs ONE
+    shuffle, then a per-user aggregate collapses to stage timestamps and
+    a 3-row summary. No self-joins, no per-stage passes over the corpus.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = ev.withColumn(
+        "first_view_so_far",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    clicked = staged.withColumn(
+        "first_click_so_far",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("first_view_so_far").isNotNull()
+                & (F.col("ts") > F.col("first_view_so_far")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = clicked.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("first_view_so_far").isNotNull()
+                & (F.col("ts") > F.col("first_view_so_far")),
+                F.col("ts"),
+            )
+        ).alias("t_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("first_click_so_far").isNotNull()
+                & (F.col("ts") > F.col("first_click_so_far")),
+                F.col("ts"),
+            )
+        ).alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("v"),
+        F.count("t_click").alias("c"),
+        F.count("t_purchase").alias("p"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("stage"), F.col("v").alias("users")),
+                F.struct(F.lit("2_click").alias("stage"), F.col("c").alias("users")),
+                F.struct(
+                    F.lit("3_purchase").alias("stage"), F.col("p").alias("users")
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.users")
+    top = Window.partitionBy()
+    return stages.select(
+        "stage",
+        "users",
+        F.round(F.col("users") / F.max("users").over(top).cast("double"), 4).alias(
+            "pct_of_top"
+        ),
+    )
+
+
+@query(
+    "retention_weekly_cohorts",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week)) / 604800
+            AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    first event; per (cohort_week, week_offset) the count of distinct
+    users still active. Two keyed shuffles total — the per-user first
+    event and the events⋈cohorts join share the user_id key (the second
+    reuses the first's partitioning), then one distinct-count aggregate
+    keyed by (cohort, offset). Cohort assignment is a fact-to-fact join
+    keyed by user_id, not a broadcast: the cohort side is one row per
+    user and grows with the corpus."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(firsts, "user_id")
+    offset = (
+        (
+            F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+            - F.unix_timestamp("cohort_week")
+        )
+        / 604800
+    ).cast("long")
+    return (
+        joined.select("cohort_week", offset.alias("week_offset"), "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "timeseries_zscore_outliers",
+    oracle="""
+WITH stats AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))
+                    * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.s1 / s.n)
+             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 4) AS zscore
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.s1 / s.n)
+          / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.5
+""",
+)
+def timeseries_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection: events whose value is >2.5 sample
+    standard deviations from their event_type's mean. The per-type
+    moments accumulate in DECIMAL(18,6)/(37,12) (order-independent; the
+    6dp cast rounds identically in both engines on this data — the same
+    discipline every monetary sum in the repo uses);
+    mean/variance/z then evaluate in ONE fixed-shape IEEE expression so
+    Spark and DuckDB produce bit-identical doubles. The tiny per-type
+    stats table broadcasts back onto the scan — one aggregate shuffle,
+    one broadcast join, no window over the fact table."""
+    ev = load(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        joined.filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("zscore"),
+        )
+    )

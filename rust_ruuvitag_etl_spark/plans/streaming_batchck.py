@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load
-from ..sources.tables import SCHEMAS, _ensure_nanos_conf
+from ..sources.tables import events_read_schema, events_ts_expr
 from .registry import query
 from .ruuvi import FLAGSHIP_ORACLE
 from .timeseries import SLIDING_WINDOW_ORACLE
@@ -26,15 +26,17 @@ from .timeseries import SLIDING_WINDOW_ORACLE
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source STREAM with the declared schema
     (streams never infer — same stance as the batch loaders)."""
-    _ensure_nanos_conf(spark)
     # The file stream source lists a DIRECTORY; testdata ships events as
     # a single file, so stream the parent dir with a glob pinned to it.
+    # Schema + ts normalization adapt to the file's physical ts type
+    # (nanos-as-long vs µs timestamp) via the batch loader's footer probe.
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
     raw = (
-        spark.readStream.schema(SCHEMAS["events"])
+        spark.readStream.schema(events_read_schema(spark, path))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", events_ts_expr(spark, path))
 
 
 @query(

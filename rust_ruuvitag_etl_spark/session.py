@@ -8,9 +8,10 @@ One place to encode the engine-wide execution posture:
 - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
   are the first line of defense at 100 TB where static tuning can't see
   per-stage cardinalities.
-- ``nanosAsLong`` because the ``events`` table is written with
-  nanosecond parquet timestamps which Spark's vectorized reader rejects;
-  the loader converts ns→timestamp explicitly (sources/tables.py).
+- ``nanosAsLong`` so events files written with nanosecond parquet
+  timestamps (driver rounds 1-2) read as longs instead of erroring;
+  harmless for µs-timestamp files (round 3+). The loader probes the
+  footer and normalizes either way (sources/tables.py:events_read_schema).
 """
 
 from __future__ import annotations
@@ -86,8 +87,8 @@ def ensure_session_configs(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read as long + convert in the loader.
+        # TIMESTAMP(NANOS) events files (driver rounds 1-2) read as
+        # long instead of erroring; no-op for µs files (round 3+).
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         # see configure(): avoid tripled evaluation of expensive
         # exploded generator expressions.

@@ -92,7 +92,10 @@ SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # ns since epoch in the file
+            # ts physical type varies by testdata generation (see
+            # events_read_schema): TIMESTAMP(NANOS) read as long under
+            # the legacy conf, or a plain µs-precision timestamp.
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -130,18 +133,54 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass
 
 
+# Footer-probed ts dataType per events file path. The driver has shipped
+# events.parquet both ways across rounds — TIMESTAMP(NANOS) (reads as
+# long under the legacy conf) and plain µs TIMESTAMP/TIMESTAMP_NTZ — so
+# the loader probes the footer once per path instead of assuming.
+_EVENTS_TS_TYPE: dict[str, T.DataType] = {}
+
+
+def _events_ts_type(spark: SparkSession, path: str) -> T.DataType:
+    if path not in _EVENTS_TS_TYPE:
+        _ensure_nanos_conf(spark)
+        _EVENTS_TS_TYPE[path] = spark.read.parquet(path).schema["ts"].dataType
+    return _EVENTS_TS_TYPE[path]
+
+
+def events_read_schema(spark: SparkSession, path: str) -> T.StructType:
+    """The declared read schema for this events file: the registry schema
+    with ``ts`` swapped to the footer's physical type (long for nanos
+    files, timestamp/timestamp_ntz for µs files). Schema stays explicit —
+    the probe reads only the footer, never infers other columns."""
+    ts_type = _events_ts_type(spark, path)
+    return T.StructType(
+        [
+            T.StructField("ts", ts_type) if f.name == "ts" else f
+            for f in SCHEMAS["events"]
+        ]
+    )
+
+
+def events_ts_expr(spark: SparkSession, path: str) -> F.Column:
+    """Expression normalizing the raw ``ts`` column to a session-TZ
+    TimestampType. Nanos files: integer ``div`` 1000 then
+    timestamp_micros — integer div, NOT ``/``, because float division of
+    epoch-nanos exceeds double's 2^53 exact range and corrupts the low
+    digits (the truncation matches DuckDB's µs-precision TIMESTAMP).
+    µs files: a plain cast (no-op arithmetic; session TZ is UTC)."""
+    if isinstance(_events_ts_type(spark, path), T.LongType):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from ``{sf_dir}/{name}.parquet`` with its declared schema."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        _ensure_nanos_conf(spark)
-        df = spark.read.schema(SCHEMAS[name]).parquet(path)
-        # ns → µs truncation matches DuckDB, whose TIMESTAMP is µs-precision.
-        # Integer `div`, NOT `/`: float division of epoch-nanos exceeds
-        # double's 2^53 exact-integer range and corrupts the low digits.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = spark.read.schema(events_read_schema(spark, path)).parquet(path)
+        return df.withColumn("ts", events_ts_expr(spark, path))
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 

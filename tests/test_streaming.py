@@ -167,23 +167,26 @@ class TestStreamStreamIntervalJoin:
         """Stream-stream interval join (dual watermarks bounding both
         state stores) must produce exactly the rows of the equivalent
         batch range join on a bounded input."""
-        from rust_ruuvitag_etl_spark.sources.tables import SCHEMAS, _ensure_nanos_conf
+        from rust_ruuvitag_etl_spark.sources.tables import (
+            events_read_schema,
+            events_ts_expr,
+        )
         from rust_ruuvitag_etl_spark.streaming import pipeline as sp
 
-        _ensure_nanos_conf(spark)
         sf = "/root/testdata/sf0.001"
+        path = f"{sf}/events.parquet"
         batch_ev = (
-            spark.read.schema(SCHEMAS["events"])
-            .parquet(f"{sf}/events.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            spark.read.schema(events_read_schema(spark, path))
+            .parquet(path)
+            .withColumn("ts", events_ts_expr(spark, path))
         )
 
         def stream():
             return (
-                spark.readStream.schema(SCHEMAS["events"])
+                spark.readStream.schema(events_read_schema(spark, path))
                 .option("pathGlobFilter", "events.parquet")
                 .parquet(sf)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                .withColumn("ts", events_ts_expr(spark, path))
             )
 
         purchases = (
