@@ -3,15 +3,18 @@ processed with Arrow-batched ``mapInPandas`` (the pattern the reference's
 24-byte BLE payload decode B2 scales up to — SURVEY.md §2.1).
 
 The Spark-side plumbing (schemas, batch iteration, partitioning) is
-real and tested. WAV/PCM16 audio is decoded for REAL via a stdlib
-``struct`` RIFF parser (:func:`decode_wav` — chunk-tree walk, padding
-rule, sign-correct LE sample decode; oracle-checked end-to-end by the
-``multimodal_audio_stats`` registry query on payloads packed
-in-engine). Image and compressed-audio codecs remain STUBBED because
-the container has no media libraries: ``decode_image`` (and
-``decode_audio`` for non-WAV bytes) raise NotImplementedError unless
-``fake=True``, in which case a deterministic byte-statistics "decode"
-stands in so the dataflow can be exercised end-to-end.
+real and tested. TWO real codecs run on genuine byte formats via pure
+stdlib ``struct``: WAV/PCM16 audio (:func:`decode_wav` — RIFF
+chunk-tree walk, padding rule, sign-correct LE sample decode) and
+uncompressed 24-bit BMP images (:func:`decode_bmp` — header parse,
+4-byte row stride, BGR→RGB, bottom-up un-flip); each is oracle-checked
+end-to-end by a registry query on payloads packed in-engine
+(``multimodal_audio_stats``, ``multimodal_image_stats``). Compressed
+codecs (png/jpeg/mp3/ogg) remain STUBBED because the container has no
+media libraries: ``decode_image``/``decode_audio`` on such bytes raise
+NotImplementedError unless ``fake=True``, in which case a deterministic
+byte-statistics "decode" stands in so the dataflow can be exercised
+end-to-end.
 
 Scale posture: mapInPandas streams Arrow record batches — constant
 memory per task regardless of corpus size; binary columns never pass
@@ -37,11 +40,67 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(content: bytes, fake: bool = False) -> dict:
-    """Image decode stub. Real implementation needs an image codec
-    (Pillow/opencv — not in this container)."""
+    """Image decode: REAL for uncompressed 24-bit BMP payloads (stdlib
+    parser, :func:`decode_bmp`); compressed formats (png/jpeg — need
+    Pillow/opencv, absent in this container) remain stubbed behind
+    ``fake=True``."""
+    if content[:2] == b"BM":
+        d = decode_bmp(content)
+        return {"width": d["width"], "height": d["height"], "channels": 3}
     if not fake:
-        raise NotImplementedError("image codecs unavailable; pass fake=True")
+        raise NotImplementedError(
+            "compressed image codecs unavailable; pass fake=True"
+        )
     return {"width": len(content) % 640, "height": len(content) % 480, "channels": 3}
+
+
+def decode_bmp(content: bytes) -> dict:
+    """REAL Windows BMP decoder for uncompressed 24-bit BI_RGB bitmaps —
+    pure stdlib ``struct``, no media libraries (the image analog of the
+    reference's format-5 byte decoder,
+    ``/root/reference/src/bluetooth/scanner.rs:35-83``, and of
+    :func:`decode_wav` for audio). Parses the BITMAPFILEHEADER (pixel
+    array offset), the BITMAPINFOHEADER (dimensions, planes, bpp,
+    compression), honors the 4-byte row stride padding rule, converts
+    per-pixel BGR storage order to (r, g, b), and un-flips the
+    bottom-up row order (negative height = top-down, also handled).
+
+    Returns ``{"width", "height", "pixels"}`` with ``pixels`` as rows
+    (top to bottom) of (r, g, b) tuples. Raises ``ValueError`` on
+    malformed payloads and ``NotImplementedError`` for palettized or
+    compressed variants."""
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _file_size, _reserved, offset = struct.unpack_from("<III", content, 2)
+    hdr_size, width, height, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", content, 14
+    )
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size={hdr_size}, planes={planes})")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BI_RGB supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    h, w = abs(height), width
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{height}")
+    row_stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if offset + h * row_stride > len(content):
+        raise ValueError("pixel array extends past end of payload")
+    rows = []
+    for y in range(h):
+        file_row = y if top_down else h - 1 - y
+        base = offset + file_row * row_stride
+        row = []
+        for x in range(w):
+            b, g, r = content[base + 3 * x : base + 3 * x + 3]
+            row.append((r, g, b))
+        rows.append(row)
+    return {"width": w, "height": h, "pixels": rows}
 
 
 def decode_wav(content: bytes) -> dict:
@@ -147,6 +206,52 @@ def wav_audio_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=WAV_STATS_SCHEMA)
+
+
+BMP_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long, max_channel int, "
+    "topleft_r int, mean_luma double"
+)
+
+
+def bmp_image_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched image feature extraction over REAL BMP payloads:
+    each batch decodes its binary column with the stdlib BI_RGB parser
+    (:func:`decode_bmp`) and emits integer-exact channel stats plus the
+    top-left pixel's red channel (order-SENSITIVE — proves the
+    bottom-up row un-flip and BGR→RGB swap, which sums alone cannot)
+    and the mean luma as ONE IEEE division of exact integers.
+
+    Scale posture: mapInPandas streams record batches — constant memory
+    per task; each blob is decoded exactly once."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels", "sum_r",
+                "sum_g", "sum_b", "max_channel", "topleft_r", "mean_luma",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_bmp(bytes(content))
+                px = [p for row in d["pixels"] for p in row]
+                sr = sum(p[0] for p in px)
+                sg = sum(p[1] for p in px)
+                sb = sum(p[2] for p in px)
+                out["media_id"].append(mid)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["n_pixels"].append(len(px))
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+                out["max_channel"].append(max(max(p) for p in px))
+                out["topleft_r"].append(d["pixels"][0][0][0])
+                out["mean_luma"].append((sr + sg + sb) / (3 * len(px)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=BMP_STATS_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

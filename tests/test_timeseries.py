@@ -157,6 +157,81 @@ class TestWavCodec:
         assert row["sample_rate"] == 8000
 
 
+class TestBmpCodec:
+    """The REAL BMP decoder, cross-checked against bitmaps built by an
+    independent hand-rolled writer (header laid out field by field)."""
+
+    @staticmethod
+    def _bmp_bytes(pixels, top_down=False):
+        """pixels: rows (top→bottom) of (r, g, b). Writes 24-bit BI_RGB
+        with proper stride padding; bottom-up unless top_down."""
+        import struct
+
+        h, w = len(pixels), len(pixels[0])
+        stride = (w * 3 + 3) & ~3
+        body = bytearray()
+        file_rows = pixels if top_down else pixels[::-1]
+        for row in file_rows:
+            for r, g, b in row:
+                body += bytes((b, g, r))
+            body += b"\x00" * (stride - w * 3)
+        header = struct.pack(
+            "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+            len(body), 0, 0, 0, 0,
+        )
+        return bytes(header + body)
+
+    PIXELS = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],  # top row: R G B
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+
+    def test_bottom_up_roundtrip(self):
+        d = mm.decode_bmp(self._bmp_bytes(self.PIXELS))
+        assert (d["width"], d["height"]) == (3, 2)
+        assert d["pixels"] == self.PIXELS  # rows un-flipped to top→bottom
+
+    def test_top_down_roundtrip(self):
+        d = mm.decode_bmp(self._bmp_bytes(self.PIXELS, top_down=True))
+        assert d["pixels"] == self.PIXELS
+
+    def test_decode_image_routes_bm_to_real_decoder(self):
+        d = mm.decode_image(self._bmp_bytes(self.PIXELS))
+        assert d == {"width": 3, "height": 2, "channels": 3}
+
+    def test_malformed_payloads_raise(self):
+        import struct
+
+        with pytest.raises(ValueError):
+            mm.decode_bmp(b"PNG not a bmp" + b"\x00" * 60)
+        # truncated pixel array
+        raw = self._bmp_bytes(self.PIXELS)
+        with pytest.raises(ValueError):
+            mm.decode_bmp(raw[:-8])
+        # 8-bit palettized → NotImplementedError
+        raw8 = bytearray(raw)
+        struct.pack_into("<H", raw8, 28, 8)
+        with pytest.raises(NotImplementedError):
+            mm.decode_bmp(bytes(raw8))
+
+    def test_bmp_image_stats_spark(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(self._bmp_bytes(self.PIXELS)))],
+            "media_id long, content binary",
+        )
+        row = mm.bmp_image_stats(df).collect()[0]
+        assert (row["width"], row["height"], row["n_pixels"]) == (3, 2, 6)
+        assert row["sum_r"] == 255 + 10 + 40 + 70
+        assert row["sum_g"] == 255 + 20 + 50 + 80
+        assert row["sum_b"] == 255 + 30 + 60 + 90
+        assert row["max_channel"] == 255
+        assert row["topleft_r"] == 255  # top-left pixel is pure red
+        total = (255 * 3) + sum(range(10, 100, 10))
+        assert row["mean_luma"] == total / 18
+
+
 class TestSlidingWindow:
     def test_each_event_in_exactly_two_windows(self, spark):
         from rust_ruuvitag_etl_spark.plans import REGISTRY
