@@ -47,7 +47,11 @@ HEADLINE = [
     "text_inverted_index",
     "contamination_ngram_eval",
     "multimodal_audio_stats",
+    "multimodal_image_stats",
     "corpus_prep_end_to_end",
+    "timeseries_ohlc_downsample",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
 ]
 
 

@@ -153,6 +153,34 @@ class TestStorageLayouts:
         assert "Exchange hashpartitioning" not in join_section, plan
 
 
+class TestAnalyticsPosture:
+    def test_ohlc_is_single_aggregate_no_window(self, spark):
+        """OHLC must plan as ONE map-side-combinable hash aggregate on
+        (type, bucket) — no Window/Sort over the fact table (min_by/
+        max_by carry the open/close, so the shuffle moves one partial
+        row per group per task)."""
+        plan = _plan("timeseries_ohlc_downsample", spark)
+        assert "Window" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_zscore_stats_join_is_broadcast(self, spark):
+        """The per-type moments table (≤ #event_types rows) must
+        broadcast back onto the events scan — a sort-merge join would
+        shuffle the whole fact table for a 5-row dimension."""
+        plan = _plan("timeseries_zscore_outliers", spark)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_funnel_windows_share_one_shuffle(self, spark):
+        """Both running-min windows and the per-user aggregate share the
+        user_id partitioning: exactly one hashpartitioning exchange of
+        the events table (the second exchange is the 3-row stage
+        summary, constant-size at any scale)."""
+        plan = _plan("funnel_view_click_purchase", spark)
+        events_exchanges = plan.count("Exchange hashpartitioning")
+        assert events_exchanges <= 1, plan
+
+
 class TestGeneratorFilterRegression:
     def test_trigram_transform_not_reevaluated_in_filter(self, spark):
         """InferFiltersFromGenerate must stay excluded: it re-evaluates
@@ -175,6 +203,7 @@ class TestPythonBoundary:
             "multimodal_frame_sample",
             "multimodal_resize",
             "multimodal_audio_stats",  # real WAV decode needs Python
+            "multimodal_image_stats",  # real BMP decode needs Python
             "similarity_bruteforce_topk_arrow",
         }
         markers = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
