@@ -456,3 +456,76 @@ def streaming_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_ohlc_rollup",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           value, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn_open,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_close
+    FROM events
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+FROM ranked
+GROUP BY event_type, bucket
+""",
+)
+def streaming_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLC downsample (plans/analytics.py) executed as a Structured
+    Streaming CONTINUOUS AGGREGATE — the hypertable-rollup /
+    materialized-view pattern: event-time 1-hour tumbling windows whose
+    open/close ride min_by/max_by on the (ts, event_id) struct INSIDE
+    streaming state, so the rollup needs no sort and no retraction
+    regardless of event order across micro-batches; volume accumulates
+    in exact decimal. availableNow drains the bounded source and the
+    final state is diffed against the batch gaps-free SQL oracle —
+    identical answer to the batch plan, row for row. At scale the same
+    query runs unbounded with a watermark to expire closed windows
+    (streaming/pipeline.py shows the watermark discipline)."""
+    name = "sor_streaming_ohlc_rollup"  # fixed: see streaming_windowed_means
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
