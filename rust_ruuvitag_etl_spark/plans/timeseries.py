@@ -419,105 +419,3 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(payload_hex).alias("content"),
     )
     return mm.wav_audio_stats(media)
-
-
-# --- real-codec image decode ----------------------------------------------
-# A 3x2 24-bit bottom-up BMP per event_id: width 3 makes the row stride
-# padding non-trivial (9 pixel bytes pad to 12), height 2 makes the
-# bottom-up un-flip observable. 18 channel values (6 pixels x RGB)
-# derive from event_id via co-prime multipliers mod 256; image pixel
-# p = y*3 + x (y=0 = top row) uses multipliers M[3p], M[3p+1], M[3p+2]
-# for R, G, B.
-_BMP_PRIMES = (3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
-
-# Constant 54-byte header: BITMAPFILEHEADER ("BM", size 78, offset 54)
-# + BITMAPINFOHEADER (40 bytes: 3x2, 1 plane, 24 bpp, BI_RGB,
-# 24-byte pixel array). All little-endian.
-_BMP_HEADER_HEX = (
-    "424d"      # "BM"
-    "4e000000"  # file size = 78 = 54 + 2 rows * 12-byte stride
-    "00000000"  # reserved
-    "36000000"  # pixel array offset = 54
-    "28000000"  # info header size = 40
-    "03000000"  # width = 3
-    "02000000"  # height = 2 (positive: bottom-up)
-    "0100"      # planes = 1
-    "1800"      # bits per pixel = 24
-    "00000000"  # compression = 0 (BI_RGB)
-    "18000000"  # image size = 24
-    "00000000"  # x pixels/m
-    "00000000"  # y pixels/m
-    "00000000"  # colors used
-    "00000000"  # important colors
-)
-
-
-def _bmp_chan_sql(p: int) -> str:
-    return f"(event_id * {p}) % 256"
-
-
-def _bmp_sum_sql(offset: int) -> str:
-    # channel `offset` (0=R,1=G,2=B) summed over the 6 pixels
-    return " + ".join(_bmp_chan_sql(_BMP_PRIMES[3 * p + offset]) for p in range(6))
-
-
-_BMP_MAX_SQL = "GREATEST(" + ", ".join(
-    _bmp_chan_sql(m) for m in _BMP_PRIMES
-) + ")"
-_BMP_LUMA_SQL = " + ".join(_bmp_chan_sql(m) for m in _BMP_PRIMES)
-
-
-@query(
-    "multimodal_image_stats",
-    oracle=f"""
-SELECT event_id AS media_id,
-       CAST(3 AS INTEGER) AS width,
-       CAST(2 AS INTEGER) AS height,
-       CAST(6 AS BIGINT) AS n_pixels,
-       CAST({_bmp_sum_sql(0)} AS BIGINT) AS sum_r,
-       CAST({_bmp_sum_sql(1)} AS BIGINT) AS sum_g,
-       CAST({_bmp_sum_sql(2)} AS BIGINT) AS sum_b,
-       CAST({_BMP_MAX_SQL} AS INTEGER) AS max_channel,
-       CAST((event_id * {_BMP_PRIMES[0]}) % 256 AS INTEGER) AS topleft_r,
-       CAST({_BMP_LUMA_SQL} AS DOUBLE) / 18.0 AS mean_luma
-FROM events
-""",
-)
-def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SECOND real codec proven end-to-end (image twin of
-    multimodal_audio_stats): deterministic RGB channels derived from
-    event_id are PACKED into genuine 78-byte 24-bit BI_RGB BMP files —
-    pure expressions assembling the two headers, per-pixel BGR byte
-    order, 4-byte row stride padding, and bottom-up row order — then
-    decoded by the stdlib ``struct`` BMP parser
-    (operators/multimodal.py:decode_bmp) inside Arrow-batched
-    mapInPandas. ``topleft_r`` is order-SENSITIVE: it only matches the
-    oracle if the decoder un-flips the bottom-up rows AND swaps BGR to
-    RGB, which the channel sums alone could not prove. The oracle
-    computes every stat arithmetically from event_id, so a hash match
-    proves the whole pack→parse→un-flip→reduce chain is the identity.
-    Reference analog: the format-5 BLE decoder ``scanner.rs:35-83``."""
-    ev = load(spark, sf_dir, "events").select("event_id")
-
-    def u8_hex(raw):
-        return F.lpad(F.hex(F.pmod(raw, F.lit(256))), 2, "0")
-
-    e = F.col("event_id")
-
-    def pixel_bgr_hex(p: int):
-        r, g, b = (_BMP_PRIMES[3 * p], _BMP_PRIMES[3 * p + 1], _BMP_PRIMES[3 * p + 2])
-        return F.concat(u8_hex(e * b), u8_hex(e * g), u8_hex(e * r))
-
-    pad = F.lit("000000")  # 3 stride-pad bytes per 9-byte pixel row
-    payload_hex = F.concat(
-        F.lit(_BMP_HEADER_HEX),
-        # file row 0 = image bottom row (y=1): pixels 3,4,5
-        pixel_bgr_hex(3), pixel_bgr_hex(4), pixel_bgr_hex(5), pad,
-        # file row 1 = image top row (y=0): pixels 0,1,2
-        pixel_bgr_hex(0), pixel_bgr_hex(1), pixel_bgr_hex(2), pad,
-    )
-    media = ev.select(
-        F.col("event_id").alias("media_id"),
-        F.unhex(payload_hex).alias("content"),
-    )
-    return mm.bmp_image_stats(media)
