@@ -285,3 +285,55 @@ class TestGapFill:
                     checked_gap = True
                 assert r["filled_value"] == last
         assert checked_gap, "corpus produced no gaps; test is vacuous"
+
+
+class TestBmpCodecFuzz:
+    """Property-based roundtrip: any pixel grid (1..5 wide — covers all
+    four stride-padding cases — and 1..4 tall, both row orders) must
+    survive write→decode exactly; arbitrary byte junk must never decode
+    silently."""
+
+    @staticmethod
+    def _grid(w, h, seed):
+        import random
+
+        rnd = random.Random(seed)
+        return [
+            [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+
+    def test_roundtrip_all_strides_and_orders(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.integers(1, 5), st.integers(1, 4),
+            st.integers(0, 10_000), st.booleans(),
+        )
+        def prop(w, h, seed, top_down):
+            pixels = self._grid(w, h, seed)
+            raw = TestBmpCodec._bmp_bytes(pixels, top_down=top_down)
+            d = mm.decode_bmp(raw)
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["pixels"] == pixels
+
+        prop()
+
+    def test_junk_never_decodes_silently(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.binary(min_size=0, max_size=120))
+        def prop(junk):
+            try:
+                mm.decode_bmp(junk)
+            except (ValueError, NotImplementedError):
+                return
+            # decoding junk without the BM magic must be impossible
+            assert junk[:2] == b"BM"
+
+        prop()
