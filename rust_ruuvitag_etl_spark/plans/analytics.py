@@ -399,3 +399,63 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(payload_hex).alias("content"),
     )
     return mm.bmp_image_stats(media)
+
+
+@query(
+    "asof_next_purchase_after_view",
+    oracle="""
+WITH views AS (
+    SELECT user_id, ts, event_id AS view_id
+    FROM events WHERE event_type = 'view'
+),
+purchases AS (
+    SELECT user_id, ts, MIN(event_id) AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+)
+SELECT v.view_id, v.user_id,
+       p.purchase_id AS purchase_id_next,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS wait_seconds
+FROM views v LEFT JOIN LATERAL (
+    SELECT purchase_id, ts FROM purchases p
+    WHERE p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY ts LIMIT 1
+) p ON true
+""",
+)
+def asof_next_purchase_after_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each view matched to the user's next purchase
+    at-or-after it — the attribution direction the backward as-of
+    (asof_purchase_last_view) cannot express. Same single-shuffle
+    union-and-running-fill plan, traversed descending
+    (operators/asof.py:asof_join_forward); the oracle states the
+    semantics directly as a correlated LATERAL min-pick, which DuckDB
+    decorrelates itself."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    joined = asof_join_forward(
+        views,
+        purchases.select(
+            "user_id", "ts", "purchase_id", F.col("ts").alias("purchase_ts")
+        ),
+        key="user_id",
+        ts_col="ts",
+        right_value_cols=("purchase_id", "purchase_ts"),
+    )
+    return joined.select(
+        "view_id",
+        "user_id",
+        F.col("purchase_id_next"),
+        (F.unix_timestamp("purchase_ts_next") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("wait_seconds"),
+    )
