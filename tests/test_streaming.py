@@ -275,3 +275,47 @@ class TestSessionBoundary:
 
     def test_gap_exceeded_splits_in_both_engines(self, spark):
         assert self._sessions(spark, 301) == (2, 2)  # > gap: two sessions
+
+
+class TestCheckpointRestart:
+    def test_restart_resumes_exactly_once(self, spark, tmp_path):
+        """Exactly-once resumption across restarts: a second availableNow
+        run sharing the first run's checkpoint must process ONLY files
+        that arrived after the first run drained — re-processing would
+        duplicate batch-1 rows in the sink; skipping would lose batch-2.
+        This is the reference's retry/at-least-once posture (S2,
+        connection.rs:52-134) upgraded to checkpointed exactly-once."""
+        import pyspark.sql.functions as F
+
+        from rust_ruuvitag_etl_spark.streaming.pipeline import write_parquet_sink
+
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+
+        def write_batch(ids):
+            spark.createDataFrame([(i,) for i in ids], "id long").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        def drain():
+            stream = (
+                spark.readStream.schema("id long")
+                .parquet(src)
+                .withColumn("doubled", F.col("id") * 2)
+            )
+            q = write_parquet_sink(stream, sink, ckpt)
+            q.awaitTermination()
+
+        write_batch(range(0, 100))
+        drain()
+        first = spark.read.parquet(sink).count()
+        assert first == 100
+
+        write_batch(range(100, 130))
+        drain()  # same checkpoint → only the new file is processed
+        out = spark.read.parquet(sink)
+        assert out.count() == 130  # 230 would mean batch 1 re-processed
+        got = sorted(r["id"] for r in out.collect())
+        assert got == list(range(130))  # no dupes, no gaps
+        assert out.filter(F.col("doubled") != F.col("id") * 2).count() == 0
