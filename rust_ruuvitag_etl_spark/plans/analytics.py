@@ -459,3 +459,107 @@ def asof_next_purchase_after_view(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("wait_seconds"),
     )
+
+
+@query(
+    "funnel_deadline_1h",
+    oracle="""
+WITH staged AS (
+    SELECT user_id, ts, event_id, event_type,
+           MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_view_so_far
+    FROM events
+),
+clicked AS (
+    SELECT user_id, ts, event_id, event_type, first_view_so_far,
+           MIN(CASE WHEN event_type = 'click'
+                         AND first_view_so_far IS NOT NULL
+                         AND ts > first_view_so_far
+                         AND ts <= first_view_so_far + INTERVAL 1 HOUR
+                    THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_click_so_far
+    FROM staged
+),
+per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click'
+                         AND first_view_so_far IS NOT NULL
+                         AND ts > first_view_so_far
+                         AND ts <= first_view_so_far + INTERVAL 1 HOUR
+                    THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase'
+                         AND first_click_so_far IS NOT NULL
+                         AND ts > first_click_so_far
+                         AND ts <= first_click_so_far + INTERVAL 1 HOUR
+                    THEN ts END) AS t_purchase
+    FROM clicked
+    GROUP BY user_id
+)
+SELECT '1_view' AS stage, CAST(COUNT(t_view) AS BIGINT) AS users FROM per_user
+UNION ALL
+SELECT '2_click_1h', CAST(COUNT(t_click) AS BIGINT) FROM per_user
+UNION ALL
+SELECT '3_purchase_1h', CAST(COUNT(t_purchase) AS BIGINT) FROM per_user
+""",
+)
+def funnel_deadline_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel — the form product teams actually run: a click
+    converts only within 1 hour of the user's first view, a purchase
+    only within 1 hour of the first qualifying click. Identical
+    one-shuffle running-min-window plan as the unbounded funnel
+    (funnel_view_click_purchase); the deadline adds a pure per-row
+    predicate, so the scale posture is unchanged."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = ev.withColumn(
+        "first_view_so_far",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    click_ok = (
+        (F.col("event_type") == "click")
+        & F.col("first_view_so_far").isNotNull()
+        & (F.col("ts") > F.col("first_view_so_far"))
+        & (F.col("ts") <= F.col("first_view_so_far") + hour)
+    )
+    clicked = staged.withColumn(
+        "first_click_so_far", F.min(F.when(click_ok, F.col("ts"))).over(w)
+    )
+    purchase_ok = (
+        (F.col("event_type") == "purchase")
+        & F.col("first_click_so_far").isNotNull()
+        & (F.col("ts") > F.col("first_click_so_far"))
+        & (F.col("ts") <= F.col("first_click_so_far") + hour)
+    )
+    per_user = clicked.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(click_ok, F.col("ts"))).alias("t_click"),
+        F.min(F.when(purchase_ok, F.col("ts"))).alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("v"),
+        F.count("t_click").alias("c"),
+        F.count("t_purchase").alias("p"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("stage"), F.col("v").alias("users")),
+                F.struct(
+                    F.lit("2_click_1h").alias("stage"), F.col("c").alias("users")
+                ),
+                F.struct(
+                    F.lit("3_purchase_1h").alias("stage"), F.col("p").alias("users")
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.users")

@@ -140,3 +140,22 @@ class TestZscore:
         assert len(out) == 1
         assert out[0]["event_id"] == 9
         assert out[0]["zscore"] == pytest.approx(2.846, abs=1e-3)
+
+
+class TestFunnelDeadline:
+    def test_late_click_does_not_convert(self, spark, tmp_path):
+        from rust_ruuvitag_etl_spark.plans.analytics import funnel_deadline_1h
+
+        rows = [
+            # user 1: click 30 min after view → converts
+            (1, _t(0), 1, "view", 1.0),
+            (2, _t(30), 1, "click", 1.0),
+            # user 2: click 61 min after view → outside the 1 h deadline
+            (3, _t(0), 2, "view", 1.0),
+            (4, dt.datetime(2024, 3, 4, 11, 1), 2, "click", 1.0),
+            # user 1 purchase 59 min after the click → converts
+            (5, dt.datetime(2024, 3, 4, 11, 29), 1, "purchase", 1.0),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r["stage"]: r["users"] for r in funnel_deadline_1h(spark, sf).collect()}
+        assert got == {"1_view": 2, "2_click_1h": 1, "3_purchase_1h": 1}
