@@ -118,7 +118,8 @@ per_user AS (
     GROUP BY user_id
 )
 SELECT stage, users,
-       ROUND(users / CAST(MAX(users) OVER () AS DOUBLE), 4) AS pct_of_top
+       ROUND(users / CAST(NULLIF(MAX(users) OVER (), 0) AS DOUBLE), 4)
+           AS pct_of_top
 FROM (
     SELECT '1_view' AS stage, CAST(COUNT(t_view) AS BIGINT) AS users FROM per_user
     UNION ALL
@@ -194,12 +195,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     ).select("s.stage", "s.users")
     top = Window.partitionBy()
+    # NULLIF on BOTH sides: with zero users at every stage, Spark's 0/0
+    # is NULL but DuckDB's is NaN — nulling the denominator keeps the
+    # engines identical on the empty-funnel edge.
+    denom = F.nullif(F.max("users").over(top), F.lit(0)).cast("double")
     return stages.select(
         "stage",
         "users",
-        F.round(F.col("users") / F.max("users").over(top).cast("double"), 4).alias(
-            "pct_of_top"
-        ),
+        F.round(F.col("users") / denom, 4).alias("pct_of_top"),
     )
 
 
@@ -256,6 +259,7 @@ WITH stats AS (
            CAST(SUM(CAST(value AS DECIMAL(18,6))
                     * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
     FROM events GROUP BY event_type
+    HAVING COUNT(*) > 1
 )
 SELECT e.event_id, e.event_type, e.value,
        ROUND((e.value - s.s1 / s.n)
@@ -281,7 +285,10 @@ def timeseries_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(d).cast("double").alias("s1"),
         F.sum(d * d).cast("double").alias("s2"),
-    )
+    ).filter(F.col("n") > 1)
+    # n > 1 on BOTH sides: a single-row type would divide by n-1 = 0,
+    # where Spark yields NULL but DuckDB yields ±Inf — the filter keeps
+    # the two engines (and the z definition) total.
     joined = ev.join(F.broadcast(stats), "event_type")
     mean = F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
