@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import multimodal as mm
 from ..operators.asof import asof_join
+from ..operators.dedup import spread
 from ..sources import load
 from .registry import query
 
@@ -136,7 +137,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle checks the codec-free features (length, md5) — DuckDB
     computes identical values; the decode stubs stay NotImplementedError
     until real codecs exist (operators/multimodal.py)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     media = mm.documents_as_media(docs)
     return mm.extract_features(media).select("media_id", "n_bytes", "digest")
 
@@ -216,7 +217,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs at every sf), so char-based substring over the text reproduces
     the Python byte slices and md5(varchar) digests the same bytes —
     the Arrow pipeline's output is hash-checked end to end."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     frames = mm.sample_frames(mm.documents_as_media(docs), every_nth=10)
     return frames.select(
         "media_id",
@@ -328,7 +329,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     every-4th-char selection over the text reproduces the byte stride
     and md5 digests the same bytes (same trick as
     multimodal_frame_sample)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     resized = mm.resize_media(mm.documents_as_media(docs), factor=4)
     return resized.select(
         "media_id",
@@ -400,7 +401,8 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identity — no fake decode anywhere on this path. Reference
     analog: the format-5 BLE decoder ``scanner.rs:35-83``; here the
     payload is a real media container format."""
-    ev = load(spark, sf_dir, "events").select("event_id")
+    # spread(): a single local split would pin pack+decode to one core.
+    ev = spread(load(spark, sf_dir, "events").select("event_id"))
 
     def u16le_hex(raw):
         v = F.pmod(raw, F.lit(65536))

@@ -16,6 +16,8 @@ so a partitioned layout later is a one-line change.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -136,15 +138,35 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
 # Footer-probed ts dataType per events file path. The driver has shipped
 # events.parquet both ways across rounds — TIMESTAMP(NANOS) (reads as
 # long under the legacy conf) and plain µs TIMESTAMP/TIMESTAMP_NTZ — so
-# the loader probes the footer once per path instead of assuming.
-_EVENTS_TS_TYPE: dict[str, T.DataType] = {}
+# the loader probes the footer once per (path, mtime) instead of
+# assuming. The mtime key invalidates the cache when the driver
+# regenerates the file at the same path mid-process.
+_EVENTS_TS_TYPE: dict[tuple[str, float], T.DataType] = {}
+
+
+def _events_mtime(path: str) -> float:
+    """Latest mtime under ``path`` (parquet may be a file or a
+    directory of part files); 0.0 for non-local paths we can't stat."""
+    try:
+        if os.path.isdir(path):
+            times = [os.path.getmtime(path)]
+            for entry in os.scandir(path):
+                times.append(entry.stat().st_mtime)
+            return max(times)
+        return os.path.getmtime(path)
+    except OSError:
+        return 0.0
 
 
 def _events_ts_type(spark: SparkSession, path: str) -> T.DataType:
-    if path not in _EVENTS_TS_TYPE:
-        _ensure_nanos_conf(spark)
-        _EVENTS_TS_TYPE[path] = spark.read.parquet(path).schema["ts"].dataType
-    return _EVENTS_TS_TYPE[path]
+    # The nanos conf is per-session SQLConf: set it unconditionally so a
+    # SECOND SparkSession hitting a warm cache still gets the legacy
+    # conf it needs to read a TIMESTAMP(NANOS) file as long.
+    _ensure_nanos_conf(spark)
+    key = (path, _events_mtime(path))
+    if key not in _EVENTS_TS_TYPE:
+        _EVENTS_TS_TYPE[key] = spark.read.parquet(path).schema["ts"].dataType
+    return _EVENTS_TS_TYPE[key]
 
 
 def events_read_schema(spark: SparkSession, path: str) -> T.StructType:

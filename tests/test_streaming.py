@@ -319,3 +319,51 @@ class TestCheckpointRestart:
         got = sorted(r["id"] for r in out.collect())
         assert got == list(range(130))  # no dupes, no gaps
         assert out.filter(F.col("doubled") != F.col("id") * 2).count() == 0
+
+
+class TestEventsTsProbeCache:
+    """ADVICE r3: the footer-probe cache must not defeat the per-session
+    nanos conf, and must notice a regenerated file at the same path."""
+
+    def test_nanos_conf_reapplied_on_warm_cache(self, spark):
+        from rust_ruuvitag_etl_spark.sources import tables as tb
+
+        path = "/root/testdata/sf0.001/events.parquet"
+        tb._events_ts_type(spark, path)  # warm the cache
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        tb._events_ts_type(spark, path)  # warm hit must still set conf
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+    def test_cache_invalidates_when_file_regenerated(self, spark):
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from rust_ruuvitag_etl_spark.sources import tables as tb
+
+        d = tempfile.mkdtemp(prefix="ts_probe_")
+        path = f"{d}/events.parquet"
+        try:
+            base = spark.range(3).select(
+                F.col("id").alias("event_id"),
+                F.col("id").alias("user_id"),
+                F.lit("view").alias("event_type"),
+                F.lit(1.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            base.withColumn("ts", F.lit(1).cast("long")).write.mode(
+                "overwrite"
+            ).parquet(path)
+            t1 = tb._events_ts_type(spark, path)
+            assert isinstance(t1, T.LongType)
+            base.withColumn(
+                "ts", F.timestamp_micros(F.lit(1))
+            ).write.mode("overwrite").parquet(path)
+            # ensure a distinct mtime even on coarse filesystems
+            os.utime(path, (os.path.getmtime(path) + 2,) * 2)
+            t2 = tb._events_ts_type(spark, path)
+            assert isinstance(t2, (T.TimestampType, T.TimestampNTZType))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)

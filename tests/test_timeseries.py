@@ -349,3 +349,191 @@ class TestBmpCodecFuzz:
             assert junk[:2] == b"BM"
 
         prop()
+
+
+class TestPngCodec:
+    """The REAL stdlib-zlib PNG decoder, cross-checked against an
+    in-test encoder (an independent implementation of the format:
+    real zlib compression, per-row filter choice, chunked IDAT)."""
+
+    @staticmethod
+    def _encode(rgb_rows, filters, color=2, idat_split=1):
+        """Encode rows of (r,g,b) tuples as a PNG with the given
+        per-row filter cycle and color type (0 grey / 2 RGB / 6 RGBA)."""
+        import struct
+        import zlib
+
+        h, w = len(rgb_rows), len(rgb_rows[0])
+        bpp = {0: 1, 2: 3, 6: 4}[color]
+
+        def channels(px):
+            if color == 0:
+                return (px[0],)
+            if color == 6:
+                return (*px, 200)
+            return px
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        raw = bytearray()
+        prev = [0] * (w * bpp)
+        for y, row in enumerate(rgb_rows):
+            line = [c for px in row for c in channels(px)]
+            ft = filters[y % len(filters)]
+            raw.append(ft)
+            for i, v in enumerate(line):
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
+                pred = {
+                    0: 0,
+                    1: left,
+                    2: prev[i],
+                    3: (left + prev[i]) // 2,
+                    4: paeth(left, prev[i], upleft),
+                }[ft]
+                raw.append((v - pred) % 256)
+            prev = line
+        comp = zlib.compress(bytes(raw), 6)
+        step = max(1, len(comp) // idat_split)
+        idats = b"".join(
+            chunk(b"IDAT", comp[i : i + step])
+            for i in range(0, len(comp), step)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idats
+            + chunk(b"IEND", b"")
+        )
+
+    PIXELS = [
+        [(10, 20, 30), (40, 50, 60), (250, 0, 128)],
+        [(1, 2, 3), (130, 140, 150), (255, 255, 255)],
+    ]
+
+    def test_roundtrip_each_filter(self):
+        for ft in range(5):
+            d = mm.decode_png(self._encode(self.PIXELS, [ft]))
+            assert (d["width"], d["height"]) == (3, 2)
+            assert d["pixels"] == self.PIXELS, f"filter {ft}"
+
+    def test_roundtrip_mixed_filters_and_split_idat(self):
+        d = mm.decode_png(self._encode(self.PIXELS, [1, 4], idat_split=3))
+        assert d["pixels"] == self.PIXELS
+
+    def test_greyscale_expands_and_rgba_drops_alpha(self):
+        grey = [[(7, 7, 7), (200, 200, 200)]]
+        assert mm.decode_png(self._encode(grey, [0], color=0))["pixels"] == grey
+        assert (
+            mm.decode_png(self._encode(self.PIXELS, [2], color=6))["pixels"]
+            == self.PIXELS
+        )
+
+    def test_rejects_bad_signature_crc_and_truncation(self):
+        raw = self._encode(self.PIXELS, [1])
+        with pytest.raises(ValueError):
+            mm.decode_png(b"BM" + raw[2:])
+        corrupted = bytearray(raw)
+        corrupted[20] ^= 0xFF  # flip an IHDR body byte -> CRC mismatch
+        with pytest.raises(ValueError):
+            mm.decode_png(bytes(corrupted))
+        with pytest.raises(ValueError):
+            mm.decode_png(raw[:-16])  # IEND (and IDAT tail) gone
+
+    def test_rejects_unknown_filter_and_wrong_length(self):
+        import struct
+        import zlib
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        sig = b"\x89PNG\r\n\x1a\n"
+        bad_filter = chunk(b"IDAT", zlib.compress(bytes([9, 1, 2, 3])))
+        with pytest.raises(ValueError, match="filter"):
+            mm.decode_png(sig + ihdr + bad_filter + chunk(b"IEND", b""))
+        short = chunk(b"IDAT", zlib.compress(bytes([0, 1, 2])))
+        with pytest.raises(ValueError, match="length"):
+            mm.decode_png(sig + ihdr + short + chunk(b"IEND", b""))
+
+    def test_unsupported_variants_raise_notimplemented(self):
+        import struct
+        import zlib
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        for depth, color, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+            ihdr = chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, color, interlace and 0 or 0, 0, interlace)
+            )
+            with pytest.raises(NotImplementedError):
+                mm.decode_png(sig + ihdr + chunk(b"IEND", b""))
+
+
+class TestPngCodecFuzz:
+    def test_roundtrip_random_grids(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.integers(1, 5), st.integers(1, 5), st.integers(0, 10_000),
+            st.lists(st.integers(0, 4), min_size=1, max_size=5),
+        )
+        def prop(w, h, seed, filters):
+            pixels = TestBmpCodecFuzz._grid(w, h, seed)
+            d = mm.decode_png(TestPngCodec._encode(pixels, filters))
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["pixels"] == pixels
+
+        prop()
+
+    def test_junk_never_decodes_silently(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.binary(min_size=0, max_size=120))
+        def prop(junk):
+            try:
+                mm.decode_png(junk)
+            except (ValueError, NotImplementedError):
+                return
+            assert junk[:8] == b"\x89PNG\r\n\x1a\n"
+
+        prop()
+
+    def test_fake_mode_is_total_over_prefixed_junk(self):
+        """ADVICE r3: BM- or PNG-prefixed junk must fall back to the
+        byte-statistics stub under fake=True instead of raising."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.sampled_from([b"BM", b"\x89PNG\r\n\x1a\n", b""]),
+            st.binary(min_size=0, max_size=80),
+        )
+        def prop(prefix, junk):
+            out = mm.decode_image(prefix + junk, fake=True)
+            assert set(out) == {"width", "height", "channels"}
+
+        prop()
