@@ -48,6 +48,9 @@ HEADLINE = [
     "contamination_ngram_eval",
     "multimodal_audio_stats",
     "multimodal_image_stats",
+    "multimodal_png_stats",
+    "dedup_exact_lines",
+    "similarity_ivf_pq_topk",
     "corpus_prep_end_to_end",
     "timeseries_ohlc_downsample",
     "funnel_view_click_purchase",
@@ -62,6 +65,15 @@ def _ivf_probe_only(spark, sf_dir):
     from rust_ruuvitag_etl_spark.plans.llm import _ivf_probe
 
     return _ivf_probe(spark, sf_dir)
+
+
+def _pq_probe_only(spark, sf_dir):
+    # Same probe-only convention for IVF-PQ: ADC over the persisted
+    # compressed codes + exact shortlist re-rank, without the
+    # brute-force recall twin.
+    from rust_ruuvitag_etl_spark.plans.llm6 import _pq_probe
+
+    return _pq_probe(spark, sf_dir)
 
 
 def _minhash_lsh_fast(spark, sf_dir):
@@ -84,6 +96,7 @@ OVERRIDES = {
     "dedup_minhash_lsh_pairs": _minhash_lsh_fast,
     "dedup_minhash_verified": _minhash_verified_fast,
     "similarity_ivf_topk": _ivf_probe_only,
+    "similarity_ivf_pq_topk": _pq_probe_only,
 }
 
 

@@ -29,6 +29,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance (no sqrt — argmin-equivalent and one
+    codegen node cheaper; the PQ assignment hot path)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def l2_normalize(a: Column) -> Column:
     n = norm(a)
     return F.transform(a, lambda x: x.cast("double") / n)

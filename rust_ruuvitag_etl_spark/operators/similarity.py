@@ -456,3 +456,290 @@ def rhp_lsh_near_dup_pairs(
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+# The third leg of the ANN stool after brute-force and IVF (the
+# compressed-index pattern from the PAPERS.md ANN literature): vectors
+# are stored as m small sub-codes instead of floats, queries score
+# against a per-query lookup table of subspace inner products, and a
+# tiny exact re-rank restores ordering on the shortlist.
+
+
+def pq_subvectors(
+    df: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each vector into its ``m`` contiguous subvectors:
+    (id, sub_id, subvec). ``dim`` must divide evenly by ``m`` — PQ
+    subspaces are equal-width by construction."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub_id"),
+                        F.slice(vec_col, s * d + 1, d).alias("subvec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_sv"),
+    ).select(id_col, F.col("_sv.sub_id").alias("sub_id"), F.col("_sv.subvec").alias("subvec"))
+
+
+def _pq_assign(subvecs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-code assignment per (vector, subspace): broadcast the
+    (m × ksub)-row codebook, equi-join on sub_id, argmin squared-L2 via
+    min_by — one hash aggregate, no window."""
+    cb = codebooks.select("sub_id", "code_id", F.col("centroid").alias("_c"))
+    scored = subvecs.join(F.broadcast(cb), "sub_id").select(
+        F.col(id_col),
+        "sub_id",
+        "code_id",
+        "subvec",
+        vf.sq_l2(F.col("subvec"), F.col("_c")).alias("_d2"),
+    )
+    return scored.groupBy(id_col, "sub_id").agg(
+        F.min_by(
+            F.struct("code_id", "subvec"),
+            # ties → smallest code id: deterministic, order-free
+            F.struct(F.col("_d2"), F.col("code_id")),
+        ).alias("_b")
+    ).select(
+        id_col,
+        "sub_id",
+        F.col("_b.code_id").alias("code_id"),
+        F.col("_b.subvec").alias("subvec"),
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic per-subspace Lloyd k-means: the ``m`` subspaces
+    train in ONE DataFrame plan (sub_id is just another grouping key —
+    no per-subspace driver loop), seeded from the ``ksub`` largest-id
+    vectors' subvectors. Each round is one broadcast equi-join + two
+    keyed aggregations over (sub_id, code_id[, pos]); the tiny
+    (m × ksub)-row codebook is localCheckpointed per round so lineage
+    stays flat (same discipline as :func:`kmeans_centroids`)."""
+    w = Window.partitionBy("sub_id").orderBy(F.desc(id_col))
+    subvecs = pq_subvectors(corpus, dim, m, id_col=id_col, vec_col=vec_col)
+    cb = (
+        subvecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ksub)
+        .select(
+            "sub_id",
+            (F.col("_rn") - 1).alias("code_id"),
+            F.col("subvec").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subvecs, cb, id_col=id_col)
+        cb = (
+            assigned.select(
+                "sub_id", "code_id", F.posexplode("subvec").alias("pos", "val")
+            )
+            .groupBy("sub_id", "code_id", "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("sub_id", "code_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select(
+                "sub_id",
+                "code_id",
+                F.transform(F.col("pv"), lambda s: s["v"]).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def pq_encode(
+    assigned_corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress the corpus to PQ codes in the EXPLODED storage layout
+    (id, centroid_id, sub_id, code_id, recon_norm): m narrow rows per
+    vector — the layout ADC probes join against directly, no unpacking.
+    ``assigned_corpus`` carries the coarse IVF ``centroid_id`` so the
+    codes table doubles as an IVF-PQ index (probes prune buckets before
+    scanning codes). ``recon_norm`` is the L2 norm of the RECONSTRUCTED
+    vector (the concatenated code centroids) — the denominator that
+    makes ADC inner products into cosine estimates."""
+    subvecs = pq_subvectors(
+        assigned_corpus, dim, m, id_col=id_col, vec_col=vec_col
+    )
+    codes = _pq_assign(subvecs, codebooks, id_col=id_col)
+    cb = codebooks.select(
+        "sub_id", "code_id",
+        vf.dot(F.col("centroid"), F.col("centroid")).alias("_c2"),
+    )
+    norms = (
+        codes.join(F.broadcast(cb), ["sub_id", "code_id"])
+        .groupBy(id_col)
+        .agg(F.sqrt(F.sum("_c2")).alias("recon_norm"))
+    )
+    buckets = assigned_corpus.select(id_col, "centroid_id")
+    return (
+        codes.select(id_col, "sub_id", "code_id")
+        .join(norms, id_col)
+        .join(buckets, id_col)
+        .select(id_col, "centroid_id", "sub_id", "code_id", "recon_norm")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 10,
+    nprobe: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ probe with asymmetric distance computation (ADC) and
+    exact re-rank:
+
+    1. Pick each query's ``nprobe`` nearest coarse centroids (tiny,
+       broadcast-side — same probe as :func:`ivf_probe_topk`).
+    2. Build the per-query LUT: <q_sub, centroid> for every
+       (sub_id, code_id) — Q × m × ksub rows, broadcast.
+    3. ADC scan: equi-join codes against (probe list ⋈ LUT) on
+       (centroid_id, sub_id, code_id), sum the m partial inner
+       products per (query, vector); cosine estimate =
+       Σip / (‖q‖ · recon_norm). The corpus floats are NEVER touched —
+       the scan reads only the compressed code rows.
+    4. Exact re-rank: the per-query ``shortlist`` best ADC candidates
+       (distributed TakeOrdered shape) join back to the corpus floats
+       — shortlist × Q rows, broadcast — and exact cosine orders the
+       final top-k.
+
+    Residual-free PQ (codes quantize the raw vector, not x − coarse
+    centroid): with an exact re-rank the residual refinement buys
+    little recall on cosine retrieval, and skipping it keeps encode a
+    pure equi-join pipeline."""
+    # 1. probe list
+    c = centroids.select(
+        "centroid_id",
+        F.col("centroid").alias("_cvec"),
+        F.coalesce(F.pmod(F.col("centroid_id"), F.lit(1)), F.lit(0)).alias("_one"),
+    )
+    probe = (
+        queries.withColumn(
+            "_one", F.coalesce(F.pmod(F.col(query_id_col), F.lit(1)), F.lit(0))
+        )
+        .join(F.broadcast(c), "_one")
+        .select(
+            query_id_col,
+            "centroid_id",
+            vf.cosine(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("_sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "centroid_id")
+    )
+    # 2. per-query subspace LUT
+    d = dim // m
+    qsub = queries.select(
+        query_id_col,
+        vf.norm(F.col(vec_col)).alias("_qnorm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub_id"),
+                        F.slice(vec_col, s * d + 1, d).alias("qsub"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select(query_id_col, "_qnorm", "_s.sub_id", "_s.qsub")
+    lut = qsub.join(
+        F.broadcast(codebooks.select("sub_id", "code_id", "centroid")),
+        "sub_id",
+    ).select(
+        query_id_col,
+        "_qnorm",
+        "sub_id",
+        "code_id",
+        vf.dot(F.col("qsub"), F.col("centroid")).alias("_ip"),
+    )
+    probe_lut = lut.join(F.broadcast(probe), query_id_col).select(
+        query_id_col, "_qnorm", "centroid_id", "sub_id", "code_id", "_ip"
+    )
+    # 3. ADC scan over compressed codes only
+    adc = (
+        codes.join(
+            F.broadcast(probe_lut), ["centroid_id", "sub_id", "code_id"]
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(
+            (
+                F.sum("_ip") / (F.max("_qnorm") * F.max("recon_norm"))
+            ).alias("_adc_cos")
+        )
+    )
+    w_sl = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_adc_cos"), F.asc(id_col)
+    )
+    cand = (
+        adc.withColumn("_rn", F.row_number().over(w_sl))
+        .filter(F.col("_rn") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    # 4. exact re-rank of the shortlist
+    rerank = (
+        corpus.join(F.broadcast(cand), id_col)
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+            ),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.round(vf.cosine(F.col(vec_col), F.col("_qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

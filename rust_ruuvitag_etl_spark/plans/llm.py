@@ -355,33 +355,40 @@ def similarity_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFr
     return sim.cosine_topk_arrow(em, queries_df, k=10)
 
 
-def _ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF path: (build, once per corpus) k-means the
-    codebook (2 Lloyd rounds — label-derived centroids gave 0.52 recall
-    on this isotropic corpus, k-means clears 0.8), assign every vector
-    to its nearest centroid, persist the assignment BUCKETED by
-    centroid_id; (probe, per query batch) equi-join the nprobe nearest
-    centroids' buckets — the corpus is never re-assigned or shuffled at
-    probe time, and bucket pruning means a probe touches ~nprobe/8 of
-    the index files at 100 TB."""
+def _warehouse_dir() -> str:
     import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+
+
+def sf_slug(sf_dir: str) -> str:
     import re
 
+    return re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
+
+
+def ensure_ivf_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Build-once accessor for the persisted IVF index of this corpus:
+    returns (centroids, assigned). The codebook is PART of the persisted
+    index (build once per corpus): recomputing k-means per probe would
+    dominate probe cost and, worse, a drifted codebook would mismatch
+    the stored assignment. Both tables build together, probes only
+    read. Shared by the IVF and IVF-PQ probes (plans/llm6.py)."""
+    import os
+
     em = load(spark, sf_dir, "embeddings")
-    slug = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
+    slug = sf_slug(sf_dir)
     table = f"ivf_index_{slug}"
     ctable = f"ivf_centroids_{slug}"
-    # The codebook is PART of the persisted index (build once per
-    # corpus): recomputing k-means per probe would dominate probe cost
-    # and, worse, a drifted codebook would mismatch the stored
-    # assignment. Both tables build together, probes only read.
     if not (
         spark.catalog.tableExists(table) and spark.catalog.tableExists(ctable)
     ):
-        warehouse = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "spark-warehouse",
-        )
+        warehouse = _warehouse_dir()
         centroids = sim.kmeans_centroids(em, n_centroids=8, iters=2)
         (
             centroids.write.mode("overwrite")
@@ -392,8 +399,20 @@ def _ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             em, centroids, table, num_buckets=8,
             path=os.path.join(warehouse, table),
         )
-    centroids = spark.table(ctable)
-    assigned = spark.table(table)
+    return spark.table(ctable), spark.table(table)
+
+
+def _ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF path: (build, once per corpus) k-means the
+    codebook (2 Lloyd rounds — label-derived centroids gave 0.52 recall
+    on this isotropic corpus, k-means clears 0.8), assign every vector
+    to its nearest centroid, persist the assignment BUCKETED by
+    centroid_id; (probe, per query batch) equi-join the nprobe nearest
+    centroids' buckets — the corpus is never re-assigned or shuffled at
+    probe time, and bucket pruning means a probe touches ~nprobe/8 of
+    the index files at 100 TB."""
+    em = load(spark, sf_dir, "embeddings")
+    centroids, assigned = ensure_ivf_tables(spark, sf_dir)
     queries_df = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )

@@ -118,3 +118,133 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         (F.max("n_chunks") - F.count(F.lit(1))).alias("n_dropped"),
     )
+
+
+# --- product-quantization ANN ----------------------------------------------
+# PQ geometry: 64-dim float corpus → m=16 4-dim subspaces × ksub=16
+# codes. Packed storage arithmetic per vector: 16 codes × 4 bits = 8 B
+# + 4 B reconstruction norm + 1 B coarse bucket id = 13 B, vs 64 × 4 B
+# raw floats — the ratio both engines emit as a literal.
+_PQ_M = 16
+_PQ_KSUB = 16
+_PQ_DIM = 64
+_PQ_RATIO = (_PQ_DIM * 4) / (_PQ_M * 4 / 8 + 4 + 1)
+
+# Batch-macro recall floor, same discipline as similarity_ivf_topk:
+# measured hits of the IVF-PQ probe (nprobe=6/8, ADC shortlist 200,
+# exact re-rank) against the exact 5×10 top-k: 44 / 44 / 42 at
+# sf0.001 / 0.01 / 0.1 — the probe saturates the coarse-bucket bound,
+# so the floor mirrors the IVF query's 75% with deterministic margin.
+_PQ_RECALL_FLOOR_HITS = 38
+
+
+def _ensure_pq_tables(spark: SparkSession, sf_dir: str):
+    """Build-once accessor for the persisted PQ side of the IVF-PQ
+    index: per-subspace codebooks and the compressed codes table
+    (BUCKETED by centroid_id like the float IVF assignment, so probes
+    prune the same way). Builds on top of ensure_ivf_tables — the
+    coarse quantizer is shared with the plain IVF query."""
+    import os
+
+    from ..operators import similarity as sim
+    from ..sources.sinks import write_bucketed
+    from .llm import _warehouse_dir, ensure_ivf_tables, sf_slug
+
+    slug = sf_slug(sf_dir)
+    cb_table = f"pq_codebooks_{slug}"
+    codes_table = f"pq_codes_{slug}"
+    centroids, assigned = ensure_ivf_tables(spark, sf_dir)
+    if not (
+        spark.catalog.tableExists(cb_table)
+        and spark.catalog.tableExists(codes_table)
+    ):
+        em = load(spark, sf_dir, "embeddings")
+        warehouse = _warehouse_dir()
+        cb = sim.pq_train_codebooks(
+            em, dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=2
+        )
+        (
+            cb.write.mode("overwrite")
+            .option("path", os.path.join(warehouse, cb_table))
+            .saveAsTable(cb_table)
+        )
+        codes = sim.pq_encode(assigned, cb, dim=_PQ_DIM, m=_PQ_M)
+        write_bucketed(
+            codes,
+            codes_table,
+            bucket_cols=("centroid_id",),
+            num_buckets=8,
+            path=os.path.join(warehouse, codes_table),
+        )
+    return centroids, spark.table(cb_table), spark.table(codes_table)
+
+
+def _pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ probe: coarse nprobe bucket pruning → ADC
+    over the compressed codes (broadcast per-query LUT; the float
+    corpus is untouched) → exact re-rank of the 200-candidate
+    shortlist. This probe-only path is what bench.py times."""
+    from ..operators import similarity as sim
+
+    em = load(spark, sf_dir, "embeddings")
+    centroids, cb, codes = _ensure_pq_tables(spark, sf_dir)
+    queries_df = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.pq_adc_topk(
+        codes, cb, centroids, queries_df, em,
+        dim=_PQ_DIM, m=_PQ_M, k=10, nprobe=6, shortlist=200,
+    )
+
+
+from .llm import _SIM_ORACLE as _EXACT_TOPK_ORACLE
+
+_PQ_ORACLE = _EXACT_TOPK_ORACLE.replace(
+    "SELECT query_id, vec_id, cosine, rank FROM ranked",
+    "SELECT query_id, vec_id, cosine, rank, TRUE AS recall_ok, "
+    f"CAST({_PQ_RATIO!r} AS DOUBLE) AS compression_ratio FROM ranked",
+)
+
+
+@query("similarity_ivf_pq_topk", oracle=_PQ_ORACLE)
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the compressed-index leg of the ANN
+    family, after brute-force and IVF — PAPERS.md ANN literature) with
+    the recall floor enforced IN-QUERY, exactly like
+    similarity_ivf_topk: emit the exact brute-force rows plus (a)
+    ``recall_ok`` — TRUE iff the IVF-PQ probe found ≥75% of the 50
+    exact hits — and (b) ``compression_ratio`` — the packed-layout
+    bytes arithmetic (256 B of floats → 13 B of codes+norm+bucket =
+    19.7×), a plan-time constant both engines state literally. The
+    oracle reproduces the exact rows and asserts both columns, so a
+    recall collapse OR a geometry drift breaks the hash gate.
+
+    Index layout (built once per corpus, probes only read): the coarse
+    quantizer is the SAME persisted k-means codebook/assignment the IVF
+    query uses; the PQ side adds per-subspace codebooks (m=16 × ksub=16
+    — one DataFrame plan, sub_id is just a grouping key) and the codes
+    table, bucketed by centroid_id. Residual-free PQ: with an exact
+    re-rank the residual refinement buys little cosine recall, and
+    encode stays a pure equi-join pipeline
+    (operators/similarity.py:pq_encode)."""
+    from ..operators import similarity as sim
+
+    em = load(spark, sf_dir, "embeddings")
+    queries_df = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = sim.cosine_topk(em, queries_df, k=10).localCheckpoint(eager=True)
+    pq_hits = _pq_probe(spark, sf_dir).select("query_id", "vec_id")
+    flag = (
+        bf.select("query_id", "vec_id")
+        .intersect(pq_hits)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .select(
+            (F.col("_hits") >= _PQ_RECALL_FLOOR_HITS).alias("recall_ok"),
+            F.lit(_PQ_RATIO).alias("compression_ratio"),
+        )
+    )
+    return bf.crossJoin(F.broadcast(flag)).select(
+        "query_id", "vec_id", "cosine", "rank",
+        "recall_ok", "compression_ratio",
+    )

@@ -238,3 +238,71 @@ class TestEmbeddingNearDup:
             for r in sim.rhp_lsh_near_dup_pairs(em, threshold=0.3).collect()
         }
         assert lsh <= exact
+
+
+class TestProductQuantization:
+    """IVF-PQ: per-subspace codebooks, compressed-code ADC probe with
+    exact re-rank, and the in-query recall/compression gate."""
+
+    def test_codebook_shape_and_determinism(self, spark):
+        from rust_ruuvitag_etl_spark.operators import similarity as sim
+        from rust_ruuvitag_etl_spark.sources import load
+
+        em = load(spark, SF_SMALL, "embeddings")
+        cb1 = sim.pq_train_codebooks(em, dim=64, m=16, ksub=16, iters=1)
+        rows = cb1.collect()
+        assert len(rows) == 16 * 16
+        assert all(len(r["centroid"]) == 4 for r in rows)
+        cb2 = sim.pq_train_codebooks(em, dim=64, m=16, ksub=16, iters=1)
+        a = {(r["sub_id"], r["code_id"]): r["centroid"] for r in rows}
+        b = {(r["sub_id"], r["code_id"]): r["centroid"] for r in cb2.collect()}
+        assert a == b  # seeded + argmin ties broken: fully deterministic
+
+    def test_encode_layout_and_norms(self, spark):
+        from rust_ruuvitag_etl_spark.operators import similarity as sim
+        from rust_ruuvitag_etl_spark.sources import load
+
+        em = load(spark, SF_SMALL, "embeddings")
+        cents = sim.kmeans_centroids(em, n_centroids=8, iters=1)
+        assigned = sim.ivf_assign(em, cents)
+        cb = sim.pq_train_codebooks(em, dim=64, m=16, ksub=16, iters=1)
+        codes = sim.pq_encode(assigned, cb, dim=64, m=16).collect()
+        n_vec = em.count()
+        assert len(codes) == n_vec * 16  # m rows per vector
+        by_vec = {}
+        for r in codes:
+            by_vec.setdefault(r["vec_id"], []).append(r)
+        for rows in by_vec.values():
+            assert sorted(r["sub_id"] for r in rows) == list(range(16))
+            assert all(0 <= r["code_id"] < 16 for r in rows)
+            # one reconstruction norm per vector, strictly positive
+            assert len({round(r["recon_norm"], 9) for r in rows}) == 1
+            assert rows[0]["recon_norm"] > 0
+
+    def test_pq_probe_recall_vs_bruteforce(self, spark):
+        """The ADC+re-rank probe keeps top-10 macro recall ≥0.75 (the
+        registry floor); measured 0.84-0.88 across scales."""
+        from rust_ruuvitag_etl_spark.plans.llm import similarity_bruteforce_topk
+        from rust_ruuvitag_etl_spark.plans.llm6 import _pq_probe
+
+        bf = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity_bruteforce_topk(spark, SF_SMALL).collect()
+        }
+        pq = {
+            (r["query_id"], r["vec_id"])
+            for r in _pq_probe(spark, SF_SMALL).collect()
+        }
+        recall = len(bf & pq) / len(bf)
+        assert recall >= 0.75, f"PQ recall collapsed: {recall}"
+
+    def test_registry_query_gate(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm6 import (
+            _PQ_RATIO,
+            similarity_ivf_pq_topk,
+        )
+
+        rows = similarity_ivf_pq_topk(spark, SF_SMALL).collect()
+        assert len(rows) == 50
+        assert all(r["recall_ok"] for r in rows)
+        assert all(abs(r["compression_ratio"] - _PQ_RATIO) < 1e-12 for r in rows)
