@@ -248,3 +248,80 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", "cosine", "rank",
         "recall_ok", "compression_ratio",
     )
+
+
+# --- streaming near-dup twin ------------------------------------------------
+
+
+@query(
+    "streaming_dedup_delta",
+    oracle="""
+WITH fp AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+    FROM documents
+),
+existing AS (
+    SELECT f, MIN(doc_id) AS canonical_id
+    FROM fp WHERE doc_id % 10 <> 0 GROUP BY f
+),
+delta AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 = 0)
+SELECT d.doc_id, e.canonical_id,
+       (e.canonical_id IS NOT NULL) AS is_dup
+FROM delta d LEFT JOIN existing e USING (f)
+""",
+)
+def streaming_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of dedup_incremental_delta (plans/llm5.py) —
+    the one LLM-pipeline operator family that had no streaming form in
+    round 3: today's crawl arrives as an unbounded document stream, and
+    each incoming doc is fingerprinted and checked against the existing
+    corpus's fingerprint map, emitting (doc_id, canonical_id, is_dup)
+    per arrival. Same answer as the batch plan, row for row, diffed by
+    the same oracle.
+
+    Shape: a stream-STATIC broadcast join — the production pattern for
+    "new docs vs corpus index". The stream side stays append-mode and
+    stateless (every delta doc emits exactly once, join output is
+    monotone), the static side is one corpus scan aggregated to a
+    fingerprint → min-doc_id map that broadcasts to every micro-batch.
+    At 100 TB the map lives behind a bloom/bucket index instead of a
+    broadcast, and intra-stream re-crawl duplicates are bounded with
+    dropDuplicatesWithinWatermark on the fingerprint (the stateful
+    variant streaming_dedup_counts already exercises; unioned here it
+    would make first-arrival nondeterministic across partitions, which
+    the exact oracle gate cannot admit)."""
+    from ..functions import text as tf
+    from ..sources.tables import SCHEMAS
+
+    # File-source stream over the documents table (streams never infer
+    # schemas — same stance as the batch loaders).
+    delta_stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", tf.fingerprint(F.col("text")).alias("f"))
+    )
+    existing = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", tf.fingerprint(F.col("text")).alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    joined = delta_stream.join(F.broadcast(existing), "f", "left").select(
+        "doc_id",
+        "canonical_id",
+        F.col("canonical_id").isNotNull().alias("is_dup"),
+    )
+    name = "sdd_streaming_dedup_delta"  # fixed: see streaming_windowed_means
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -216,3 +216,49 @@ class TestPythonBoundary:
             if any(m in plan for m in markers):
                 offenders.append(name)
         assert not offenders, offenders
+
+
+class TestShuffleByteBudget:
+    def test_top_shuffle_queries_within_budget(self):
+        """EXECUTED shuffle-byte ceilings for the three most
+        shuffle-heavy headline queries (measured via the same
+        job-group → stage-metrics path tools/shuffle_audit.py uses for
+        PLANS.md). Budgets are ≥3× the measured sf0.01 volume
+        (pq 1.8 MB incl. index build / tfidf 0.47 MB / bm25 0.34 MB) —
+        loose enough for data drift, tight enough that a lost broadcast
+        or a corpus-wide re-shuffle (10×+) trips them. Runs in a
+        subprocess because stage metrics need a UI-enabled
+        SparkContext, and the test session's context (ui disabled) is
+        process-global."""
+        import json
+        import os
+        import subprocess
+        import sys
+        import tempfile
+
+        budgets_mb = {
+            "similarity_ivf_pq_topk": 6.0,
+            "text_tfidf_scores": 2.0,
+            "text_bm25_ranking": 1.5,
+        }
+        out = os.path.join(tempfile.mkdtemp(prefix="shufb_"), "b.json")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "tools", "shuffle_audit.py"),
+                "/root/testdata/sf0.01",
+                out,
+                *budgets_mb,
+            ],
+            check=True,
+            cwd=repo,
+            capture_output=True,
+            timeout=500,
+        )
+        with open(out) as f:
+            measured = json.load(f)["queries"]
+        for name, budget in budgets_mb.items():
+            got = measured[name]["write_bytes"] / 1e6
+            assert got <= budget, f"{name}: {got:.2f} MB > {budget} MB budget"
+            assert measured[name]["stages"] > 0, f"{name}: no stages attributed"

@@ -367,3 +367,75 @@ class TestEventsTsProbeCache:
             assert isinstance(t2, (T.TimestampType, T.TimestampNTZType))
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamingDedupDelta:
+    def test_matches_batch_on_driver_corpus(self, spark):
+        """The stream-static fingerprint join must produce exactly the
+        batch dedup_incremental_delta rows on a bounded input."""
+        from rust_ruuvitag_etl_spark.plans.llm5 import dedup_incremental_delta
+        from rust_ruuvitag_etl_spark.plans.llm6 import streaming_dedup_delta
+
+        sf = "/root/testdata/sf0.001"
+        batch = {
+            (r["doc_id"], r["canonical_id"], r["is_dup"])
+            for r in dedup_incremental_delta(spark, sf).collect()
+        }
+        stream = {
+            (r["doc_id"], r["canonical_id"], r["is_dup"])
+            for r in streaming_dedup_delta(spark, sf).collect()
+        }
+        assert stream == batch and len(stream) == 50
+
+    def test_planted_dups_resolve_to_canonical(self, spark):
+        """The driver corpus has no EXACT-fingerprint dups in its delta
+        (near-dups only), so plant some: delta docs 10/20 copy existing
+        docs 3/7 (modulo whitespace/case, which the fingerprint
+        normalizes away), doc 30 is genuinely new. Both engines must
+        agree and find the planted canonicals."""
+        import shutil
+        import tempfile
+
+        from rust_ruuvitag_etl_spark.plans.llm5 import dedup_incremental_delta
+        from rust_ruuvitag_etl_spark.plans.llm6 import streaming_dedup_delta
+
+        d = tempfile.mkdtemp(prefix="sdd_")
+        try:
+            rows = [
+                (3, "alpha beta gamma", "en", "web", 16),
+                (7, "delta epsilon", "en", "web", 13),
+                (9, "unrelated text", "en", "web", 14),
+                (10, "  Alpha   beta GAMMA ", "en", "crawl", 21),
+                (20, "DELTA  epsilon", "en", "crawl", 14),
+                (30, "brand new document", "en", "crawl", 18),
+            ]
+            # single FILE named documents.parquet (the driver testdata
+            # layout the file-stream glob expects), not a Spark dir
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": [r[1] for r in rows],
+                        "lang": [r[2] for r in rows],
+                        "source": [r[3] for r in rows],
+                        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+                    }
+                ),
+                f"{d}/documents.parquet",
+            )
+            expect = {(10, 3, True), (20, 7, True), (30, None, False)}
+            batch = {
+                (r["doc_id"], r["canonical_id"], r["is_dup"])
+                for r in dedup_incremental_delta(spark, d).collect()
+            }
+            stream = {
+                (r["doc_id"], r["canonical_id"], r["is_dup"])
+                for r in streaming_dedup_delta(spark, d).collect()
+            }
+            assert batch == expect
+            assert stream == expect
+        finally:
+            shutil.rmtree(d, ignore_errors=True)

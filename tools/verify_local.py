@@ -3,6 +3,13 @@ run every registry query on Spark AND its DuckDB oracle, compare
 row-count + column names + order-insensitive values.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+       python tools/verify_local.py --headline
+
+``--headline`` runs the bench headline suite (the ~28 heaviest
+queries) differentially at sf0.1 — the scale-dependent smoke the
+standard loop runs before handing to the driver (scale-dependent
+breaks like the round-3 µs-timestamp switch surface here first;
+log the run in PROGRESS.jsonl).
 
 Comparison is strict: after sorting columns by name and rows by all
 values, cells must match exactly (floats compared by repr after
@@ -79,8 +86,15 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if args and args[0] == "--headline":
+        from bench import HEADLINE
+
+        sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+        only = set(HEADLINE)
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        only = set(args[1:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
