@@ -325,3 +325,124 @@ def streaming_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- bloom-pruned incremental dedup ----------------------------------------
+# Bloom geometry: 4096 bits as 64 long words, k=3 hash functions
+# (xxhash64 seeded by position). Sized for the delta (50-500 docs at
+# test scales → <1% false-positive rate); at production scale bits
+# grow with the delta (~10 bits/item), never with the corpus.
+_BLOOM_WORDS = 64
+_BLOOM_BITS = _BLOOM_WORDS * 64
+_BLOOM_K = 3
+
+
+@query(
+    "dedup_bloom_delta",
+    oracle="""
+WITH fp AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+    FROM documents
+),
+existing AS (
+    SELECT f, MIN(doc_id) AS canonical_id
+    FROM fp WHERE doc_id % 10 <> 0 GROUP BY f
+),
+delta AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 = 0)
+SELECT d.doc_id, e.canonical_id,
+       (e.canonical_id IS NOT NULL) AS is_dup
+FROM delta d LEFT JOIN existing e USING (f)
+""",
+)
+def dedup_bloom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental dedup with the BLOOM-PRUNED corpus scan that
+    dedup_incremental_delta's docstring promises for production — made
+    real, and made transparent: the bloom only PRUNES, the exact
+    confirm join decides, so the answer is bit-identical to the
+    un-pruned plan and shares its oracle.
+
+    Build (delta side, tiny): k=3 bit positions per fingerprint
+    (seeded xxhash64 mod 4096), OR-folded into 64 long words by ONE
+    bit_or aggregate row — a pure-expression Bloom filter, no UDF, no
+    driver round-trip, portable to any Spark (the optimizer's own
+    runtime bloom injection stays orthogonal and can stack).
+
+    Probe (corpus side, big): the 1-row filter broadcasts onto the
+    corpus scan; a row survives only if ALL k probed bits are set.
+    Everything downstream of the scan — the groupBy-min fingerprint
+    map, the match join — sees only the surviving sliver. At 100 TB
+    this is the difference between shuffling the corpus fingerprint
+    table and shuffling ~|delta| rows + false positives: the corpus is
+    still READ once (the bloom predicate rides the scan), but nothing
+    corpus-sized ever enters an exchange. False positives cost one
+    extra row in the confirm join, never a wrong answer."""
+    from ..functions import text as tf
+
+    fp = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", tf.fingerprint(F.col("text")).alias("f")
+    )
+    delta = fp.filter(F.col("doc_id") % 10 == 0)
+    existing = fp.filter(F.col("doc_id") % 10 != 0)
+
+    def bitpos(i: int) -> F.Column:
+        return F.pmod(F.xxhash64("f", F.lit(i)), F.lit(_BLOOM_BITS))
+
+    def bit(p: F.Column) -> F.Column:
+        # shiftleft with a COLUMN bit count (the Python wrapper only
+        # accepts a literal int)
+        return F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(p, F.lit(64)).cast("int"),
+        )
+
+    # Per-row contribution to word j: OR of the k hash bits landing in
+    # that word. shiftleft is mod-64 on the JVM, so gate by word index.
+    def contrib(j: int) -> F.Column:
+        out = F.lit(0).cast("long")
+        for i in range(_BLOOM_K):
+            p = bitpos(i)
+            out = out.bitwiseOR(
+                F.when((p / 64).cast("int") == j, bit(p))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        return out
+
+    bloom = delta.agg(
+        *[
+            F.bit_or(contrib(j)).alias(f"w_{j}")
+            for j in range(_BLOOM_WORDS)
+        ]
+    ).select(
+        F.array(*[F.col(f"w_{j}") for j in range(_BLOOM_WORDS)]).alias("_bw"),
+        F.lit(0).alias("_one"),
+    )
+
+    probe_ok = F.lit(True)
+    for i in range(_BLOOM_K):
+        p = bitpos(i)
+        word = F.element_at(F.col("_bw"), (p / 64).cast("int") + 1)
+        probe_ok = probe_ok & (word.bitwiseAND(bit(p)) != 0)
+    survivors = (
+        existing.withColumn("_one", F.lit(0))
+        .join(F.broadcast(bloom), "_one")
+        .filter(probe_ok)
+        .select("doc_id", "f")
+    )
+    matches = (
+        survivors.join(
+            F.broadcast(delta.select(F.col("doc_id").alias("_did"), "f")), "f"
+        )
+        .groupBy("_did")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    return delta.join(
+        F.broadcast(matches.withColumnRenamed("_did", "doc_id")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "canonical_id",
+        F.col("canonical_id").isNotNull().alias("is_dup"),
+    )
