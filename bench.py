@@ -49,6 +49,7 @@ HEADLINE = [
     "multimodal_audio_stats",
     "multimodal_image_stats",
     "multimodal_png_stats",
+    "multimodal_gif_stats",
     "dedup_exact_lines",
     "similarity_ivf_pq_topk",
     "corpus_prep_end_to_end",

@@ -561,3 +561,171 @@ def resize_media(media: DataFrame, factor: int = 4) -> DataFrame:
         batches,
         schema="media_id long, content binary, media_type string, scale_factor int",
     )
+
+
+def decode_gif(content: bytes) -> dict:
+    """REAL GIF decoder — pure stdlib + numpy, no media libraries (the
+    fourth real codec after WAV/BMP/PNG, and the second COMPRESSED one:
+    a full variable-width LZW decompressor). Parses the GIF87a/89a
+    header, logical screen descriptor, global/local color tables, skips
+    89a extension blocks, walks the image-data sub-block chain, and
+    LZW-decodes the pixel indices — growing code widths 3→12 bits,
+    dictionary rebuilds on CLEAR, and the KwKwK self-referential case
+    per the spec — then maps indices through the color table to RGB.
+
+    Supported: single-image, non-interlaced GIFs with a color table.
+    Raises ``ValueError`` on malformed payloads (bad signature,
+    truncated blocks, out-of-range codes/indices, missing trailer
+    data) and ``NotImplementedError`` for interlaced images.
+
+    Returns ``{"width", "height", "pixels"}`` with ``pixels`` as rows
+    (top to bottom) of (r, g, b) tuples."""
+    d = decode_gif_array(content)
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "pixels": [
+            [tuple(int(c) for c in px) for px in row] for row in d["rgb"]
+        ],
+    }
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> list[int]:
+    """GIF-flavored LZW: codes packed LSB-first, widths grow from
+    min_code_size+1 up to 12 bits, CLEAR resets the dictionary, EOI
+    terminates. Returns exactly ``expected`` indices or raises."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    # bit cursor over data
+    nbits = len(data) * 8
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            raise ValueError("LZW stream truncated")
+        v = 0
+        for b in range(width):
+            i = pos + b
+            v |= ((data[i >> 3] >> (i & 7)) & 1) << b
+        pos += width
+        return v
+
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    prev: list[int] | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or not table[code]:
+                raise ValueError(f"bad initial LZW code {code}")
+            entry = table[code]
+        elif code < len(table) and table[code]:
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):
+            entry = prev + [prev[0]]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if len(out) > expected:
+            raise ValueError("LZW produced more pixels than the image holds")
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) != expected:
+        raise ValueError(f"LZW produced {len(out)} of {expected} pixels")
+    return out
+
+
+def decode_gif_array(content: bytes) -> dict:
+    """Core of :func:`decode_gif`: returns ``{"width", "height",
+    "rgb"}`` with ``rgb`` a uint8 numpy array of shape (h, w, 3)."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 13 or content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = content[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x21:  # 89a extension: label + sub-block chain
+            pos += 2
+            while pos < len(content) and content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(content):
+                raise ValueError("truncated image descriptor")
+            _lx, _ly, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = content[pos : pos + 3 * n]
+                if len(ct) < 3 * n:
+                    raise ValueError("truncated local color table")
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("no color table for image")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad dimensions {w}x{h}")
+            if pos >= len(content):
+                raise ValueError("missing LZW minimum code size")
+            mcs = content[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"bad LZW minimum code size {mcs}")
+            chunks = []
+            while pos < len(content) and content[pos]:
+                size = content[pos]
+                block = content[pos + 1 : pos + 1 + size]
+                if len(block) < size:
+                    raise ValueError("truncated image data sub-block")
+                chunks.append(block)
+                pos += 1 + size
+            if pos >= len(content):
+                raise ValueError("missing sub-block terminator")
+            idx = _lzw_decode(b"".join(chunks), mcs, w * h)
+            n_colors = len(ct) // 3
+            if max(idx) >= n_colors:
+                raise ValueError("pixel index outside color table")
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            rgb = pal[np.asarray(idx, dtype=np.int64)].reshape(h, w, 3)
+            return {"width": w, "height": h, "rgb": rgb}
+        elif b == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("no image data in GIF payload")
+
+
+GIF_STATS_SCHEMA = BMP_STATS_SCHEMA
+
+
+def gif_image_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched image feature extraction over REAL GIF payloads —
+    LZW-decompressed by :func:`decode_gif_array`, reduced by the same
+    batch-wide reduceat sweeps as the BMP/PNG stat operators."""
+    return media.mapInPandas(
+        _image_stats_batches(decode_gif_array), schema=GIF_STATS_SCHEMA
+    )

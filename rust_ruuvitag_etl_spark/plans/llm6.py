@@ -446,3 +446,137 @@ def dedup_bloom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         F.col("canonical_id").isNotNull().alias("is_dup"),
     )
+
+
+# --- real compressed codec: GIF --------------------------------------------
+# A 4x3 256-color GIF per event_id. The palette is a fixed 256-entry
+# table (entry i -> (i, 7i mod 256, 13i mod 256)); the 12 pixel
+# INDICES derive from event_id via coprime multipliers mod 256, so
+# every decoded channel value is arithmetic in event_id — the oracle
+# states the stats directly. The LZW stream uses the degenerate
+# literal-code form every GIF decoder must accept (CLEAR, 12 literal
+# codes, EOI at a fixed 9-bit width): 14 codes x 9 bits = 126 bits =
+# 16 data bytes whose bit layout is FIXED, so each byte is a shift/mask
+# expression of at most two codes — an in-engine LZW packer with pure
+# JVM expressions. The decoder (operators/multimodal.py:_lzw_decode)
+# is a FULL variable-width LZW engine (fuzz round-tripped against a
+# real dictionary-growing encoder in tests); this query proves it
+# in-engine end to end.
+_GIF_PRIMES = (163, 167, 173, 179, 181, 191, 193, 197, 199, 211, 223, 227)
+_GIF_W, _GIF_H = 4, 3
+
+
+def _gif_fixed_hex() -> tuple[str, str]:
+    """(header+LSD+GCT+image descriptor+mcs+subblock size, trailer)."""
+    import struct
+
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes((i, (i * 7) % 256, (i * 13) % 256))
+    head = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", _GIF_W, _GIF_H, 0xF7, 0, 0)  # GCT, 256 entries
+        + bytes(pal)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, _GIF_W, _GIF_H) + b"\x00"
+        + b"\x08"  # LZW minimum code size
+        + b"\x10"  # one 16-byte data sub-block
+    )
+    tail = b"\x00\x3b"  # sub-block terminator + trailer
+    return head.hex(), tail.hex()
+
+
+_GIF_HEAD_HEX, _GIF_TAIL_HEX = _gif_fixed_hex()
+
+
+def _gif_chan_sql(p: int, chan: int) -> str:
+    idx = f"((event_id * {_GIF_PRIMES[p]}) % 256)"
+    mult = (1, 7, 13)[chan]
+    return idx if chan == 0 else f"(({idx} * {mult}) % 256)"
+
+
+def _gif_sum_sql(chan: int) -> str:
+    return " + ".join(_gif_chan_sql(p, chan) for p in range(12))
+
+
+_GIF_MAX_SQL = "GREATEST(" + ", ".join(
+    _gif_chan_sql(p, c) for p in range(12) for c in range(3)
+) + ")"
+_GIF_LUMA_SQL = " + ".join(
+    _gif_chan_sql(p, c) for p in range(12) for c in range(3)
+)
+
+
+@query(
+    "multimodal_gif_stats",
+    oracle=f"""
+SELECT event_id AS media_id,
+       CAST({_GIF_W} AS INTEGER) AS width,
+       CAST({_GIF_H} AS INTEGER) AS height,
+       CAST(12 AS BIGINT) AS n_pixels,
+       CAST({_gif_sum_sql(0)} AS BIGINT) AS sum_r,
+       CAST({_gif_sum_sql(1)} AS BIGINT) AS sum_g,
+       CAST({_gif_sum_sql(2)} AS BIGINT) AS sum_b,
+       CAST({_GIF_MAX_SQL} AS INTEGER) AS max_channel,
+       CAST((event_id * {_GIF_PRIMES[0]}) % 256 AS INTEGER) AS topleft_r,
+       CAST({_GIF_LUMA_SQL} AS DOUBLE) / 36.0 AS mean_luma
+FROM events
+""",
+)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH real codec proven end-to-end (second compressed one):
+    genuine single-image GIF89a files — header, logical screen
+    descriptor, 256-entry global color table, image descriptor, and an
+    LZW-compressed pixel stream — are packed per event_id by pure JVM
+    expressions and decoded by the full variable-width LZW decoder
+    (operators/multimodal.py:decode_gif_array) inside Arrow-batched
+    mapInPandas. The packer emits the spec's literal-code stream at a
+    fixed 9-bit width, which makes every one of the 16 LZW data bytes
+    a shift/mask expression over at most two 9-bit codes; the decoder
+    is the general engine (growing widths, dictionary, CLEAR, KwKwK —
+    fuzz round-tripped in tests against a real dictionary-growing
+    encoder), so a hash match proves bit packing, code framing,
+    sub-block walking, and palette mapping are the identity.
+    ``topleft_r`` keeps the check order-sensitive. Reference analog:
+    the format-5 BLE byte decoder ``scanner.rs:35-83``."""
+    from ..operators import multimodal as mm
+
+    ev = spread(load(spark, sf_dir, "events").select("event_id"))
+    e = F.col("event_id")
+
+    # The 14 nine-bit codes: CLEAR, 12 literal pixel indices, EOI.
+    stage_idx = ev.select(
+        "event_id",
+        *[
+            F.pmod(e * _GIF_PRIMES[p], F.lit(256)).alias(f"i_{p}")
+            for p in range(12)
+        ],
+    )
+    codes: list = [F.lit(256)]
+    codes += [F.col(f"i_{p}") for p in range(12)]
+    codes.append(F.lit(257))
+
+    def byte_expr(j: int) -> F.Column:
+        lo, hi = 8 * j, 8 * j + 8
+        out = F.lit(0)
+        for k, c in enumerate(codes):
+            clo, chi = 9 * k, 9 * k + 9
+            if chi <= lo or clo >= hi:
+                continue
+            shift = lo - clo
+            piece = (
+                F.shiftright(c, shift) if shift >= 0 else F.shiftleft(c, -shift)
+            )
+            out = out.bitwiseOR(piece.bitwiseAND(F.lit(255)))
+        return out
+
+    data_hex = F.concat(
+        *[F.lpad(F.hex(byte_expr(j)), 2, "0") for j in range(16)]
+    )
+    payload_hex = F.concat(
+        F.lit(_GIF_HEAD_HEX), data_hex, F.lit(_GIF_TAIL_HEX)
+    )
+    media = stage_idx.select(
+        F.col("event_id").alias("media_id"),
+        F.unhex(payload_hex).alias("content"),
+    )
+    return mm.gif_image_stats(media)

@@ -205,6 +205,7 @@ class TestPythonBoundary:
             "multimodal_audio_stats",  # real WAV decode needs Python
             "multimodal_image_stats",  # real BMP decode needs Python
             "multimodal_png_stats",  # real PNG (zlib) decode needs Python
+            "multimodal_gif_stats",  # real GIF (LZW) decode needs Python
             "similarity_bruteforce_topk_arrow",
         }
         markers = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -537,3 +537,127 @@ class TestPngCodecFuzz:
             assert set(out) == {"width", "height", "channels"}
 
         prop()
+
+
+class TestGifCodec:
+    """The REAL GIF/LZW decoder, cross-checked against an in-test
+    encoder that is a genuine dictionary-growing LZW compressor (not
+    the literal-code form the in-engine packer emits) — so round-trips
+    exercise width growth, dictionary hits, and the KwKwK case."""
+
+    @staticmethod
+    def _lzw_encode(indices, mcs):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        width = mcs + 1
+        codes = [(clear, width)]
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        buf = ()
+        for px in indices:
+            cand = buf + (px,)
+            if cand in table:
+                buf = cand
+                continue
+            codes.append((table[buf], width))
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            buf = (px,)
+        if buf:
+            codes.append((table[buf], width))
+        codes.append((eoi, width))
+        out, acc, nbits = bytearray(), 0, 0
+        for c, w in codes:
+            acc |= c << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 255)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 255)
+        return bytes(out)
+
+    @classmethod
+    def _encode(cls, pixels, n_colors=256, extension=False):
+        """Full GIF file: palette = the distinct pixel colors; indices
+        LZW-compressed with the real encoder; data split into <=255
+        sub-blocks."""
+        import struct
+
+        h, w = len(pixels), len(pixels[0])
+        palette = sorted({px for row in pixels for px in row})
+        assert len(palette) <= n_colors
+        lut = {c: i for i, c in enumerate(palette)}
+        indices = [lut[px] for row in pixels for px in row]
+        size_field = max(1, (n_colors - 1).bit_length() - 1)
+        table = bytearray()
+        for i in range(2 << size_field):
+            table += bytes(palette[i]) if i < len(palette) else b"\x00\x00\x00"
+        mcs = max(2, size_field + 1)
+        data = cls._lzw_encode(indices, mcs)
+        blocks = bytearray()
+        for i in range(0, len(data), 100):
+            chunk = data[i : i + 100]
+            blocks += bytes((len(chunk),)) + chunk
+        ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00" if extension else b""
+        return (
+            b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | (0x70 | size_field), 0, 0)
+            + bytes(table)
+            + ext
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + bytes((mcs,))
+            + bytes(blocks)
+            + b"\x00\x3b"
+        )
+
+    PIXELS = [
+        [(10, 20, 30), (40, 50, 60), (250, 0, 128)],
+        [(10, 20, 30), (10, 20, 30), (10, 20, 30)],
+    ]
+
+    def test_roundtrip_with_real_compression(self):
+        d = mm.decode_gif(self._encode(self.PIXELS))
+        assert (d["width"], d["height"]) == (3, 2)
+        assert d["pixels"] == self.PIXELS
+
+    def test_skips_89a_extension_blocks(self):
+        d = mm.decode_gif(self._encode(self.PIXELS, extension=True))
+        assert d["pixels"] == self.PIXELS
+
+    def test_rejects_junk_truncation_and_interlace(self):
+        raw = self._encode(self.PIXELS)
+        with pytest.raises(ValueError):
+            mm.decode_gif(b"NOTGIF" + raw[6:])
+        with pytest.raises(ValueError):
+            mm.decode_gif(raw[:-6])  # LZW stream truncated
+        interlaced = bytearray(raw)
+        # image descriptor packed byte: flip the interlace bit
+        idx = raw.index(b"\x2c")
+        interlaced[idx + 9] |= 0x40
+        with pytest.raises(NotImplementedError):
+            mm.decode_gif(bytes(interlaced))
+
+    def test_roundtrip_fuzz_runs_and_dictionary(self):
+        """Run-heavy grids force long dictionary chains and KwKwK."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.integers(1, 6), st.integers(1, 6), st.integers(0, 10_000))
+        def prop(w, h, seed):
+            import random
+
+            rnd = random.Random(seed)
+            colors = [(rnd.randrange(256),) * 3 for _ in range(4)]
+            pixels = [
+                [colors[rnd.randrange(len(colors))] for _ in range(w)]
+                for _ in range(h)
+            ]
+            d = mm.decode_gif(self._encode(pixels, n_colors=256))
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["pixels"] == pixels
+
+        prop()
