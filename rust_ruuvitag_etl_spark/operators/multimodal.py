@@ -3,14 +3,18 @@ processed with Arrow-batched ``mapInPandas`` (the pattern the reference's
 24-byte BLE payload decode B2 scales up to — SURVEY.md §2.1).
 
 The Spark-side plumbing (schemas, batch iteration, partitioning) is
-real and tested. TWO real codecs run on genuine byte formats via pure
-stdlib ``struct``: WAV/PCM16 audio (:func:`decode_wav` — RIFF
-chunk-tree walk, padding rule, sign-correct LE sample decode) and
-uncompressed 24-bit BMP images (:func:`decode_bmp` — header parse,
-4-byte row stride, BGR→RGB, bottom-up un-flip); each is oracle-checked
-end-to-end by a registry query on payloads packed in-engine
-(``multimodal_audio_stats``, ``multimodal_image_stats``). Compressed
-codecs (png/jpeg/mp3/ogg) remain STUBBED because the container has no
+real and tested. FOUR real codecs run on genuine byte formats via pure
+stdlib (``struct``/``zlib``) + numpy: WAV/PCM16 audio
+(:func:`decode_wav` — RIFF chunk-tree walk, padding rule, sign-correct
+LE sample decode), uncompressed 24-bit BMP (:func:`decode_bmp` —
+header parse, 4-byte row stride, BGR→RGB, bottom-up un-flip),
+COMPRESSED PNG (:func:`decode_png` — chunk CRCs, zlib inflate, all
+five scanline filters), and COMPRESSED GIF (:func:`decode_gif` — a
+full variable-width LZW engine). Each is oracle-checked end-to-end by
+a registry query on payloads packed in-engine
+(``multimodal_audio_stats``, ``multimodal_image_stats``,
+``multimodal_png_stats``, ``multimodal_gif_stats``). Entropy-coded
+codecs (jpeg/mp3/ogg) remain STUBBED because the container has no
 media libraries: ``decode_image``/``decode_audio`` on such bytes raise
 NotImplementedError unless ``fake=True``, in which case a deterministic
 byte-statistics "decode" stands in so the dataflow can be exercised
@@ -40,10 +44,12 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(content: bytes, fake: bool = False) -> dict:
-    """Image decode: REAL for uncompressed 24-bit BMP payloads (stdlib
-    parser, :func:`decode_bmp`); compressed formats (png/jpeg — need
-    Pillow/opencv, absent in this container) remain stubbed behind
-    ``fake=True``."""
+    """Image decode: REAL for BMP (:func:`decode_bmp`), PNG
+    (:func:`decode_png`), and GIF (:func:`decode_gif`) payloads;
+    entropy-coded formats (jpeg — needs Pillow/opencv, absent in this
+    container) remain stubbed behind ``fake=True``, and fake mode is
+    TOTAL over arbitrary bytes (decode errors fall back to the
+    deterministic byte-statistics stub)."""
     if content[:2] == b"BM":
         try:
             d = decode_bmp(content)
@@ -57,6 +63,13 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
     elif content[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             d = decode_png(content)
+            return {"width": d["width"], "height": d["height"], "channels": 3}
+        except (ValueError, NotImplementedError):
+            if not fake:
+                raise
+    elif content[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            d = decode_gif(content)
             return {"width": d["width"], "height": d["height"], "channels": 3}
         except (ValueError, NotImplementedError):
             if not fake:

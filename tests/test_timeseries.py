@@ -529,7 +529,7 @@ class TestPngCodecFuzz:
 
         @settings(max_examples=60, deadline=None)
         @given(
-            st.sampled_from([b"BM", b"\x89PNG\r\n\x1a\n", b""]),
+            st.sampled_from([b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b""]),
             st.binary(min_size=0, max_size=80),
         )
         def prop(prefix, junk):
