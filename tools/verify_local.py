@@ -87,7 +87,8 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 def main() -> int:
     args = sys.argv[1:]
-    if args and args[0] == "--headline":
+    headline = bool(args) and args[0] == "--headline"
+    if headline:
         from bench import HEADLINE
 
         sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
@@ -136,6 +137,21 @@ def main() -> int:
         f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only"
         f" / {len(REGISTRY) if not only else len(only)} total"
     )
+    if headline:
+        import json
+        import time as _time
+
+        with open(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "PROGRESS.jsonl"),
+            "a",
+        ) as f:
+            f.write(json.dumps({
+                "ts": _time.time(),
+                "event": "sf0.1_headline_differential",
+                "result": f"{len(passed)} passed, {len(failed)} failed, "
+                          f"{len(skipped)} rows-only",
+            }) + "\n")
     spark.stop()
     return 1 if failed else 0
 
