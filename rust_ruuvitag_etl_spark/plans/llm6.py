@@ -580,3 +580,158 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(payload_hex).alias("content"),
     )
     return mm.gif_image_stats(media)
+
+
+# --- quality classifier inference ------------------------------------------
+
+
+@query(
+    "quality_classifier_scores",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0
+),
+weighted AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2001 - 1000
+               AS w
+    FROM toks
+)
+SELECT doc_id,
+       CAST(SUM(w) AS BIGINT) AS logit_milli,
+       CAST(SUM(w) AS DOUBLE) / (1000 * COUNT(*)) AS logit,
+       (SUM(w) > 0) AS keep
+FROM weighted
+GROUP BY doc_id
+""",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at corpus scale — the
+    fastText/DSIR-style keep/drop scorer every production pretraining
+    pipeline runs, expressed as pure hashing + aggregation: each token
+    hashes (feature hashing, no vocabulary table at all) to a
+    deterministic integer weight in [-1000, 1000], a document's logit
+    is the mean token weight, and ``keep`` is the sign. With hashed
+    features the "model" ships as an expression, so inference is ONE
+    scan + ONE keyed aggregate — no join, no Python, no weight
+    broadcast; swapping in real trained weights only changes the hash
+    expression to a broadcast map lookup.
+
+    Exactness discipline: weights are INTEGERS (the portable md5-60bit
+    family, functions/text.py:h60), the logit numerator accumulates
+    as an integer sum — order-independent, so the single IEEE division
+    at the end is bit-identical in both engines. No exp()/sigmoid in
+    the oracle-checked surface (transcendental libm calls are not
+    bit-portable); the monotone logit carries the same decision
+    boundary."""
+    from ..functions import text as tf
+
+    docs = spread(load(spark, sf_dir, "documents")).filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(tf.ws_tokens(F.lower("text"))).alias("tok"),
+    )
+    w = (F.pmod(tf.h60(F.col("tok")), F.lit(2001)) - 1000).alias("w")
+    return (
+        toks.select("doc_id", w)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").alias("logit_milli"),
+            (F.sum("w").cast("double") / (1000 * F.count(F.lit(1))))
+            .alias("logit"),
+            (F.sum("w") > 0).alias("keep"),
+        )
+    )
+
+
+# --- unigram LM scoring (perplexity-style filter) --------------------------
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0
+),
+model AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE doc_id % 5 <> 0 GROUP BY tok
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM model),
+scored AS (
+    SELECT t.doc_id,
+           CAST(ROUND(-ln(COALESCE(m.n, 0.5) / (total.nt + 1)), 8)
+                AS DECIMAL(18,8)) AS nlp
+    FROM toks t LEFT JOIN model m USING (tok), total
+    WHERE t.doc_id % 5 = 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(nlp) AS DOUBLE) / COUNT(*) AS avg_neg_logprob,
+       (CAST(SUM(nlp) AS DOUBLE) / COUNT(*) > 5.0) AS flag_outlier
+FROM scored
+GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model scoring for corpus filtering — the CCNet/KenLM
+    perplexity-filter pattern with an in-query LEARNED model: train a
+    unigram LM on 80% of the corpus (token counts → probabilities),
+    score each held-out document by its average negative log-prob, and
+    flag high-surprise outliers (boilerplate, garbage, wrong-language
+    text score high against an in-domain LM). Same train/score split
+    discipline as text_langid_trigram.
+
+    Plan: one explode + count aggregate learns the model; the (small —
+    corpus vocabulary) model broadcasts back onto the held-out tokens;
+    one keyed aggregate scores documents. OOV tokens smooth to
+    0.5/(N+1) (absolute discounting) so the score is total.
+
+    Exactness discipline: ln() IS bit-portable on this platform (the
+    tfidf/bm25 family already hash-matches through it), but float
+    ADDITION order is not — each token's -ln(p) rounds to 8dp and
+    accumulates as DECIMAL(18,8), making the per-doc sum
+    order-independent; the single IEEE division at the end is then
+    bit-identical in both engines."""
+    from ..functions import text as tf
+
+    docs = spread(load(spark, sf_dir, "documents")).filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(tf.ws_tokens(F.lower("text"))).alias("tok"),
+    )
+    model = (
+        toks.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = model.agg(F.sum("n").alias("nt")).select(
+        "nt", F.lit(0).alias("_one")
+    )
+    nlp = (
+        F.round(
+            -F.log(F.coalesce(F.col("n"), F.lit(0.5)) / (F.col("nt") + 1)), 8
+        )
+        .cast("decimal(18,8)")
+        .alias("nlp")
+    )
+    scored = (
+        toks.filter(F.col("doc_id") % 5 == 0)
+        .join(F.broadcast(model), "tok", "left")
+        .withColumn("_one", F.lit(0))
+        .join(F.broadcast(total), "_one")
+        .select("doc_id", nlp)
+    )
+    avg = F.sum("nlp").cast("double") / F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        avg.alias("avg_neg_logprob"),
+        (avg > 5.0).alias("flag_outlier"),
+    )
+

@@ -370,3 +370,50 @@ class TestBloomDelta:
             assert (230, None, False) in got
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestQualityScoring:
+    def test_classifier_decision_matches_sign(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm6 import quality_classifier_scores
+
+        rows = quality_classifier_scores(spark, SF_SMALL).collect()
+        assert rows and all(r["keep"] == (r["logit_milli"] > 0) for r in rows)
+        assert all(abs(r["logit"]) <= 1.0 for r in rows)
+
+    def test_unigram_lm_scores_oov_higher(self, spark):
+        """A document of never-seen tokens must score strictly more
+        surprising than any in-domain held-out document."""
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rust_ruuvitag_etl_spark.plans.llm6 import text_unigram_logprob
+
+        d = tempfile.mkdtemp(prefix="ulm_")
+        try:
+            common = "alpha beta gamma delta " * 5
+            rows = [(i, common) for i in range(1, 25) if i % 5 != 0]
+            rows += [(5, common), (10, "zzz qqq xxx www vvv")]
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": [r[1] for r in rows],
+                        "lang": ["en"] * len(rows),
+                        "source": ["t"] * len(rows),
+                        "n_chars": pa.array(
+                            [len(r[1]) for r in rows], pa.int64()
+                        ),
+                    }
+                ),
+                f"{d}/documents.parquet",
+            )
+            got = {
+                r["doc_id"]: r for r in text_unigram_logprob(spark, d).collect()
+            }
+            assert got[10]["avg_neg_logprob"] > got[5]["avg_neg_logprob"]
+            assert got[10]["flag_outlier"] and not got[5]["flag_outlier"]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
