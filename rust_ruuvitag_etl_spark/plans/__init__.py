@@ -25,4 +25,5 @@ from . import (  # noqa: E402, F401
     storage,
     analytics,
     llm6,
+    analytics2,
 )

