@@ -26,4 +26,5 @@ from . import (  # noqa: E402, F401
     analytics,
     llm6,
     analytics2,
+    graph,
 )
