@@ -27,4 +27,5 @@ from . import (  # noqa: E402, F401
     llm6,
     analytics2,
     graph,
+    llm7,
 )

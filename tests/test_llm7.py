@@ -1,0 +1,100 @@
+"""Semantics tests for the round-4 similarity additions (plans/llm7.py,
+operators/similarity.py SQ8 family): quantizer code range, round-trip
+error bound, zero-range dimension handling, and end-to-end top-k
+equivalence with brute force on constructed corpora.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_ruuvitag_etl_spark.operators import similarity as sim
+
+
+def _em(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+class TestSq8Codec:
+    def test_codes_span_full_range(self, spark):
+        em = _em(spark, [[0.0, -1.0, 5.0], [1.0, 1.0, 10.0], [0.5, 0.0, 7.5]])
+        stats = sim.sq8_train_stats(em, 3)
+        codes = {
+            r["vec_id"]: r["codes"]
+            for r in sim.sq8_encode(em, stats).collect()
+        }
+        # Min maps to 0, max to 255, midpoint to 128 (round half up).
+        assert codes[0] == [0, 0, 0]
+        assert codes[1] == [255, 255, 255]
+        assert codes[2] == [128, 128, 128]
+
+    def test_zero_range_dim_is_total(self, spark):
+        # Constant dimension: max == min → code 0, no division by zero.
+        em = _em(spark, [[3.0, 1.0], [3.0, 2.0]])
+        stats = sim.sq8_train_stats(em, 2)
+        codes = {
+            r["vec_id"]: r["codes"]
+            for r in sim.sq8_encode(em, stats).collect()
+        }
+        assert codes[0][0] == 0 and codes[1][0] == 0
+        assert codes[0][1] == 0 and codes[1][1] == 255
+
+    def test_roundtrip_error_bounded_by_half_step(self, spark):
+        vecs = [
+            [0.13, -2.7, 9.41, 0.002],
+            [0.97, 3.3, -8.1, 0.5],
+            [-0.55, 0.0, 1.25, -0.25],
+        ]
+        em = _em(spark, vecs)
+        stats = sim.sq8_train_stats(em, 4)
+        codes = sim.sq8_encode(em, stats)
+        recon = (
+            codes.crossJoin(F.broadcast(stats))
+            .select("vec_id", sim._sq8_recon().alias("recon"))
+            .collect()
+        )
+        lo = [min(v[d] for v in vecs) for d in range(4)]
+        hi = [max(v[d] for v in vecs) for d in range(4)]
+        step = [(h - l) / 255 for h, l in zip(hi, lo)]
+        orig = {i: v for i, v in enumerate(vecs)}
+        for r in recon:
+            for d, x in enumerate(r["recon"]):
+                # float32 storage of the original adds a tiny epsilon
+                assert abs(x - orig[r["vec_id"]][d]) <= step[d] / 2 + 1e-6
+
+
+class TestSq8TopK:
+    def test_matches_bruteforce_on_separated_corpus(self, spark):
+        # 20 vectors in 2 well-separated directions + 1 query per side.
+        import math
+
+        vecs = []
+        for i in range(10):
+            a = 0.01 * i
+            vecs.append([math.cos(a), math.sin(a), 0.0, 0.0])
+        for i in range(10):
+            a = 0.01 * i
+            vecs.append([0.0, 0.0, math.cos(a), math.sin(a)])
+        em = _em(spark, vecs)
+        queries = em.filter(F.col("vec_id").isin(0, 10)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        stats = sim.sq8_train_stats(em, 4)
+        codes = sim.sq8_encode(em, stats)
+        got = sim.sq8_topk(codes, stats, queries, em, k=5, shortlist=10)
+        bf = sim.cosine_topk(em, queries, k=5)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, bf.collect())
+        )
+
+    def test_registry_query_recall_flag_true(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm7 import similarity_sq8_topk
+
+        rows = similarity_sq8_topk(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 50
+        assert all(r["recall_ok"] for r in rows)
+        assert all(r["compression_ratio"] == 4.0 for r in rows)
