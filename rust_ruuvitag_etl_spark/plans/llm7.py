@@ -81,3 +81,143 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_ok",
         F.lit(4.0).alias("compression_ratio"),
     )
+
+
+# --- SemDeDup: cluster-scoped semantic dedup ------------------------------
+
+# The SemDeDup regime (Abbas et al. 2023): near-IDENTICAL embeddings
+# (cosine ≥ 0.99), found by clustering the corpus and comparing only
+# within clusters. The driver corpus is isotropic with no true
+# near-dups, so the query derives the standard planted-duplicate
+# corpus IN-PLAN (reproducible in SQL): every fifth vector gains a
+# copy with +0.01 on dimension 0 — cosine(orig, copy) ≈ 0.9999, all
+# other pairs < 0.5. Recall measured 1.0 at sf0.001/0.01 (a perturbed
+# copy lands in its original's cluster except exactly on a centroid
+# decision boundary); the flag floor is 90% (hits·10 ≥ exact·9, pure
+# integer — no float threshold).
+_SEM_TAU = 0.99
+
+
+def _sem_augmented(em: DataFrame) -> DataFrame:
+    """Corpus + planted near-dup copies, as array<double> on both
+    engines (the +0.01 perturbation is exact double arithmetic)."""
+    base = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ev"),
+    )
+    copies = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("ev")[0] + 0.01), F.slice("ev", 2, 100000)
+        ).alias("ev"),
+    )
+    return base.unionAll(copies)
+
+
+def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SemDeDup path: k-means the augmented corpus
+    (8 clusters, 2 Lloyd rounds — the same deterministic codebook
+    discipline as the IVF index), assign each vector to its nearest
+    centroid, then verify exact cosine ONLY within clusters. The pair
+    space shrinks from O(N²) to Σ|cluster|² — with k scaled ∝ √N (the
+    SemDeDup paper's regime) that is O(N) pairs; nothing corpus-sized
+    ever cross-joins."""
+    from pyspark.sql import Window
+    from ..functions import vectors as vf
+
+    em = load(spark, sf_dir, "embeddings")
+    aug = _sem_augmented(em).localCheckpoint(eager=True)
+    cents = sim.kmeans_centroids(
+        aug.withColumnRenamed("ev", "embedding"), n_centroids=8, iters=2
+    ).localCheckpoint(eager=True)
+    scored = aug.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "ev",
+        "centroid_id",
+        vf.cosine(F.col("ev"), F.col("centroid")).alias("_s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("centroid_id"))
+    asg = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "centroid_id", "ev")
+    )
+    x, y = asg.alias("x"), asg.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.centroid_id") == F.col("y.centroid_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(vf.cosine(F.col("x.ev"), F.col("y.ev")) >= _SEM_TAU)
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+    )
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+    FROM embeddings
+),
+aug AS (
+    SELECT vec_id, ev FROM base
+    UNION ALL
+    SELECT vec_id + 1000000, list_concat([ev[1] + 0.01], ev[2:])
+    FROM base WHERE vec_id % 5 = 0
+),
+scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.ev) + 1),
+                    i -> a.ev[i] * b.ev[i]))
+           / (sqrt(list_sum(list_transform(a.ev, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.ev, x -> x * x)))) AS c
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c, 6) AS cosine, TRUE AS recall_ok
+FROM scored WHERE c >= {_SEM_TAU}
+""",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-scoped semantic dedup) with the recall floor
+    enforced IN-QUERY: emits the EXACT near-identical pair set
+    (cosine ≥ 0.99 over the corpus + planted-copy augmentation — the
+    all-pairs twin DuckDB reproduces) plus a ``recall_ok`` flag
+    asserting the cluster-scoped production path
+    (:func:`_semdedup_pairs`) found ≥90% of those pairs. An exact
+    integer comparison (hits·10 ≥ exact·9) keeps the flag portable."""
+    from ..functions import vectors as vf
+
+    em = load(spark, sf_dir, "embeddings")
+    aug = _sem_augmented(em).localCheckpoint(eager=True)
+    a, b = aug.alias("a"), aug.alias("b")
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            vf.cosine(F.col("a.ev"), F.col("b.ev")).alias("_c"),
+        )
+        .filter(F.col("_c") >= _SEM_TAU)
+        .localCheckpoint(eager=True)
+    )
+    found = _semdedup_pairs(spark, sf_dir).select("id_a", "id_b")
+    flag = (
+        exact.select("id_a", "id_b")
+        .join(found, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("_nex")))
+        .select(
+            (F.col("_hits") * 10 >= F.col("_nex") * 9).alias("recall_ok")
+        )
+    )
+    return exact.crossJoin(F.broadcast(flag)).select(
+        "id_a",
+        "id_b",
+        F.round("_c", 6).alias("cosine"),
+        "recall_ok",
+    )

@@ -98,3 +98,50 @@ class TestSq8TopK:
         assert len(rows) == 50
         assert all(r["recall_ok"] for r in rows)
         assert all(r["compression_ratio"] == 4.0 for r in rows)
+
+
+class TestSemDedup:
+    def test_planted_pairs_all_found_and_flag_true(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm7 import (
+            _semdedup_pairs,
+            dedup_semantic_clusters,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = dedup_semantic_clusters(spark, sf).collect()
+        # Every exact pair is (orig, orig + 1_000_000) with cosine ≈ 1.
+        assert rows and all(r["recall_ok"] for r in rows)
+        assert all(r["id_b"] == r["id_a"] + 1000000 for r in rows)
+        assert all(r["cosine"] > 0.999 for r in rows)
+        # Production path precision: every cluster-scoped pair is exact.
+        exact = {(r["id_a"], r["id_b"]) for r in rows}
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in _semdedup_pairs(spark, sf).collect()
+        }
+        assert found <= exact
+        # Measured recall is 1.0 on this corpus (floor is 0.9).
+        assert found == exact
+
+    def test_augmentation_is_ten_percent_copies(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm7 import _sem_augmented
+        from rust_ruuvitag_etl_spark.sources import load
+
+        em = load(spark, "/root/testdata/sf0.001", "embeddings")
+        n = em.count()
+        aug = _sem_augmented(em)
+        assert aug.count() == n + em.filter("vec_id % 5 = 0").count()
+        # Copies differ from originals only on dimension 0, by +0.01.
+        from pyspark.sql import functions as F
+
+        joined = (
+            aug.filter(F.col("vec_id") >= 1000000)
+            .select((F.col("vec_id") - 1000000).alias("vec_id"),
+                    F.col("ev").alias("cp"))
+            .join(aug.filter(F.col("vec_id") < 1000000), "vec_id")
+        )
+        bad = joined.filter(
+            (F.abs(F.col("cp")[0] - F.col("ev")[0] - 0.01) > 1e-12)
+            | (F.slice("cp", 2, 100000) != F.slice("ev", 2, 100000))
+        )
+        assert bad.count() == 0
