@@ -232,3 +232,81 @@ def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").alias("value"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
     )
+
+
+# --- incremental aggregate maintenance ------------------------------------
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+SELECT event_type,
+       date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the hourly
+    per-event_type rollup is computed as PARTIAL aggregates over two
+    independent arrival batches (event_id % 10 < 8 = the standing
+    corpus, >= 8 = the newly-arrived delta) and then MERGED with the
+    aggregates' combine functions (count→sum, sum→sum, min→min,
+    max→max; avg derived from merged sum/count — decimal sums make the
+    merge exact, not approximately associative). The oracle recomputes
+    the rollup DIRECTLY over all events, so the hash gate proves the
+    incremental path is indistinguishable from a full recompute — the
+    invariant that lets a 100 TB deployment update a continuous
+    aggregate by scanning ONLY the delta (this is the batch dual of
+    streaming_ohlc_rollup's stateful accumulation).
+
+    Scale posture: each batch aggregates with map-side partials, the
+    merge shuffles only rollup-sized rows (|groups|, not |events|),
+    and the standing corpus' partial would be a persisted table in
+    production — here both partials derive from one scan split by a
+    pure filter, which Catalyst pushes to the parquet reader."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "hour").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 10 < 8))
+    delta = partial(ev.filter(F.col("event_id") % 10 >= 8))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "hour",
+        "n",
+        F.col("s").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round(
+            F.col("s").cast("double") / F.col("n").cast("double"), 6
+        ).alias("avg_value"),
+    )

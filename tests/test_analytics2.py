@@ -193,3 +193,42 @@ class TestEwma:
         # The click partition must not see the view 100.0.
         assert out[2] == 0.0
         assert out[3] == round((128 * 0.0 + 64 * 100.0) / 192, 6)
+
+
+class TestIncrementalRollup:
+    def test_merge_equals_full_recompute(self, spark):
+        from pyspark.sql import functions as F
+
+        from rust_ruuvitag_etl_spark.plans.analytics2 import (
+            incremental_rollup_merge,
+        )
+        from rust_ruuvitag_etl_spark.sources import load
+
+        sf = "/root/testdata/sf0.001"
+        got = incremental_rollup_merge(spark, sf)
+        ev = load(spark, sf, "events")
+        full = (
+            ev.select(
+                "event_type",
+                F.date_trunc("hour", "ts").alias("hour"),
+                "value",
+                F.col("value").cast("decimal(18,6)").alias("v"),
+            )
+            .groupBy("event_type", "hour")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").cast("double").alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                "event_type", "hour", "n", "sum_value", "min_value",
+                "max_value",
+                F.round(
+                    F.col("sum_value") / F.col("n").cast("double"), 6
+                ).alias("avg_value"),
+            )
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, full.collect())
+        )
