@@ -56,6 +56,12 @@ HEADLINE = [
     "timeseries_ohlc_downsample",
     "funnel_view_click_purchase",
     "retention_weekly_cohorts",
+    "graph_pagerank_bipartite",
+    "similarity_sq8_topk",
+    "dedup_semantic_clusters",
+    "dq_constraint_checks",
+    "timeseries_ewma_smooth",
+    "incremental_rollup_merge",
 ]
 
 
@@ -75,6 +81,22 @@ def _pq_probe_only(spark, sf_dir):
     from rust_ruuvitag_etl_spark.plans.llm6 import _pq_probe
 
     return _pq_probe(spark, sf_dir)
+
+
+def _sq8_probe_only(spark, sf_dir):
+    # Probe-only convention for SQ8: quantized scan + exact re-rank,
+    # without the brute-force recall twin.
+    from rust_ruuvitag_etl_spark.plans.llm7 import _sq8_probe
+
+    return _sq8_probe(spark, sf_dir)
+
+
+def _semdedup_prod(spark, sf_dir):
+    # The cluster-scoped production path, without the all-pairs exact
+    # twin the registry query carries for the correctness gate.
+    from rust_ruuvitag_etl_spark.plans.llm7 import _semdedup_pairs
+
+    return _semdedup_pairs(spark, sf_dir)
 
 
 def _minhash_lsh_fast(spark, sf_dir):
@@ -98,6 +120,8 @@ OVERRIDES = {
     "dedup_minhash_verified": _minhash_verified_fast,
     "similarity_ivf_topk": _ivf_probe_only,
     "similarity_ivf_pq_topk": _pq_probe_only,
+    "similarity_sq8_topk": _sq8_probe_only,
+    "dedup_semantic_clusters": _semdedup_prod,
 }
 
 

@@ -787,8 +787,21 @@ def sq8_encode(
             F.lit(0)
         ),
     )
-    return corpus.crossJoin(F.broadcast(stats)).select(
-        id_col, codes.alias("codes")
+    with_codes = corpus.crossJoin(F.broadcast(stats)).select(
+        id_col, codes.alias("codes"), "mins", "maxs"
+    )
+    # recon_norm rides in the index (as pq_encode's does): the L2 norm
+    # of the dequantized row, computed once at build time so probes
+    # need no norm aggregate or join.
+    recon2 = F.aggregate(
+        F.zip_with(
+            _sq8_recon(), F.col("codes"), lambda r, _c: r * r
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return with_codes.select(
+        id_col, "codes", F.sqrt(recon2).alias("recon_norm")
     )
 
 
@@ -815,22 +828,62 @@ def sq8_topk(
 ) -> DataFrame:
     """SQ8 top-k with exact re-rank: (1) approximate scan — cosine of
     each query against the DEQUANTIZED codes; the corpus floats are
-    never read, only the 4×-smaller code rows stream through the
-    broadcast-join scan (same zero-corpus-shuffle shape as
-    :func:`cosine_topk`); (2) per-query ``shortlist`` best approximate
-    candidates (distributed TakeOrdered); (3) exact re-rank — only
-    shortlist × Q rows join back to the corpus floats for true cosine
-    ordering of the final top-k."""
-    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
-    approx = (
-        codes_df.crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(q))
+    never read, only the 4×-smaller code rows stream through the scan;
+    (2) per-query ``shortlist`` best approximate candidates
+    (distributed TakeOrdered); (3) exact re-rank — only shortlist × Q
+    rows join back to the corpus floats for true cosine ordering of
+    the final top-k.
+
+    The approximate scan runs in the EXPLODED narrow layout (the same
+    storage shape :func:`pq_encode` uses): dot(q, recon) decomposes as
+    Σᵢ qᵢ·mnᵢ (a per-query constant) + Σᵢ (qᵢ·sᵢ)·cᵢ, so the per-pair
+    work is one codegen'd hash aggregate over (pos-joined) code rows —
+    no per-element lambda evaluation (array zip_with chains run
+    interpreted per element and dominate wall-clock at scan volume)."""
+    # Broadcast-side: stats exploded to (pos, mn, step).
+    st = stats.select(
+        F.posexplode(F.arrays_zip("mins", "maxs")).alias("pos", "_mm")
+    ).select(
+        "pos",
+        F.col("_mm.mins").alias("_mn"),
+        ((F.col("_mm.maxs") - F.col("_mm.mins")) / 255.0).alias("_s"),
+    )
+    qx = (
+        queries.select(query_id_col, F.posexplode(vec_col).alias("pos", "_qv"))
+        .join(F.broadcast(st), "pos")
         .select(
             query_id_col,
-            id_col,
-            vf.cosine(_sq8_recon(), F.col("_qvec")).alias("_approx"),
+            "pos",
+            (F.col("_qv").cast("double") * F.col("_s")).alias("_qs"),
+            (F.col("_qv").cast("double") * F.col("_mn")).alias("_qmn"),
+            (F.col("_qv").cast("double") * F.col("_qv")).alias("_q2"),
         )
     )
+    qagg = qx.groupBy(query_id_col).agg(
+        F.sum("_qmn").alias("_qconst"), F.sqrt(F.sum("_q2")).alias("_qnorm")
+    )
+    qw = qx.select(query_id_col, "pos", "_qs")
+    ex = codes_df.select(
+        id_col, "recon_norm", F.posexplode("codes").alias("pos", "_c")
+    )
+    dots = (
+        ex.join(F.broadcast(qw), "pos")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum(F.col("_qs") * F.col("_c").cast("double")).alias("_wdot"),
+            # constant within the group — carried, not re-joined
+            F.max("recon_norm").alias("_rnorm"),
+        )
+    )
+    approx = dots.join(F.broadcast(qagg), query_id_col).select(
+        query_id_col,
+        id_col,
+        (
+            (F.col("_qconst") + F.col("_wdot"))
+            / (F.col("_qnorm") * F.col("_rnorm"))
+        ).alias("_approx"),
+    )
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("_approx"), F.asc(id_col)
     )
