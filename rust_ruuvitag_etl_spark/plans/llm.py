@@ -381,24 +381,33 @@ def ensure_ivf_tables(
     read. Shared by the IVF and IVF-PQ probes (plans/llm6.py)."""
     import os
 
+    from ..sources.sinks import register_external_table
+
     em = load(spark, sf_dir, "embeddings")
     slug = sf_slug(sf_dir)
     table = f"ivf_index_{slug}"
     ctable = f"ivf_centroids_{slug}"
-    if not (
-        spark.catalog.tableExists(table) and spark.catalog.tableExists(ctable)
-    ):
-        warehouse = _warehouse_dir()
-        centroids = sim.kmeans_centroids(em, n_centroids=8, iters=2)
-        (
-            centroids.write.mode("overwrite")
-            .option("path", os.path.join(warehouse, ctable))
-            .saveAsTable(ctable)
-        )
-        sim.ivf_build_index(
-            em, centroids, table, num_buckets=8,
-            path=os.path.join(warehouse, table),
-        )
+    warehouse = _warehouse_dir()
+    # A fresh process (default per-process catalog) must re-REGISTER an
+    # index an earlier process already materialized — rebuilding would
+    # overwrite files a concurrent session may be reading mid-probe.
+    if not spark.catalog.tableExists(ctable):
+        cpath = os.path.join(warehouse, ctable)
+        if not register_external_table(spark, ctable, cpath):
+            centroids = sim.kmeans_centroids(em, n_centroids=8, iters=2)
+            (
+                centroids.write.mode("overwrite")
+                .option("path", cpath)
+                .saveAsTable(ctable)
+            )
+    if not spark.catalog.tableExists(table):
+        tpath = os.path.join(warehouse, table)
+        if not register_external_table(
+            spark, table, tpath, bucket_cols=("centroid_id",), num_buckets=8
+        ):
+            sim.ivf_build_index(
+                em, spark.table(ctable), table, num_buckets=8, path=tpath
+            )
     return spark.table(ctable), spark.table(table)
 
 

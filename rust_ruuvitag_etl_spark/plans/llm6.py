@@ -150,32 +150,46 @@ def _ensure_pq_tables(spark: SparkSession, sf_dir: str):
     from ..sources.sinks import write_bucketed
     from .llm import _warehouse_dir, ensure_ivf_tables, sf_slug
 
+    from ..sources.sinks import register_external_table
+
     slug = sf_slug(sf_dir)
     cb_table = f"pq_codebooks_{slug}"
     codes_table = f"pq_codes_{slug}"
     centroids, assigned = ensure_ivf_tables(spark, sf_dir)
-    if not (
-        spark.catalog.tableExists(cb_table)
-        and spark.catalog.tableExists(codes_table)
-    ):
-        em = load(spark, sf_dir, "embeddings")
-        warehouse = _warehouse_dir()
-        cb = sim.pq_train_codebooks(
-            em, dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=2
-        )
-        (
-            cb.write.mode("overwrite")
-            .option("path", os.path.join(warehouse, cb_table))
-            .saveAsTable(cb_table)
-        )
-        codes = sim.pq_encode(assigned, cb, dim=_PQ_DIM, m=_PQ_M)
-        write_bucketed(
-            codes,
+    warehouse = _warehouse_dir()
+    # Re-register before rebuilding (see register_external_table): a
+    # fresh process must not overwrite an index another session reads.
+    if not spark.catalog.tableExists(cb_table):
+        cb_path = os.path.join(warehouse, cb_table)
+        if not register_external_table(spark, cb_table, cb_path):
+            em = load(spark, sf_dir, "embeddings")
+            cb = sim.pq_train_codebooks(
+                em, dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=2
+            )
+            (
+                cb.write.mode("overwrite")
+                .option("path", cb_path)
+                .saveAsTable(cb_table)
+            )
+    if not spark.catalog.tableExists(codes_table):
+        codes_path = os.path.join(warehouse, codes_table)
+        if not register_external_table(
+            spark,
             codes_table,
+            codes_path,
             bucket_cols=("centroid_id",),
             num_buckets=8,
-            path=os.path.join(warehouse, codes_table),
-        )
+        ):
+            codes = sim.pq_encode(
+                assigned, spark.table(cb_table), dim=_PQ_DIM, m=_PQ_M
+            )
+            write_bucketed(
+                codes,
+                codes_table,
+                bucket_cols=("centroid_id",),
+                num_buckets=8,
+                path=codes_path,
+            )
     return centroids, spark.table(cb_table), spark.table(codes_table)
 
 

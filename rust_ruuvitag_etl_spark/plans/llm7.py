@@ -37,6 +37,7 @@ def ensure_sq8_tables(
     encoding is scan-local under the broadcast stats row."""
     import os
 
+    from ..sources.sinks import register_external_table
     from .llm import _warehouse_dir, sf_slug
 
     em = load(spark, sf_dir, "embeddings")
@@ -44,26 +45,31 @@ def ensure_sq8_tables(
     # v2: codes carry recon_norm (probe needs no norm aggregate)
     stable = f"sq8_stats_v2_{slug}"
     ctable = f"sq8_codes_v2_{slug}"
-    if not (
-        spark.catalog.tableExists(stable) and spark.catalog.tableExists(ctable)
-    ):
-        warehouse = _warehouse_dir()
-        stats = sim.sq8_train_stats(em, _DIM)
-        (
-            stats.write.mode("overwrite")
-            .option("path", os.path.join(warehouse, stable))
-            .saveAsTable(stable)
-        )
-        # spread: a small-sf corpus arrives as one parquet split and
-        # would pin the encode (and every later probe scan over the
-        # written codes) to one core; a real large input already has
-        # enough splits and passes through untouched.
-        (
-            sim.sq8_encode(spread(em), spark.table(stable))
-            .write.mode("overwrite")
-            .option("path", os.path.join(warehouse, ctable))
-            .saveAsTable(ctable)
-        )
+    warehouse = _warehouse_dir()
+    # Re-register before rebuilding (see register_external_table): a
+    # fresh process must not overwrite an index another session reads.
+    if not spark.catalog.tableExists(stable):
+        spath = os.path.join(warehouse, stable)
+        if not register_external_table(spark, stable, spath):
+            (
+                sim.sq8_train_stats(em, _DIM)
+                .write.mode("overwrite")
+                .option("path", spath)
+                .saveAsTable(stable)
+            )
+    if not spark.catalog.tableExists(ctable):
+        cpath = os.path.join(warehouse, ctable)
+        if not register_external_table(spark, ctable, cpath):
+            # spread: a small-sf corpus arrives as one parquet split
+            # and would pin the encode (and every later probe scan over
+            # the written codes) to one core; a real large input
+            # already has enough splits and passes through untouched.
+            (
+                sim.sq8_encode(spread(em), spark.table(stable))
+                .write.mode("overwrite")
+                .option("path", cpath)
+                .saveAsTable(ctable)
+            )
     return spark.table(stable), spark.table(ctable)
 
 

@@ -166,3 +166,42 @@ def compact_parquet(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def register_external_table(
+    spark,
+    table: str,
+    path: str,
+    bucket_cols: tuple[str, ...] = (),
+    num_buckets: int = 0,
+    sort_cols: tuple[str, ...] = (),
+) -> bool:
+    """Re-register an already-materialized table path in THIS session's
+    catalog instead of rebuilding it.
+
+    The build-once index accessors (IVF/PQ/SQ8) guard on
+    ``spark.catalog.tableExists`` — but the default catalog is
+    per-process, so a second process (or a restart) would rebuild and
+    OVERWRITE index files a concurrent session may be mid-read on.
+    If Spark's ``_SUCCESS`` marker shows the path is complete, this
+    recreates the catalog entry — including the bucket spec, which a
+    plain ``spark.read.parquet(path)`` would lose, and which the probe
+    plans rely on for shuffle-free equi-joins — and returns True.
+    Returns False when there is nothing on disk (caller builds)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    ddl = f"CREATE TABLE {table} ({cols}) USING parquet"
+    if bucket_cols:
+        ddl += f" CLUSTERED BY ({', '.join(bucket_cols)})"
+        if sort_cols:
+            ddl += f" SORTED BY ({', '.join(sort_cols)})"
+        ddl += f" INTO {num_buckets} BUCKETS"
+    ddl += f" LOCATION '{path}'"
+    spark.sql(ddl)
+    return True
