@@ -66,7 +66,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.localCheckpoint(eager=True)
 
 
-_PR_EDGE_CTES = """
+# SQL prefix defining CTEs p (distinct interactions) and e (the
+# symmetrized edge list) for the bipartite engagement graph.
+_BIPARTITE_EDGE_SQL = """
 WITH p AS (
     SELECT DISTINCT 'u:' || user_id AS u, 't:' || event_type AS t
     FROM events
@@ -75,7 +77,12 @@ e AS (
     SELECT u AS src, t AS dst FROM p
     UNION ALL
     SELECT t AS src, u AS dst FROM p
-),
+)
+"""
+
+# CTEs shared by every PageRank oracle: out-degrees and the integer
+# constants, keyed off whatever CTE `e` the prefix defined.
+_PR_CONST_CTES = """,
 deg AS (
     SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src
 ),
@@ -101,28 +108,27 @@ r{i} AS (
 )
 """
 
-_PR_ORACLE = (
-    _PR_EDGE_CTES
-    + ",\nr0 AS (SELECT src AS node, c.r_init AS r FROM deg CROSS JOIN c)"
-    + "".join(
-        "," + _PR_ITER_CTE.format(i=i, prev=i - 1)
-        for i in range(1, _PR_ITERS + 1)
+
+def _pr_oracle_sql(edge_prefix: str, iters: int, tail: str) -> str:
+    """Unrolled integer-PageRank oracle: ``edge_prefix`` must open the
+    WITH clause and define CTE ``e`` (src, dst); ``tail`` is the final
+    SELECT over ``r{iters}``."""
+    return (
+        edge_prefix.rstrip()
+        + _PR_CONST_CTES
+        + ",\nr0 AS (SELECT src AS node, c.r_init AS r FROM deg CROSS JOIN c)"
+        + "".join(
+            "," + _PR_ITER_CTE.format(i=i, prev=i - 1)
+            for i in range(1, iters + 1)
+        )
+        + tail.format(last=f"r{iters}")
     )
-    + f"""
-SELECT node, r AS rank_scaled,
-       ROUND(CAST(r AS DOUBLE) / {_S}.0, 8) AS pagerank
-FROM r{_PR_ITERS}
-"""
-)
 
 
-@query("graph_pagerank_bipartite", oracle=_PR_ORACLE)
-def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Damped PageRank (d=0.85, 3 synchronous iterations) over the
-    bipartite user↔event_type engagement graph, in EXACT fixed-point
-    integer arithmetic (scale 10^12) so both engines agree bit-for-bit
-    — see the module docstring for the update rule and scale posture."""
-    edges = _edges(spark, sf_dir)
+def _pagerank(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """The Spark side of the integer PageRank: ``iters`` synchronous
+    rounds over a (src, dst) edge frame; returns (node, r). Each round
+    is one edge equi-join + one groupBy(dst) partial-sum aggregate."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     consts = deg.agg(
         F.count(F.lit(1)).alias("n"),
@@ -132,7 +138,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = deg.crossJoin(F.broadcast(consts)).select(
         F.col("src").alias("node"), F.col("r_init").alias("r")
     )
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         contrib = (
             edges.join(rank, edges.src == rank.node)
             .join(deg, "src")
@@ -147,6 +153,27 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("base + (85 * s) div 100").alias("r"),
             )
         )
+    return rank
+
+
+_PR_ORACLE = _pr_oracle_sql(
+    _BIPARTITE_EDGE_SQL,
+    _PR_ITERS,
+    f"""
+SELECT node, r AS rank_scaled,
+       ROUND(CAST(r AS DOUBLE) / {_S}.0, 8) AS pagerank
+FROM {{last}}
+""",
+)
+
+
+@query("graph_pagerank_bipartite", oracle=_PR_ORACLE)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 3 synchronous iterations) over the
+    bipartite user↔event_type engagement graph, in EXACT fixed-point
+    integer arithmetic (scale 10^12) so both engines agree bit-for-bit
+    — see the module docstring for the update rule and scale posture."""
+    rank = _pagerank(_edges(spark, sf_dir))
     return rank.select(
         "node",
         F.col("r").alias("rank_scaled"),
@@ -233,4 +260,104 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return dist.filter(F.col("dist") < _INF).select(
         "node", F.col("dist").cast("long").alias("hops")
+    )
+
+
+# --- TextRank keyword extraction ------------------------------------------
+
+_TR_WINDOW = 2  # co-occurrence window (positions apart, 1..2)
+_TR_TOPK = 20
+
+
+def _tr_edge_sql() -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, toks[CAST(u.i AS BIGINT)] AS tok,
+           CAST(u.i AS BIGINT) AS pos
+    FROM t, LATERAL unnest(range(1, len(toks) + 1)) u(i)
+),
+pr AS (
+    SELECT DISTINCT a.tok AS src, b.tok AS dst
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id
+     AND b.pos - a.pos BETWEEN 1 AND {_TR_WINDOW}
+     AND a.tok <> b.tok
+),
+e AS (
+    SELECT src, dst FROM pr
+    UNION
+    SELECT dst, src FROM pr
+)
+"""
+
+
+@query(
+    "text_keyword_pagerank",
+    oracle=_pr_oracle_sql(
+        _tr_edge_sql(),
+        _PR_ITERS,
+        f"""
+SELECT node AS keyword, r AS rank_scaled,
+       ROUND(CAST(r AS DOUBLE) / {_S}.0, 8) AS textrank
+FROM {{last}}
+ORDER BY r DESC, node
+LIMIT {_TR_TOPK}
+""",
+    ),
+)
+def text_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus-wide word co-occurrence graph — tokens are nodes,
+    undirected edges link tokens appearing within 2 positions of each
+    other in any document — then the top-20 tokens by rank. Runs the
+    same integer-exact PageRank core as graph_pagerank_bipartite
+    (:func:`_pagerank`), so the unrolled-CTE oracle reproduces every
+    rank bit-for-bit.
+
+    Scale posture: co-occurrence pairs derive from TWO positional
+    equi-joins on (doc_id, pos+δ) — per-token work is constant (δ ∈
+    {{1, 2}}), never a within-document cross join; the DISTINCT
+    collapses them to the vocabulary-sized edge list the iterations run
+    on, and top-k is a distributed TakeOrderedAndProject, no global
+    sort."""
+    from ..operators.dedup import spread
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    )
+    parts = []
+    for d in range(1, _TR_WINDOW + 1):
+        b = tok.select(
+            "doc_id",
+            (F.col("pos") - d).alias("apos"),
+            F.col("tok").alias("dst_tok"),
+        )
+        parts.append(
+            tok.join(b, (tok.doc_id == b.doc_id) & (tok.pos == b.apos))
+            .filter(F.col("tok") != F.col("dst_tok"))
+            .select(F.col("tok").alias("src"), F.col("dst_tok").alias("dst"))
+        )
+    pr = parts[0]
+    for p in parts[1:]:
+        pr = pr.unionAll(p)
+    edges = (
+        pr.unionAll(pr.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rank = _pagerank(edges)
+    return (
+        rank.orderBy(F.desc("r"), F.asc("node"))
+        .limit(_TR_TOPK)
+        .select(
+            F.col("node").alias("keyword"),
+            F.col("r").alias("rank_scaled"),
+            F.round(F.col("r").cast("double") / _S, 8).alias("textrank"),
+        )
     )

@@ -176,8 +176,16 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread BEFORE the checkpoint: a single-split parquet corpus would
     # otherwise pin k-means and the within-cluster verify to one core.
     aug = spread(_sem_augmented(em)).localCheckpoint(eager=True)
+    # Cluster count scales WITH the corpus (the SemDeDup paper's
+    # regime): bounded cluster sizes keep the verify pair space
+    # Σ|cluster|² at O(N) — a fixed k would make it quadratic. The
+    # driver corpora stay at the k=8 floor, so the oracle-gated recall
+    # measurement is unaffected.
+    n_clusters = max(8, aug.count() // 1000)
     cents = sim.kmeans_centroids(
-        aug.withColumnRenamed("ev", "embedding"), n_centroids=8, iters=2
+        aug.withColumnRenamed("ev", "embedding"),
+        n_centroids=n_clusters,
+        iters=2,
     ).localCheckpoint(eager=True)
     scored = aug.crossJoin(F.broadcast(cents)).select(
         "vec_id",

@@ -126,3 +126,53 @@ class TestBfsHops:
         assert "u:3" not in got and "t:error" not in got
         assert all(h <= 4 for h in got.values())
         assert _INF not in got.values()
+
+
+class TestTextRank:
+    def test_cooccurrence_window_and_ranking(self, spark, tmp_path):
+        from rust_ruuvitag_etl_spark.plans.graph import text_keyword_pagerank
+
+        # 'hub' co-occurs with every other word; the others only ever
+        # see 'hub' and one neighbor → hub must rank first.
+        docs = spark.createDataFrame(
+            [
+                (1, "aa hub bb", "en", "t", 9),
+                (2, "cc hub dd", "en", "t", 9),
+                (3, "ee hub ff", "en", "t", 9),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = text_keyword_pagerank(spark, str(tmp_path)).collect()
+        assert rows[0]["keyword"] == "hub"
+        assert all(rows[0]["rank_scaled"] > r["rank_scaled"] for r in rows[1:])
+        # Window is 2: 'aa'-'bb' are linked (distance 2), so every
+        # token appears in the graph; 7 nodes total.
+        assert len(rows) == 7
+
+    def test_window_excludes_distance_three(self, spark, tmp_path):
+        from rust_ruuvitag_etl_spark.plans.graph import text_keyword_pagerank
+
+        # 'xx' and 'yy' are 3 apart: no edge between them; with only
+        # one doc of 4 tokens every token still enters via closer
+        # neighbors.
+        docs = spark.createDataFrame(
+            [(1, "xx p q yy", "en", "t", 9)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["keyword"]: r["rank_scaled"]
+            for r in text_keyword_pagerank(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {"xx", "p", "q", "yy"}
+        # Symmetric layout: xx/yy have degree 2 each (p,q for xx? no:
+        # xx links p (d1) and q (d2); yy links q (d1) and p (d2)) and
+        # p/q have degree 3 — p and q must out-rank xx and yy equally.
+        assert rows["p"] == rows["q"]
+        assert rows["xx"] == rows["yy"]
+        assert rows["p"] > rows["xx"]

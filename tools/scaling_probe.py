@@ -53,6 +53,8 @@ CORPUS_QUERIES = [
     "dedup_minhash_verified",
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
+    "similarity_sq8_topk",
+    "dedup_semantic_clusters",
 ]
 
 # Skew axis (round-2 verdict #7): zipfian token distributions are the
@@ -274,6 +276,14 @@ def main() -> None:
         "a broken bucket strategy; candidate GENERATION",
         "(`dedup_minhash_lsh_pairs`) stays sub-linear, which is the part",
         "that must scale.",
+        "",
+        "`dedup_semantic_clusters` runs its production path (cluster-scoped",
+        "verify) with the cluster count scaling ∝ corpus (max(8, N/1000) —",
+        "the SemDeDup paper's bounded-cluster regime), so its ~linear",
+        "exponent is total batch-job work growing with the corpus, not",
+        "quadratic pair growth; `similarity_sq8_topk` is the probe-only",
+        "path over the persisted quantized index — near-flat because a",
+        "probe touches Q×N code rows with no corpus shuffle.",
         "",
         "## Skew axis (zipfian tokens, x1/x4/x16 documents)",
         "",
