@@ -310,3 +310,54 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double") / F.col("n").cast("double"), 6
         ).alias("avg_value"),
     )
+
+
+# --- bitmap activity rollup -----------------------------------------------
+
+
+@query(
+    "bitmap_user_activity",
+    oracle="""
+WITH b AS (
+    SELECT user_id,
+           date_trunc('month', ts) AS month,
+           bit_or(CAST(1 AS BIGINT) << (CAST(day(ts) AS INTEGER) - 1))
+               AS day_bitmap
+    FROM events
+    GROUP BY user_id, date_trunc('month', ts)
+)
+SELECT user_id, month, day_bitmap,
+       CAST(bit_count(day_bitmap) AS INTEGER) AS active_days,
+       bit_count(day_bitmap) >= 20 AS power_user_month
+FROM b
+""",
+)
+def bitmap_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index activity rollup: each (user, month) compresses its
+    active days into ONE 31-bit bitmap (day d sets bit d−1) built by a
+    single ``bit_or`` aggregate; ``bit_count`` then answers
+    days-active/power-user questions without re-touching events. The
+    classic OLAP bitmap pattern: at 100 TB the per-entity bitmap is a
+    mergeable partial (bit_or is associative/commutative like the
+    rollup merge in incremental_rollup_merge), turns
+    COUNT(DISTINCT day) into popcount arithmetic, and any follow-on
+    set algebra (users active on day X AND day Y) is bitwise AND on
+    8-byte values instead of a join. Pure integer arithmetic — exact
+    in both engines by construction."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "user_id", F.date_trunc("month", "ts").alias("month")
+    ).agg(
+        # SQL shiftleft: the Python F.shiftleft only takes a literal
+        # shift amount, the SQL form shifts by a column.
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)")
+        ).alias("day_bitmap")
+    )
+    return b.select(
+        "user_id",
+        "month",
+        "day_bitmap",
+        F.bit_count("day_bitmap").alias("active_days"),
+        (F.bit_count("day_bitmap") >= 20).alias("power_user_month"),
+    )

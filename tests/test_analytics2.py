@@ -232,3 +232,56 @@ class TestIncrementalRollup:
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, full.collect())
         )
+
+
+class TestBitmapActivity:
+    def test_bitmap_bits_and_popcount(self, spark, tmp_path):
+        from rust_ruuvitag_etl_spark.plans.analytics2 import (
+            bitmap_user_activity,
+        )
+
+        rows = [
+            # user 1, March: days 1, 3, 31 → bits 0, 2, 30
+            (1, dt.datetime(2024, 3, 1, 10), 1, "view", 1.0, "{}"),
+            (2, dt.datetime(2024, 3, 3, 10), 1, "view", 1.0, "{}"),
+            (3, dt.datetime(2024, 3, 3, 12), 1, "click", 1.0, "{}"),  # same day twice
+            (4, dt.datetime(2024, 3, 31, 10), 1, "view", 1.0, "{}"),
+            # user 1, April: day 2 only — separate month row
+            (5, dt.datetime(2024, 4, 2, 10), 1, "view", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, tmp_path, "events")
+        got = {
+            (r["user_id"], r["month"].month): r
+            for r in bitmap_user_activity(spark, str(tmp_path)).collect()
+        }
+        march = got[(1, 3)]
+        assert march["day_bitmap"] == (1 << 0) | (1 << 2) | (1 << 30)
+        assert march["active_days"] == 3  # same-day repeats collapse
+        assert march["power_user_month"] is False
+        april = got[(1, 4)]
+        assert april["day_bitmap"] == 1 << 1
+        assert april["active_days"] == 1
+
+    def test_power_user_threshold(self, spark, tmp_path):
+        from rust_ruuvitag_etl_spark.plans.analytics2 import (
+            bitmap_user_activity,
+        )
+
+        rows = [
+            (d, dt.datetime(2024, 5, d, 9), 7, "view", 1.0, "{}")
+            for d in range(1, 21)  # 20 distinct active days
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, tmp_path, "events")
+        r = bitmap_user_activity(spark, str(tmp_path)).collect()[0]
+        assert r["active_days"] == 20
+        assert r["power_user_month"] is True
