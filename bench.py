@@ -62,6 +62,8 @@ HEADLINE = [
     "dq_constraint_checks",
     "timeseries_ewma_smooth",
     "incremental_rollup_merge",
+    "text_keyword_pagerank",
+    "bitmap_user_activity",
 ]
 
 

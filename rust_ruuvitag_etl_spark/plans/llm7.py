@@ -291,3 +291,99 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_c", 6).alias("cosine"),
         "recall_ok",
     )
+
+
+# --- corpus drift detection (KL divergence) -------------------------------
+
+
+@query(
+    "corpus_drift_kl",
+    oracle="""
+WITH tok AS (
+    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents
+),
+st AS (
+    SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+    FROM tok GROUP BY source, token
+),
+ts AS (
+    SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM st GROUP BY source
+),
+ct AS (
+    SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_ct FROM st GROUP BY token
+),
+tc AS (
+    SELECT CAST(SUM(c_ct) AS BIGINT) AS t_c FROM ct
+),
+terms AS (
+    SELECT st.source,
+           st.c_st * (CAST(ROUND(ln(st.c_st), 8) AS DECIMAL(18,8))
+                      - CAST(ROUND(ln(ts.t_s), 8) AS DECIMAL(18,8))
+                      - CAST(ROUND(ln(ct.c_ct), 8) AS DECIMAL(18,8))
+                      + CAST(ROUND(ln(tc.t_c), 8) AS DECIMAL(18,8)))
+               AS term,
+           ts.t_s
+    FROM st
+    JOIN ts ON ts.source = st.source
+    JOIN ct ON ct.token = st.token
+    CROSS JOIN tc
+)
+SELECT source,
+       CAST(MAX(t_s) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(term) AS DOUBLE) / CAST(MAX(t_s) AS DOUBLE), 6)
+           AS kl_vs_corpus
+FROM terms GROUP BY source
+""",
+)
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix drift detection: KL(source ‖ corpus) over token
+    distributions — the governance gate that flags a crawl slice whose
+    unigram distribution diverged from the corpus mixture (dedup bias,
+    a broken extractor, domain shift) before it poisons a training
+    run.
+
+    Exactness discipline (same as text_unigram_logprob): KL decomposes
+    as Σ_t (c_st/T_s)·[ln c_st − ln T_s − ln c_ct + ln T_c]; every ln
+    of an integer count is rounded to 8dp and cast DECIMAL, each term
+    is count × decimal (exact), the sum is a DECIMAL aggregate
+    (order-independent), and only the final ÷T_s is IEEE. Scale
+    posture: two hash aggregates over (source, token) — vocabulary-
+    bounded state, the per-token totals broadcast back; nothing
+    corpus-sized shuffles twice."""
+    from ..functions import text as tf  # noqa: F401  (family home)
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    )
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    ts_ = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    ct = st.groupBy("token").agg(F.sum("c_st").alias("c_ct"))
+    tc = ct.agg(F.sum("c_ct").alias("t_c"))
+
+    def dl(c: F.Column) -> F.Column:
+        return F.round(F.log(c), 8).cast("decimal(18,8)")
+
+    terms = (
+        st.join(ts_, "source")
+        .join(F.broadcast(ct), "token")
+        .crossJoin(F.broadcast(tc))
+        .select(
+            "source",
+            "t_s",
+            (
+                F.col("c_st")
+                * (dl(F.col("c_st")) - dl(F.col("t_s")) - dl(F.col("c_ct")) + dl(F.col("t_c")))
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("t_s").alias("n_tokens"),
+        F.round(
+            F.sum("term").cast("double") / F.max("t_s").cast("double"), 6
+        ).alias("kl_vs_corpus"),
+    )
