@@ -529,3 +529,63 @@ def streaming_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_EWMA_LAGS = ", ".join(
+    f"lag(m, {k}) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS m{k}"
+    for k in range(1, 8)
+)
+_EWMA_NUM = "m * 128 " + " ".join(
+    f"+ COALESCE(m{k} * {2 ** (7 - k)}, 0)" for k in range(1, 8)
+)
+_EWMA_DEN = "128 " + " ".join(
+    f"+ CASE WHEN m{k} IS NULL THEN 0 ELSE {2 ** (7 - k)} END"
+    for k in range(1, 8)
+)
+
+
+@query(
+    "streaming_ewma_monitor",
+    oracle=f"""
+WITH d AS (
+    SELECT event_id, event_type, ts,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+    FROM events
+),
+l AS (
+    SELECT event_id, event_type, m, {_EWMA_LAGS}
+    FROM d
+)
+SELECT event_id, event_type,
+       CAST({_EWMA_NUM} AS BIGINT) AS ewma_num,
+       CAST({_EWMA_DEN} AS BIGINT) AS ewma_den
+FROM l
+""",
+)
+def streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of timeseries_ewma_smooth: a custom
+    applyInPandasWithState smoother whose per-key state is just the 7
+    previous samples in exact micro-units — every arriving event emits
+    its smoothed value, and the state crosses micro-batch boundaries
+    losslessly (the quantize-then-integer-fold discipline of
+    streaming_stateful_monitor). Emits the exact integer numerator /
+    weight-sum pair, so the batch LAG-window oracle reproduces every
+    row bit-for-bit with no float rounding anywhere; ewma itself is
+    the consumer's one division. Output mode append: one row per
+    event, state O(W) per key."""
+    from ..streaming.stateful import ewma_stream
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    name = "sem_streaming_ewma_monitor"
+    q = (
+        ewma_stream(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

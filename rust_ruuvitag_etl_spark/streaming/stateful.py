@@ -108,3 +108,87 @@ def sensor_monitor_stream(readings: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming EWMA -------------------------------------------------------
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ewma_num", LongType()),
+        StructField("ewma_den", LongType()),
+    ]
+)
+
+# state: the up-to-7 most recent samples (most recent LAST) in exact
+# integer micro-units (value quantized to 6dp like the batch twin's
+# DECIMAL(18,6) cast).
+EWMA_STATE_SCHEMA = "vals ARRAY<LONG>"
+
+_EWMA_W = 8
+
+
+def _quantize_micros(x: float) -> int:
+    """Replicate Spark's double→DECIMAL(18,6) cast (shortest-repr then
+    HALF_UP at 6dp) so the streaming path folds the SAME integers the
+    batch plan does."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        (Decimal(repr(float(x))) * 1000000).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _ewma(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key EWMA over the last 8 samples (decay 1/2, integer weights
+    2^k): every arriving row emits its smoothed value; the carried
+    state is just the 7 previous samples in micro-units — O(1) per key,
+    exact across any micro-batch boundary."""
+    prev: list[int] = list(state.get[0]) if state.exists else []
+    chunks = list(pdfs)
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    order = [c for c in ("ts", "event_id") if c in pdf.columns]
+    pdf = pdf.sort_values(order, kind="mergesort")
+    out_num: list[int] = []
+    out_den: list[int] = []
+    for v in pdf["value"]:
+        prev.append(_quantize_micros(v))
+        if len(prev) > _EWMA_W:
+            prev.pop(0)
+        num = 0
+        den = 0
+        # most recent sample (last element) takes the largest weight
+        for age, micros in enumerate(reversed(prev)):
+            w = 2 ** (_EWMA_W - 1 - age)
+            num += micros * w
+            den += w
+        out_num.append(num)
+        out_den.append(den)
+    state.update((prev,))
+    yield pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].astype("int64"),
+            "event_type": [key[0]] * len(pdf),
+            "ewma_num": out_num,
+            "ewma_den": out_den,
+        }
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming EWMA smoother: ``events`` needs (event_id, event_type,
+    ts, value). Output mode ``append`` — one smoothed row per event."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _ewma,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

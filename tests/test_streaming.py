@@ -439,3 +439,85 @@ class TestStreamingDedupDelta:
             assert stream == expect
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamingEwma:
+    def test_state_survives_batch_boundaries(self, spark, tmp_path):
+        """Two files arriving as separate micro-batches must produce the
+        same smoothing as one batch: the carried 7-sample state is the
+        whole correctness story."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from rust_ruuvitag_etl_spark.streaming.stateful import ewma_stream
+
+        sch = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        t0 = dt.datetime(2024, 3, 4, 10, 0, 0)
+        rows_a = [
+            (i, t0 + dt.timedelta(minutes=i), 1, "view", float(i + 1), "{}")
+            for i in range(5)
+        ]
+        rows_b = [
+            (i, t0 + dt.timedelta(minutes=i), 1, "view", float(i + 1), "{}")
+            for i in range(5, 10)
+        ]
+        src = f"{tmp_path}/stream_src"
+        spark.createDataFrame(rows_a, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+        out = f"{tmp_path}/ewma_out"
+
+        def drain(qname):
+            # ONE shared checkpoint + a DURABLE sink (memory sinks
+            # cannot recover from a checkpoint): the second run must
+            # restore the state store and process only the new file.
+            q = (
+                ewma_stream(
+                    spark.readStream.schema(sch)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(src)
+                    .select("event_id", "event_type", "ts", "value")
+                )
+                .writeStream.format("parquet")
+                .queryName(qname)
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", f"{tmp_path}/ck_shared")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            rows = spark.read.parquet(out).collect()
+            return rows, {
+                r["event_id"]: (r["ewma_num"], r["ewma_den"]) for r in rows
+            }
+
+        first_rows, first = drain("ewma_two_batches")
+        assert len(first_rows) == 5
+        # Second file lands; restart from the SAME checkpoint so the
+        # state store carries the 7-sample window across the boundary.
+        spark.createDataFrame(rows_b, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        all_rows, got = drain("ewma_two_batches_resumed")
+        # Restored checkpoint → only the 5 new events were processed:
+        # exactly 10 raw rows in the sink. A from-scratch reprocess
+        # would have appended ten more (15+ raw rows).
+        assert len(all_rows) == 10
+        assert len(got) == 10
+
+        # Reference: the batch-at-once fold.
+        weights = [2**k for k in range(8)]
+        for eid in range(10):
+            window = [v + 1 for v in range(max(0, eid - 7), eid + 1)]
+            num = sum(
+                w * int(v * 1_000_000)
+                for w, v in zip(weights[-len(window):], window)
+            )
+            den = sum(weights[-len(window):])
+            assert got[eid] == (num, den), eid
