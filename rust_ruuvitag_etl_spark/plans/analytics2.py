@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dedup import spread
 from ..sources import load
 from .registry import query
 
@@ -361,3 +362,144 @@ def bitmap_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count("day_bitmap").alias("active_days"),
         (F.bit_count("day_bitmap") >= 20).alias("power_user_month"),
     )
+
+
+# --- JPEG codec query -----------------------------------------------------
+
+# The FIFTH real codec, and the first ENTROPY-CODED one: a genuine
+# baseline JPEG per event_id, packed by pure JVM expressions. The image
+# is a constant-gray 8x8 (g = event_id % 256): with quant table
+# q[DC] = 8 the quantized DC coefficient is exactly g - 128, the AC
+# spectrum is all-zero (one EOB), and IDCT of a DC-only block is a
+# constant plane — so the decode is numerically EXACT and the stats
+# oracle is plain arithmetic. Headers (SOI/DQT/SOF0/two DHTs/SOS) are
+# fixed bytes; only the 1-2 entropy bytes vary per row:
+#   [DC category c : 4 bits][magnitude bits : c][EOB "0" : 1][1-pad]
+# Categories <= 3 fit one byte; the 4-bit category (<= 8 = 0b1000)
+# keeps the first nibble below 0xF, and the EOB zero-bit lands inside
+# whichever byte is last, so NO byte can be 0xFF — no stuffing needed.
+
+
+def _jpeg_fixed_header_hex() -> str:
+    import struct
+
+    qt = bytes([8] + [1] * 63)
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qt
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
+    counts_dc = [0] * 16
+    counts_dc[3] = 9  # DC categories 0..8 as 4-bit canonical codes
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 9)
+        + b"\x00"
+        + bytes(counts_dc)
+        + bytes(range(9))
+    )
+    counts_ac = [0] * 16
+    counts_ac[0] = 1  # EOB as the single 1-bit AC code "0"
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x10"
+        + bytes(counts_ac)
+        + bytes([0])
+    )
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0x3F, 0])
+    return out.hex()
+
+
+_JPEG_HEAD_HEX = _jpeg_fixed_header_hex()
+
+
+@query(
+    "multimodal_jpeg_stats",
+    oracle="""
+SELECT event_id AS media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(64 AS BIGINT) AS n_pixels,
+       CAST(64 * (event_id % 256) AS BIGINT) AS sum_r,
+       CAST(64 * (event_id % 256) AS BIGINT) AS sum_g,
+       CAST(64 * (event_id % 256) AS BIGINT) AS sum_b,
+       CAST(event_id % 256 AS INTEGER) AS max_channel,
+       CAST(event_id % 256 AS INTEGER) AS topleft_r,
+       CAST(event_id % 256 AS DOUBLE) AS mean_luma
+FROM events
+""",
+)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIFTH real codec proven end-to-end, and the first
+    ENTROPY-CODED one: constant-gray 8x8 baseline JPEGs are packed per
+    event_id by pure JVM expressions (fixed marker segments + a 1-2
+    byte Huffman-coded scan; see the module comment for why the DC-only
+    construction makes the decode numerically exact), then decoded by
+    the REAL baseline decoder — marker parse, canonical Huffman from
+    DHT, dequantize, de-zigzag, numpy IDCT
+    (operators/multimodal.py:decode_jpeg_array) — inside Arrow-batched
+    mapInPandas, with the same integer-exact stat vector as the
+    BMP/PNG/GIF queries. A hash match proves the full
+    entropy-decode→IDCT chain reconstructs every pixel: the oracle is
+    plain per-row arithmetic on event_id.
+
+    Scale posture: pack is scan-local expressions (no shuffle), decode
+    is a streamed mapInPandas — identical to the other codec queries."""
+    from ..operators import multimodal as mm
+
+    ev = spread(load(spark, sf_dir, "events").select("event_id"))
+    e = F.col("event_id")
+    stage1 = ev.select(
+        "event_id",
+        F.pmod(e, F.lit(256)).alias("g"),
+        (F.pmod(e, F.lit(256)) - 128).alias("diff"),
+    )
+    absd = F.abs(F.col("diff"))
+    c = (
+        F.when(absd == 0, 0)
+        .when(absd < 2, 1)
+        .when(absd < 4, 2)
+        .when(absd < 8, 3)
+        .when(absd < 16, 4)
+        .when(absd < 32, 5)
+        .when(absd < 64, 6)
+        .when(absd < 128, 7)
+        .otherwise(8)
+    )
+    stage2 = stage1.select(
+        "event_id",
+        "diff",
+        c.alias("c"),
+        F.expr("shiftleft(1, " + "CASE WHEN abs(diff) = 0 THEN 0 "
+               "WHEN abs(diff) < 2 THEN 1 WHEN abs(diff) < 4 THEN 2 "
+               "WHEN abs(diff) < 8 THEN 3 WHEN abs(diff) < 16 THEN 4 "
+               "WHEN abs(diff) < 32 THEN 5 WHEN abs(diff) < 64 THEN 6 "
+               "WHEN abs(diff) < 128 THEN 7 ELSE 8 END)").alias("p2c"),
+    )
+    val = F.when(F.col("diff") >= 0, F.col("diff")).otherwise(
+        F.col("diff") + F.col("p2c") - 1
+    )
+    # bitstream [c:4][val:c][0:1] + 1-padding to the byte boundary
+    base = (F.col("c") * F.col("p2c") + val) * 2
+    pad1 = F.lit(3) - F.col("c")          # c <= 3 -> one byte
+    pad2 = F.lit(11) - F.col("c")         # c >= 4 -> two bytes
+    one_byte = base * F.expr("shiftleft(1, 3 - c)") + F.expr(
+        "shiftleft(1, 3 - c)"
+    ) - 1
+    two_byte = base * F.expr("shiftleft(1, 11 - c)") + F.expr(
+        "shiftleft(1, 11 - c)"
+    ) - 1
+    _ = (pad1, pad2)  # documented in the expressions above
+    entropy_hex = F.when(
+        F.col("c") <= 3, F.lpad(F.hex(one_byte), 2, "0")
+    ).otherwise(F.lpad(F.hex(two_byte), 4, "0"))
+    media = stage2.select(
+        F.col("event_id").alias("media_id"),
+        F.unhex(
+            F.concat(F.lit(_JPEG_HEAD_HEX), entropy_hex, F.lit("ffd9"))
+        ).alias("content"),
+    )
+    return mm.jpeg_image_stats(media)
