@@ -64,6 +64,7 @@ HEADLINE = [
     "incremental_rollup_merge",
     "text_keyword_pagerank",
     "bitmap_user_activity",
+    "multimodal_jpeg_stats",
 ]
 
 

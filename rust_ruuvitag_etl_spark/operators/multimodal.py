@@ -331,19 +331,35 @@ def decode_wav(content: bytes) -> dict:
 
 
 def decode_audio(content: bytes, fake: bool = False) -> dict:
-    """Audio decode: REAL for RIFF/WAVE PCM16 payloads (stdlib parser,
-    :func:`decode_wav`); compressed codecs (mp3/ogg/flac — need
-    soundfile/librosa, absent in this container) remain stubbed behind
-    ``fake=True``."""
+    """Audio decode: REAL for RIFF/WAVE PCM16 (:func:`decode_wav`) and
+    COMPRESSED FLAC (:func:`decode_flac`) payloads; lossy entropy
+    codecs (mp3/ogg — need soundfile/librosa, absent in this
+    container) remain stubbed behind ``fake=True``, which stays TOTAL
+    over arbitrary bytes (decode errors fall back to the deterministic
+    stub)."""
     if content[:4] == b"RIFF":
-        d = decode_wav(content)
-        return {
-            "sample_rate": d["sample_rate"],
-            "n_samples": len(d["samples"]),
-        }
-    if not fake:
+        try:
+            d = decode_wav(content)
+            return {
+                "sample_rate": d["sample_rate"],
+                "n_samples": len(d["samples"]),
+            }
+        except (ValueError, NotImplementedError):
+            if not fake:
+                raise
+    elif content[:4] == b"fLaC":
+        try:
+            d = decode_flac(content)
+            return {
+                "sample_rate": d["sample_rate"],
+                "n_samples": len(d["samples"]),
+            }
+        except (ValueError, NotImplementedError):
+            if not fake:
+                raise
+    elif not fake:
         raise NotImplementedError(
-            "non-WAV audio codecs unavailable; pass fake=True"
+            "unrecognized audio format (wav/flac supported); pass fake=True"
         )
     return {"sample_rate": 16000, "n_samples": len(content) * 2}
 
@@ -1089,3 +1105,327 @@ def jpeg_image_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         _image_stats_batches(decode_jpeg_array), schema=JPEG_STATS_SCHEMA
     )
+
+
+# --- FLAC codec -----------------------------------------------------------
+
+
+class _FlacBitReader:
+    """MSB-first bit reader with byte-position access (FLAC CRCs cover
+    whole byte ranges)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos      # next byte index
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read_bits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC stream")
+            self.bitbuf = (self.bitbuf << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read_bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read_bits(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway unary code")
+        return q
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.bitbuf = 0
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes, crc: int = 0) -> int:
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_utf8_number(r: "_FlacBitReader") -> int:
+    """FLAC's UTF-8-style frame/sample number coding."""
+    first = r.read_bits(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    mask = 0x80
+    while first & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("bad UTF-8 coded frame number")
+    v = first & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        c = r.read_bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8 continuation in frame number")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(r: "_FlacBitReader", blocksize: int, order: int) -> list[int]:
+    method = r.read_bits(2)
+    if method > 1:
+        raise ValueError(f"reserved residual coding method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = r.read_bits(4)
+    if blocksize % (1 << po):
+        raise ValueError("partition order does not divide blocksize")
+    out: list[int] = []
+    for p in range(1 << po):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("predictor order exceeds first partition")
+        param = r.read_bits(plen)
+        if param == escape:
+            raw = r.read_bits(5)
+            for _ in range(n):
+                out.append(r.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = r.read_unary()
+                v = (q << param) | (r.read_bits(param) if param else 0)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(r: "_FlacBitReader", blocksize: int, bits: int) -> list[int]:
+    if r.read_bits(1):
+        raise ValueError("subframe header padding bit set")
+    stype = r.read_bits(6)
+    wasted = 0
+    if r.read_bits(1):
+        wasted = 1 + r.read_unary()
+    eff = bits - wasted
+    if eff <= 0:
+        raise ValueError("wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        v = r.read_signed(eff)
+        samples = [v] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = [r.read_signed(eff) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        warm = [r.read_signed(eff) for _ in range(order)]
+        resid = _flac_residual(r, blocksize, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        samples = list(warm)
+        for res in resid:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append(res + pred)
+    elif stype >= 32:
+        raise NotImplementedError("LPC subframes not supported")
+    else:
+        raise ValueError(f"reserved subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+_FLAC_BLOCKSIZE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048,
+    12: 4096, 13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+
+def decode_flac(content: bytes) -> dict:
+    """REAL FLAC decoder — pure stdlib bit arithmetic, no media
+    libraries (the compressed-audio analog of :func:`decode_jpeg`,
+    closing the last codec-category stub with a real lossless codec).
+    Parses the ``fLaC`` magic and metadata-block chain (STREAMINFO bit
+    fields), then each frame: sync code, blocksize/sample-rate codes
+    (inline and STREAMINFO-sourced), channel assignment, UTF-8-coded
+    frame number, CRC-8-verified header, subframes (CONSTANT, VERBATIM,
+    FIXED predictors order 0-4 with partitioned-Rice residuals —
+    zigzag + escape partitions per the spec), wasted-bits shift, and
+    the CRC-16-verified frame footer.
+
+    Supported: mono or independent-channel stereo/multichannel, 8-24
+    bit. Raises ``ValueError`` on malformed payloads and
+    ``NotImplementedError`` for LPC subframes and the side-channel
+    stereo decorrelation modes.
+
+    Returns ``{"sample_rate", "n_channels", "bits", "samples"}`` with
+    ``samples`` channel-interleaved (same contract as
+    :func:`decode_wav`)."""
+    import struct
+
+    if len(content) < 42 or content[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(content):
+            raise ValueError("truncated metadata block header")
+        hdr = struct.unpack_from(">I", content, pos)[0]
+        last, btype, blen = hdr >> 31, (hdr >> 24) & 0x7F, hdr & 0xFFFFFF
+        body = content[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("bad STREAMINFO length")
+            packed = int.from_bytes(body[10:18], "big")
+            streaminfo = {
+                "min_block": struct.unpack_from(">H", body, 0)[0],
+                "max_block": struct.unpack_from(">H", body, 2)[0],
+                "sample_rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bits": ((packed >> 36) & 0x1F) + 1,
+                "total": packed & ((1 << 36) - 1),
+            }
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("missing STREAMINFO")
+    total = streaminfo["total"]
+    n_ch = streaminfo["channels"]
+    channels: list[list[int]] = [[] for _ in range(n_ch)]
+    while pos < len(content) and (total == 0 or len(channels[0]) < total):
+        frame_start = pos
+        r = _FlacBitReader(content, pos)
+        sync = r.read_bits(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"bad frame sync 0x{sync:04X}")
+        r.read_bits(1)  # reserved
+        r.read_bits(1)  # blocking strategy
+        bs_code = r.read_bits(4)
+        sr_code = r.read_bits(4)
+        ch_code = r.read_bits(4)
+        sz_code = r.read_bits(3)
+        r.read_bits(1)  # reserved
+        _flac_utf8_number(r)
+        if bs_code == 0:
+            raise ValueError("reserved blocksize code 0")
+        elif bs_code == 6:
+            blocksize = r.read_bits(8) + 1
+        elif bs_code == 7:
+            blocksize = r.read_bits(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZE[bs_code]
+        if sr_code == 0:
+            rate = streaminfo["sample_rate"]
+        elif sr_code in _FLAC_RATES:
+            rate = _FLAC_RATES[sr_code]
+        elif sr_code == 12:
+            rate = r.read_bits(8) * 1000
+        elif sr_code == 13:
+            rate = r.read_bits(16)
+        elif sr_code == 14:
+            rate = r.read_bits(16) * 10
+        else:
+            raise ValueError("invalid sample-rate code 15")
+        if ch_code >= 8:
+            raise NotImplementedError(
+                "side-channel stereo decorrelation not supported"
+            )
+        if ch_code + 1 != n_ch:
+            raise ValueError("frame channel count differs from STREAMINFO")
+        if sz_code == 0:
+            bits = streaminfo["bits"]
+        elif sz_code in _FLAC_BITS:
+            bits = _FLAC_BITS[sz_code]
+        else:
+            raise ValueError(f"reserved sample-size code {sz_code}")
+        # CRC-8 covers the header bytes consumed so far (reader is
+        # byte-aligned here: 32 header bits + whole-byte number/tails).
+        if r.nbits:
+            raise ValueError("frame header not byte-aligned before CRC-8")
+        if _crc8(content[frame_start : r.pos]) != r.read_bits(8):
+            raise ValueError("frame header CRC-8 mismatch")
+        for ci in range(n_ch):
+            channels[ci].extend(_flac_subframe(r, blocksize, bits))
+        r.align()
+        if _crc16(content[frame_start : r.pos]) != r.read_bits(16):
+            raise ValueError("frame CRC-16 mismatch")
+        pos = r.pos
+    if total and len(channels[0]) < total:
+        raise ValueError("stream ended before total_samples")
+    if total:
+        channels = [ch[:total] for ch in channels]
+    interleaved: list[int] = []
+    for i in range(len(channels[0])):
+        for ch in channels:
+            interleaved.append(ch[i])
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "bits": streaminfo["bits"],
+        "samples": interleaved,
+    }
+
+
+FLAC_STATS_SCHEMA = WAV_STATS_SCHEMA
+
+
+def flac_audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over REAL FLAC payloads:
+    identical stat vector to :func:`wav_audio_stats`, decoded by the
+    pure-stdlib FLAC parser (:func:`decode_flac`)."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_samples",
+                "sum_samples", "max_abs", "mean_sample",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_flac(bytes(content))
+                s = d["samples"]
+                total = int(sum(s))
+                out["media_id"].append(mid)
+                out["sample_rate"].append(d["sample_rate"])
+                out["n_channels"].append(d["n_channels"])
+                out["n_samples"].append(len(s))
+                out["sum_samples"].append(total)
+                out["max_abs"].append(max((abs(x) for x in s), default=0))
+                out["mean_sample"].append(total / len(s) if s else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FLAC_STATS_SCHEMA)

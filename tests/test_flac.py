@@ -1,0 +1,202 @@
+"""Roundtrip/fuzz tests for the FLAC decoder
+(operators/multimodal.py:decode_flac) against an INDEPENDENT in-test
+encoder covering constant, verbatim, and fixed-predictor subframes with
+partitioned-Rice residuals, plus CRC tampering and rejection paths.
+The registry-level differential (test_registry) separately hash-checks
+multimodal_flac_stats against its arithmetic oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from rust_ruuvitag_etl_spark.operators.multimodal import (
+    _crc8,
+    _crc16,
+    decode_audio,
+    decode_flac,
+)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def puts(self, v: int, n: int) -> None:
+        self.put(v & ((1 << n) - 1), n)
+
+    def flush(self) -> bytes:
+        bits = self.bits + [0] * ((-len(self.bits)) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        self.bits = []
+        return bytes(out)
+
+
+def _streaminfo(blocksize, rate, n_ch, bits, total):
+    b = _BitWriter()
+    b.put(blocksize, 16)
+    b.put(blocksize, 16)
+    b.put(0, 24)
+    b.put(0, 24)
+    b.put(rate, 20)
+    b.put(n_ch - 1, 3)
+    b.put(bits - 1, 5)
+    b.put(total, 36)
+    body = b.flush() + b"\x00" * 16
+    return struct.pack(">I", (1 << 31) | 34) + body
+
+
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _encode_frame(channels, frame_no, bits, kind, order=0, rice_param=2):
+    blocksize = len(channels[0])
+    h = _BitWriter()
+    h.put(0x3FFE, 14)
+    h.put(0, 2)
+    h.put(6, 4)  # 8-bit blocksize-1 at end
+    h.put(0, 4)  # rate from STREAMINFO
+    h.put(len(channels) - 1, 4)
+    h.put({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bits], 3)
+    h.put(0, 1)
+    header = h.flush() + bytes([frame_no, blocksize - 1])
+    header += bytes([_crc8(header)])
+    body = _BitWriter()
+    for samples in channels:
+        if kind == "constant":
+            body.put(0, 8)
+            body.puts(samples[0], bits)
+        elif kind == "verbatim":
+            body.put(0, 1)
+            body.put(1, 6)
+            body.put(0, 1)
+            for v in samples:
+                body.puts(v, bits)
+        else:  # fixed
+            body.put(0, 1)
+            body.put(8 + order, 6)
+            body.put(0, 1)
+            for v in samples[:order]:
+                body.puts(v, bits)
+            coefs = _FIXED_COEFS[order]
+            body.put(0, 2)  # rice, 4-bit params
+            body.put(0, 4)  # partition order 0
+            body.put(rice_param, 4)
+            for i in range(order, len(samples)):
+                pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+                res = samples[i] - pred
+                zz = 2 * res if res >= 0 else -2 * res - 1
+                q, r = zz >> rice_param, zz & ((1 << rice_param) - 1)
+                for _ in range(q):
+                    body.put(0, 1)
+                body.put(1, 1)
+                if rice_param:
+                    body.put(r, rice_param)
+    frame = header + body.flush()
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+def encode_flac(channels, rate=16000, bits=16, kind="verbatim", order=0,
+                rice_param=2):
+    blocksize = len(channels[0])
+    out = b"fLaC" + _streaminfo(blocksize, rate, len(channels), bits, blocksize)
+    return out + _encode_frame(channels, 0, bits, kind, order, rice_param)
+
+
+class TestFlacRoundtrip:
+    def test_constant_subframe(self):
+        for v in (-32768, -5, 0, 7, 32767):
+            d = decode_flac(encode_flac([[v] * 8], kind="constant"))
+            assert d["samples"] == [v] * 8
+            assert (d["sample_rate"], d["n_channels"], d["bits"]) == (
+                16000, 1, 16,
+            )
+
+    def test_verbatim_subframe(self):
+        s = [100, -200, 3000, -32768, 32767, 0, 7, -1]
+        assert decode_flac(encode_flac([s]))["samples"] == s
+
+    @pytest.mark.parametrize("order", [0, 1, 2, 3, 4])
+    def test_fixed_predictors_all_orders(self, order):
+        s = [10, 12, 13, 13, 12, 10, 9, 11, 14, 18, 23, 29, 28, 25, 21, 16]
+        got = decode_flac(
+            encode_flac([s], kind="fixed", order=order, rice_param=3)
+        )
+        assert got["samples"] == s
+
+    def test_rice_parameter_sweep(self):
+        s = [0, 1, -1, 2, -2, 100, -100, 5000]
+        for p in (0, 1, 4, 10):
+            got = decode_flac(
+                encode_flac([s], kind="fixed", order=0, rice_param=p)
+            )
+            assert got["samples"] == s
+
+    def test_stereo_independent_interleaves(self):
+        left = [1, 2, 3, 4, 5, 6, 7, 8]
+        right = [-1, -2, -3, -4, -5, -6, -7, -8]
+        d = decode_flac(encode_flac([left, right]))
+        assert d["n_channels"] == 2
+        assert d["samples"] == [v for pair in zip(left, right) for v in pair]
+
+    def test_multiple_frames(self):
+        a = [5] * 8
+        b = [9] * 8
+        out = b"fLaC" + _streaminfo(8, 16000, 1, 16, 16)
+        out += _encode_frame([a], 0, 16, "constant")
+        out += _encode_frame([b], 1, 16, "constant")
+        assert decode_flac(out)["samples"] == a + b
+
+    def test_decode_audio_routes_flac(self):
+        d = decode_audio(encode_flac([[3] * 8]))
+        assert d == {"sample_rate": 16000, "n_samples": 8}
+
+
+class TestFlacRejection:
+    def test_not_flac(self):
+        with pytest.raises(ValueError):
+            decode_flac(b"RIFFxxxxWAVE" + b"\x00" * 40)
+        with pytest.raises(ValueError):
+            decode_flac(b"fLaC")  # magic only
+
+    def test_header_crc8_tamper(self):
+        data = bytearray(encode_flac([[7] * 8], kind="constant"))
+        # frame starts right after 4 + 38 metadata bytes; flip a header bit
+        data[42 + 2] ^= 0x01
+        with pytest.raises(ValueError):
+            decode_flac(bytes(data))
+
+    def test_frame_crc16_tamper(self):
+        data = bytearray(encode_flac([[7] * 8], kind="constant"))
+        data[-1] ^= 0xFF
+        with pytest.raises(ValueError):
+            decode_flac(bytes(data))
+
+    def test_truncated_stream(self):
+        data = encode_flac([[1, 2, 3, 4, 5, 6, 7, 8]])
+        with pytest.raises(ValueError):
+            decode_flac(data[:-6])
+
+    def test_lpc_rejected(self):
+        data = bytearray(encode_flac([[7] * 8], kind="constant"))
+        # subframe header byte is right after the 7-byte frame header
+        data[42 + 7] = 0x40  # type bits 100000 -> LPC order 1
+        with pytest.raises(NotImplementedError):
+            decode_flac(bytes(data))
+
+    def test_fake_mode_total_over_flac_junk(self):
+        junk = b"fLaC" + b"\x00" * 16
+        with pytest.raises(ValueError):
+            decode_audio(junk)
+        assert decode_audio(junk, fake=True)["n_samples"] == len(junk) * 2
