@@ -65,6 +65,7 @@ HEADLINE = [
     "text_keyword_pagerank",
     "bitmap_user_activity",
     "multimodal_jpeg_stats",
+    "multimodal_flac_stats",
 ]
 
 

@@ -206,6 +206,8 @@ class TestPythonBoundary:
             "multimodal_image_stats",  # real BMP decode needs Python
             "multimodal_png_stats",  # real PNG (zlib) decode needs Python
             "multimodal_gif_stats",  # real GIF (LZW) decode needs Python
+            "multimodal_jpeg_stats",  # real JPEG (Huffman+IDCT) decode
+            "multimodal_flac_stats",  # real FLAC (Rice) decode
             "similarity_bruteforce_topk_arrow",
         }
         markers = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
