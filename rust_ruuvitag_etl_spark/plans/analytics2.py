@@ -627,3 +627,97 @@ def multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(payload_hex).alias("content"),
     )
     return mm.flac_audio_stats(media)
+
+
+# --- robust outliers (median / MAD) ---------------------------------------
+
+
+@query(
+    "timeseries_mad_outliers",
+    oracle="""
+WITH r AS (
+    SELECT event_id, event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+med AS (
+    SELECT event_type, value AS m FROM r WHERE rn = (n + 1) // 2
+),
+dev AS (
+    SELECT e.event_id, e.event_type, e.value, med.m,
+           ABS(e.value - med.m) AS d
+    FROM events e JOIN med USING (event_type)
+),
+rd AS (
+    SELECT event_type, d,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY d, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+),
+mad AS (
+    SELECT event_type, d AS mad FROM rd WHERE rn = (n + 1) // 2
+)
+SELECT dev.event_id, dev.event_type, dev.value,
+       0.6745 * (dev.value - dev.m) / mad.mad AS modified_z
+FROM dev JOIN mad USING (event_type)
+WHERE mad.mad > 0
+  AND ABS(0.6745 * (dev.value - dev.m) / mad.mad) > 3.5
+""",
+)
+def timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the median/MAD modified z-score
+    (Iglewicz & Hoaglin): |0.6745·(x − median)/MAD| > 3.5 — the
+    heavy-tail-safe twin of timeseries_zscore_outliers (a single wild
+    value inflates a stddev but barely moves a median). Exactness: the
+    medians are DISCRETE low medians — the rank-⌈n/2⌉ ELEMENT under a
+    (value, event_id) total order — because interpolated medians
+    (a + (b−a)/2 vs (a+b)/2) can differ between engines by an ulp,
+    which flips the 4dp rounding on boundary rows (observed once in
+    40k rows at sf0.1). An element is an element in both engines; the
+    z expression is then one fixed-shape IEEE chain over identical
+    inputs, emitted UNROUNDED — bit-identical doubles need no rounding,
+    and ROUND itself is the one op the engines disagree on at 4dp
+    boundaries (BigDecimal-on-shortest-repr vs multiply-then-rint).
+    MAD = 0 groups (≥half the values identical) are excluded
+    identically on both sides.
+
+    Scale posture: two aggregate passes (median, then MAD over
+    broadcast-joined deviations) + one broadcast join back onto the
+    scan — exact percentiles sort per group in the aggregate buffer;
+    at 100 TB the drop-in substitute is approx_percentile with the
+    sketch-error gate pattern of agg_approx_percentile."""
+    ev = load(spark, sf_dir, "events")
+
+    def low_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = low_median(ev, "value", "m")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "m",
+        F.abs(F.col("value") - F.col("m")).alias("d"),
+    )
+    mad = low_median(dev, "d", "mad")
+    z = 0.6745 * (F.col("value") - F.col("m")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("modified_z"),
+        )
+    )

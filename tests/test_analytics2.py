@@ -285,3 +285,44 @@ class TestBitmapActivity:
         r = bitmap_user_activity(spark, str(tmp_path)).collect()[0]
         assert r["active_days"] == 20
         assert r["power_user_month"] is True
+
+
+class TestMadOutliers:
+    def _run(self, spark, tmp_path, values, etype="view"):
+        rows = [
+            (i + 1, _t(i % 60, i // 60), 1, etype, v, "{}")
+            for i, v in enumerate(values)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        _write(df, tmp_path, "events")
+        from rust_ruuvitag_etl_spark.plans.analytics2 import (
+            timeseries_mad_outliers,
+        )
+
+        return timeseries_mad_outliers(spark, str(tmp_path)).collect()
+
+    def test_single_spike_is_flagged(self, spark, tmp_path):
+        vals = [10.0, 11.0, 10.5, 9.5, 10.2, 9.8, 10.1, 1000.0]
+        got = self._run(spark, tmp_path, vals)
+        assert len(got) == 1
+        assert got[0]["value"] == 1000.0
+        assert got[0]["modified_z"] > 3.5
+
+    def test_robust_against_the_outlier_itself(self, spark, tmp_path):
+        # Classic stddev failure: with z-score, a huge spike inflates
+        # sigma enough that |z| of the spike can stay under a naive
+        # threshold. The MAD flags it regardless of its magnitude.
+        for spike in (100.0, 1e6, 1e12):
+            got = self._run(spark, str(tmp_path) + str(spike),
+                            [10.0, 10.1, 9.9, 10.05, 9.95, spike])
+            assert [r["value"] for r in got] == [spike]
+
+    def test_mad_zero_group_excluded(self, spark, tmp_path):
+        # >=half identical values => MAD = 0: the whole group must be
+        # excluded (no division by zero, no infinite z).
+        got = self._run(spark, tmp_path, [5.0] * 10 + [99.0])
+        assert got == []
