@@ -3,22 +3,28 @@ processed with Arrow-batched ``mapInPandas`` (the pattern the reference's
 24-byte BLE payload decode B2 scales up to — SURVEY.md §2.1).
 
 The Spark-side plumbing (schemas, batch iteration, partitioning) is
-real and tested. FOUR real codecs run on genuine byte formats via pure
+real and tested. SIX real codecs run on genuine byte formats via pure
 stdlib (``struct``/``zlib``) + numpy: WAV/PCM16 audio
 (:func:`decode_wav` — RIFF chunk-tree walk, padding rule, sign-correct
 LE sample decode), uncompressed 24-bit BMP (:func:`decode_bmp` —
 header parse, 4-byte row stride, BGR→RGB, bottom-up un-flip),
 COMPRESSED PNG (:func:`decode_png` — chunk CRCs, zlib inflate, all
-five scanline filters), and COMPRESSED GIF (:func:`decode_gif` — a
-full variable-width LZW engine). Each is oracle-checked end-to-end by
-a registry query on payloads packed in-engine
-(``multimodal_audio_stats``, ``multimodal_image_stats``,
-``multimodal_png_stats``, ``multimodal_gif_stats``). Entropy-coded
-codecs (jpeg/mp3/ogg) remain STUBBED because the container has no
-media libraries: ``decode_image``/``decode_audio`` on such bytes raise
-NotImplementedError unless ``fake=True``, in which case a deterministic
-byte-statistics "decode" stands in so the dataflow can be exercised
-end-to-end.
+five scanline filters), COMPRESSED GIF (:func:`decode_gif` — a full
+variable-width LZW engine), ENTROPY-CODED baseline JPEG
+(:func:`decode_jpeg` — canonical Huffman from DHT, byte-unstuffing,
+restart resync, dequantize/de-zigzag, matrix IDCT, JFIF YCbCr→RGB),
+and COMPRESSED-AUDIO FLAC (:func:`decode_flac` — CRC-verified frames,
+constant/verbatim/fixed-predictor subframes with partitioned-Rice
+residuals, all three side-channel stereo modes). Each is
+oracle-checked end-to-end by a registry query on payloads packed
+in-engine (``multimodal_audio_stats``, ``multimodal_image_stats``,
+``multimodal_png_stats``, ``multimodal_gif_stats``,
+``multimodal_jpeg_stats``, ``multimodal_flac_stats``). Only the lossy
+psychoacoustic audio codecs (mp3/ogg) remain STUBBED (they genuinely
+need real media libraries): ``decode_image``/``decode_audio`` on
+unknown bytes raise NotImplementedError unless ``fake=True``, in which
+case a deterministic byte-statistics "decode" stands in so the
+dataflow can be exercised end-to-end.
 
 Scale posture: mapInPandas streams Arrow record batches — constant
 memory per task regardless of corpus size; binary columns never pass
@@ -1284,10 +1290,11 @@ def decode_flac(content: bytes) -> dict:
     zigzag + escape partitions per the spec), wasted-bits shift, and
     the CRC-16-verified frame footer.
 
-    Supported: mono or independent-channel stereo/multichannel, 8-24
-    bit. Raises ``ValueError`` on malformed payloads and
-    ``NotImplementedError`` for LPC subframes and the side-channel
-    stereo decorrelation modes.
+    Supported: mono, independent-channel stereo/multichannel, and all
+    three side-channel stereo decorrelation modes (left/side,
+    side/right, mid/side — the side channel's extra precision bit
+    included), 8-24 bit. Raises ``ValueError`` on malformed payloads
+    and ``NotImplementedError`` for LPC subframes.
 
     Returns ``{"sample_rate", "n_channels", "bits", "samples"}`` with
     ``samples`` channel-interleaved (same contract as
@@ -1360,10 +1367,12 @@ def decode_flac(content: bytes) -> dict:
             rate = r.read_bits(16) * 10
         else:
             raise ValueError("invalid sample-rate code 15")
-        if ch_code >= 8:
-            raise NotImplementedError(
-                "side-channel stereo decorrelation not supported"
-            )
+        if ch_code > 10:
+            raise ValueError(f"reserved channel assignment {ch_code}")
+        side_mode = None
+        if ch_code >= 8:  # 8=left/side 9=right/side 10=mid/side
+            side_mode = ch_code
+            ch_code = 1  # two channels
         if ch_code + 1 != n_ch:
             raise ValueError("frame channel count differs from STREAMINFO")
         if sz_code == 0:
@@ -1378,8 +1387,29 @@ def decode_flac(content: bytes) -> dict:
             raise ValueError("frame header not byte-aligned before CRC-8")
         if _crc8(content[frame_start : r.pos]) != r.read_bits(8):
             raise ValueError("frame header CRC-8 mismatch")
-        for ci in range(n_ch):
-            channels[ci].extend(_flac_subframe(r, blocksize, bits))
+        if side_mode is None:
+            for ci in range(n_ch):
+                channels[ci].extend(_flac_subframe(r, blocksize, bits))
+        else:
+            # The SIDE channel carries one extra bit of precision
+            # (spec 9.1.4): differences of b-bit samples span b+1 bits.
+            b0 = bits + (1 if side_mode == 9 else 0)
+            b1 = bits + (1 if side_mode in (8, 10) else 0)
+            first = _flac_subframe(r, blocksize, b0)
+            second = _flac_subframe(r, blocksize, b1)
+            if side_mode == 8:  # left/side: right = left - side
+                left, right = first, [l - s for l, s in zip(first, second)]
+            elif side_mode == 9:  # side/right: left = right + side
+                right = second
+                left = [s + rg for s, rg in zip(first, second)]
+            else:  # mid/side
+                left, right = [], []
+                for m, s in zip(first, second):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+            channels[0].extend(left)
+            channels[1].extend(right)
         r.align()
         if _crc16(content[frame_start : r.pos]) != r.read_bits(16):
             raise ValueError("frame CRC-16 mismatch")

@@ -200,3 +200,50 @@ class TestFlacRejection:
         with pytest.raises(ValueError):
             decode_audio(junk)
         assert decode_audio(junk, fake=True)["n_samples"] == len(junk) * 2
+
+
+class TestFlacStereoDecorrelation:
+    def _encode_side(self, left, right, mode):
+        """mode: 8=left/side, 9=side/right, 10=mid/side."""
+        blocksize = len(left)
+        bits = 16
+        side = [l - r for l, r in zip(left, right)]
+        if mode == 8:
+            subframes = [(left, 16), (side, 17)]
+        elif mode == 9:
+            subframes = [(side, 17), (right, 16)]
+        else:
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            subframes = [(mid, 16), (side, 17)]
+        h = _BitWriter()
+        h.put(0x3FFE, 14)
+        h.put(0, 2)
+        h.put(6, 4)
+        h.put(0, 4)
+        h.put(mode, 4)  # channel assignment code
+        h.put(4, 3)     # 16-bit
+        h.put(0, 1)
+        header = h.flush() + bytes([0, blocksize - 1])
+        header += bytes([_crc8(header)])
+        body = _BitWriter()
+        for samples, sbits in subframes:
+            body.put(0, 1)
+            body.put(1, 6)  # verbatim
+            body.put(0, 1)
+            for v in samples:
+                body.puts(v, sbits)
+        frame = header + body.flush()
+        frame += struct.pack(">H", _crc16(frame))
+        out = b"fLaC" + _streaminfo(blocksize, 16000, 2, bits, blocksize)
+        return out + frame
+
+    @pytest.mark.parametrize("mode", [8, 9, 10])
+    def test_all_side_modes_reconstruct(self, mode):
+        left = [100, -200, 32767, -32768, 0, 1, -1, 777]
+        right = [-5, 250, -32768, 32767, 3, 0, -2, -777]
+        d = decode_flac(self._encode_side(left, right, mode))
+        assert d["n_channels"] == 2
+        got_left = d["samples"][0::2]
+        got_right = d["samples"][1::2]
+        assert got_left == left, mode
+        assert got_right == right, mode
