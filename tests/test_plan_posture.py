@@ -265,3 +265,47 @@ class TestShuffleByteBudget:
             got = measured[name]["write_bytes"] / 1e6
             assert got <= budget, f"{name}: {got:.2f} MB > {budget} MB budget"
             assert measured[name]["stages"] > 0, f"{name}: no stages attributed"
+
+
+class TestRound4Posture:
+    """Pin the round-4 performance fixes: a regression here re-creates
+    a measured single-core or rebuild-per-probe bottleneck."""
+
+    def test_semdedup_verify_is_parallel_broadcast_join(self, spark):
+        """The within-cluster verify must (a) broadcast the build side —
+        k=8 join keys would cap a shuffle join at 8 reducers — and (b)
+        run over an explicit round-robin repartition of the probe side,
+        because AQE coalesces the tiny-bytes assignment shuffle to ONE
+        partition and serializes the CPU-bound pair verify (measured:
+        18.8 s -> 5.8 s at sf0.1)."""
+        from rust_ruuvitag_etl_spark.plans.llm7 import _semdedup_pairs
+
+        plan = (
+            _semdedup_pairs(spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "RoundRobinPartitioning" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_sq8_probe_reads_persisted_codes_no_bnlj(self, spark):
+        """The SQ8 probe must scan the persisted quantized index (the
+        4x-compressed codes, built once per corpus) and stay free of
+        nested-loop joins — the ADC scan is equi-joins and hash
+        aggregates only."""
+        from rust_ruuvitag_etl_spark.plans.llm7 import _sq8_probe
+
+        plan = (
+            _sq8_probe(spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "sq8_codes" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_pagerank_iterations_never_rescan_events(self, spark):
+        """The checkpointed edge list means the 3-iteration PageRank
+        plan contains ZERO file scans — iterations run off the
+        materialized edges, never back to the fact table."""
+        plan = _plan("graph_pagerank_bipartite", spark)
+        assert "FileScan" not in plan, plan
+        assert "Scan parquet" not in plan, plan
