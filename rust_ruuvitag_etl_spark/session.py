@@ -24,12 +24,19 @@ from pyspark.sql import SparkSession
 # cluster this is overridden per-deployment (AQE coalesces down anyway).
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# Driver heap: local mode runs ALL 32 executor threads inside the one
+# driver JVM, and Spark's 1g default starves them (observed: the
+# scaling probe's x16-corpus k-means OOMed the default heap). The
+# sandbox has 128 GiB; 16g is still conservative. Only effective when
+# the factory creates the JVM — a pre-existing session keeps its heap.
+DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 
 def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
     """Apply engine configs to any builder (the driver may own the session)."""
     return (
         builder
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
