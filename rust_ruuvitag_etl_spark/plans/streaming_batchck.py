@@ -589,3 +589,53 @@ def streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_bitmap_rollup",
+    oracle="""
+WITH b AS (
+    SELECT user_id,
+           date_trunc('month', ts) AS month,
+           bit_or(CAST(1 AS BIGINT) << (CAST(day(ts) AS INTEGER) - 1))
+               AS day_bitmap
+    FROM events
+    GROUP BY user_id, date_trunc('month', ts)
+)
+SELECT user_id, month, day_bitmap,
+       CAST(bit_count(day_bitmap) AS INTEGER) AS active_days
+FROM b
+""",
+)
+def streaming_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of bitmap_user_activity: the per-(user, month)
+    day bitmap accumulates in streaming state via the same ``bit_or``
+    aggregate — bit_or is algebraic (commutative, idempotent per bit),
+    so arbitrary micro-batch arrival orders fold to the identical
+    bitmap, which is exactly why bitmap rollups suit continuous
+    ingestion. Complete output mode; popcount derived on read. Same
+    oracle as the batch twin (minus the threshold flag — kept minimal
+    to pin the bitmap bits themselves)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        "user_id", F.date_trunc("month", "ts").alias("month")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)")
+        ).alias("day_bitmap")
+    )
+    name = "sbr_streaming_bitmap_rollup"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "month",
+        "day_bitmap",
+        F.bit_count("day_bitmap").alias("active_days"),
+    )

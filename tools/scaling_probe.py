@@ -183,12 +183,21 @@ def _time_queries(spark, names, sf_dirs) -> dict[str, dict[str, float]]:
     for key, d in sf_dirs.items():
         for name in names:
             fns[name](spark, d).count()
+    # MEDIAN of three timed reps: single measurements on a shared box
+    # intermittently read 3-4x high (GC pause, a co-tenant burst) and a
+    # one-off spike in the numerator of a log-ratio fabricates a
+    # super-linear exponent where none exists (observed twice:
+    # q3 +0.92 and dedup_minhash_verified +0.91 star exponents that a
+    # re-measurement minutes later put back at ~+0.3).
     times: dict[str, dict[str, float]] = {n: {} for n in names}
     for key, d in sf_dirs.items():
         for name in names:
-            t0 = time.time()
-            fns[name](spark, d).count()
-            times[name][key] = round(time.time() - t0, 3)
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                fns[name](spark, d).count()
+                reps.append(time.time() - t0)
+            times[name][key] = round(sorted(reps)[1], 3)
     return times
 
 
