@@ -247,3 +247,92 @@ class TestFlacStereoDecorrelation:
         got_right = d["samples"][1::2]
         assert got_left == left, mode
         assert got_right == right, mode
+
+
+class TestFlacRicePartitions:
+    def _encode_partitioned(self, samples, order, po, params):
+        """Fixed-predictor frame with partition order ``po`` and one
+        Rice parameter per partition (len(params) == 2**po)."""
+        blocksize = len(samples)
+        h = _BitWriter()
+        h.put(0x3FFE, 14)
+        h.put(0, 2)
+        h.put(6, 4)
+        h.put(0, 4)
+        h.put(0, 4)  # mono
+        h.put(4, 3)
+        h.put(0, 1)
+        header = h.flush() + bytes([0, blocksize - 1])
+        header += bytes([_crc8(header)])
+        body = _BitWriter()
+        body.put(0, 1)
+        body.put(8 + order, 6)
+        body.put(0, 1)
+        for v in samples[:order]:
+            body.puts(v, 16)
+        coefs = _FIXED_COEFS[order]
+        body.put(0, 2)
+        body.put(po, 4)
+        idx = order
+        for p, param in enumerate(params):
+            n = (blocksize >> po) - (order if p == 0 else 0)
+            body.put(param, 4)
+            for _ in range(n):
+                i = idx
+                pred = sum(
+                    c * samples[i - 1 - j] for j, c in enumerate(coefs)
+                )
+                res = samples[i] - pred
+                zz = 2 * res if res >= 0 else -2 * res - 1
+                q, r = zz >> param, zz & ((1 << param) - 1)
+                for _ in range(q):
+                    body.put(0, 1)
+                body.put(1, 1)
+                if param:
+                    body.put(r, param)
+                idx += 1
+        frame = header + body.flush()
+        frame += struct.pack(">H", _crc16(frame))
+        return (
+            b"fLaC" + _streaminfo(blocksize, 16000, 1, 16, blocksize) + frame
+        )
+
+    @pytest.mark.parametrize("po", [1, 2])
+    def test_partitioned_rice_decodes(self, po):
+        samples = [7, 9, 12, 16, 15, 13, 10, 8, 6, 5, 7, 10, 14, 19, 25, 32]
+        params = [2 + (i % 3) for i in range(2**po)]
+        d = decode_flac(self._encode_partitioned(samples, 1, po, params))
+        assert d["samples"] == samples
+
+    def test_escape_partition_raw_bits(self):
+        # escape code (param 1111) -> 5-bit raw length; verbatim-coded
+        # residuals inside one partition of a fixed-order-0 subframe.
+        samples = [3, -3, 7, -7, 1, 0, -1, 2]
+        h = _BitWriter()
+        h.put(0x3FFE, 14)
+        h.put(0, 2)
+        h.put(6, 4)
+        h.put(0, 4)
+        h.put(0, 4)
+        h.put(4, 3)
+        h.put(0, 1)
+        header = h.flush() + bytes([0, len(samples) - 1])
+        header += bytes([_crc8(header)])
+        body = _BitWriter()
+        body.put(0, 1)
+        body.put(8, 6)  # fixed order 0
+        body.put(0, 1)
+        body.put(0, 2)
+        body.put(0, 4)   # one partition
+        body.put(15, 4)  # ESCAPE
+        body.put(5, 5)   # raw 5-bit residuals
+        for v in samples:
+            body.puts(v, 5)
+        frame = header + body.flush()
+        frame += struct.pack(">H", _crc16(frame))
+        data = (
+            b"fLaC"
+            + _streaminfo(len(samples), 16000, 1, 16, len(samples))
+            + frame
+        )
+        assert decode_flac(data)["samples"] == samples
