@@ -1257,8 +1257,24 @@ def _flac_subframe(r: "_FlacBitReader", blocksize: int, bits: int) -> list[int]:
         for res in resid:
             pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
             samples.append(res + pred)
-    elif stype >= 32:
-        raise NotImplementedError("LPC subframes not supported")
+    elif stype >= 32:  # LPC, order 1-32
+        order = (stype & 0x1F) + 1
+        warm = [r.read_signed(eff) for _ in range(order)]
+        prec = r.read_bits(4)
+        if prec == 15:
+            raise ValueError("invalid LPC coefficient precision 15")
+        prec += 1
+        shift = r.read_bits(5)
+        if shift >= 16:  # 5-bit signed; negative shifts are invalid
+            raise ValueError("negative LPC shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        resid = _flac_residual(r, blocksize, order)
+        samples = list(warm)
+        for res in resid:
+            pred = sum(
+                c * samples[-i - 1] for i, c in enumerate(coefs)
+            ) >> shift
+            samples.append(res + pred)
     else:
         raise ValueError(f"reserved subframe type {stype}")
     if wasted:
@@ -1290,11 +1306,13 @@ def decode_flac(content: bytes) -> dict:
     zigzag + escape partitions per the spec), wasted-bits shift, and
     the CRC-16-verified frame footer.
 
-    Supported: mono, independent-channel stereo/multichannel, and all
+    Supported: mono, independent-channel stereo/multichannel, all
     three side-channel stereo decorrelation modes (left/side,
     side/right, mid/side — the side channel's extra precision bit
-    included), 8-24 bit. Raises ``ValueError`` on malformed payloads
-    and ``NotImplementedError`` for LPC subframes.
+    included), and every subframe type real encoders emit — CONSTANT,
+    VERBATIM, FIXED orders 0-4, and LPC orders 1-32 (quantized
+    coefficients with precision/shift). 8-24 bit. Raises
+    ``ValueError`` on malformed payloads.
 
     Returns ``{"sample_rate", "n_channels", "bits", "samples"}`` with
     ``samples`` channel-interleaved (same contract as
