@@ -49,6 +49,25 @@ FEATURE_SCHEMA = (
 )
 
 
+def _total_decoder(fn):
+    """Totality guard for codec parsers: every malformed-payload failure
+    must surface as the documented ``ValueError`` — a truncated buffer
+    reaching ``struct.unpack`` (struct.error), a short index, or a
+    missing table key must never leak a foreign exception type out of a
+    decode (tests/test_jpeg.py::TestCodecTotalityFuzz pins this)."""
+    import functools
+    import struct as _struct
+
+    @functools.wraps(fn)
+    def wrapped(content, *a, **kw):
+        try:
+            return fn(content, *a, **kw)
+        except (_struct.error, IndexError, KeyError, OverflowError) as exc:
+            raise ValueError(f"malformed payload: {exc}") from exc
+
+    return wrapped
+
+
 def decode_image(content: bytes, fake: bool = False) -> dict:
     """Image decode: REAL for BMP (:func:`decode_bmp`), PNG
     (:func:`decode_png`), GIF (:func:`decode_gif`), and baseline JPEG
@@ -119,6 +138,7 @@ def decode_bmp(content: bytes) -> dict:
     }
 
 
+@_total_decoder
 def decode_bmp_array(content: bytes) -> dict:
     """The vectorized core of :func:`decode_bmp`: identical parsing and
     validation, but returns ``{"width", "height", "rgb"}`` with ``rgb``
@@ -195,6 +215,7 @@ def decode_png(content: bytes) -> dict:
     }
 
 
+@_total_decoder
 def decode_png_array(content: bytes) -> dict:
     """The vectorized core of :func:`decode_png`: identical parsing and
     validation, returning ``{"width", "height", "rgb"}`` with ``rgb`` a
@@ -290,6 +311,7 @@ def decode_png_array(content: bytes) -> dict:
     return {"width": w, "height": h, "rgb": rgb}
 
 
+@_total_decoder
 def decode_wav(content: bytes) -> dict:
     """REAL RIFF/WAVE PCM16 decoder — pure stdlib ``struct``, no media
     libraries (the audio analog of the reference's format-5 byte decoder,
@@ -688,6 +710,7 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> list[int]:
     return out
 
 
+@_total_decoder
 def decode_gif_array(content: bytes) -> dict:
     """Core of :func:`decode_gif`: returns ``{"width", "height",
     "rgb"}`` with ``rgb`` a uint8 numpy array of shape (h, w, 3)."""
@@ -919,6 +942,7 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+@_total_decoder
 def decode_jpeg_array(content: bytes) -> dict:
     """The vectorized core of :func:`decode_jpeg`: identical parsing,
     returning ``{"width", "height", "rgb"}`` with ``rgb`` uint8 of
@@ -1294,6 +1318,7 @@ _FLAC_RATES = {
 _FLAC_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
 
 
+@_total_decoder
 def decode_flac(content: bytes) -> dict:
     """REAL FLAC decoder — pure stdlib bit arithmetic, no media
     libraries (the compressed-audio analog of :func:`decode_jpeg`,

@@ -289,3 +289,66 @@ class TestJpegRejection:
         with pytest.raises(ValueError):
             decode_image(junk)
         assert decode_image(junk, fake=True)["width"] == len(junk) % 640
+
+
+class TestCodecTotalityFuzz:
+    """Property: NO byte string makes a codec entry point raise anything
+    but ValueError/NotImplementedError (strict mode) — and fake mode is
+    TOTAL (always returns a dict). Guards against unhandled IndexError/
+    struct.error/zlib.error leaking from any of the six parsers."""
+
+    def test_decode_image_and_audio_never_crash(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from rust_ruuvitag_etl_spark.operators.multimodal import (
+            decode_audio,
+            decode_image,
+        )
+
+        prefixes = [
+            b"", b"\xff\xd8", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+            b"GIF87a", b"RIFF", b"fLaC",
+        ]
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.sampled_from(prefixes),
+            st.binary(min_size=0, max_size=200),
+        )
+        def run(prefix, tail):
+            payload = prefix + tail
+            for fn in (decode_image, decode_audio):
+                try:
+                    fn(payload)
+                except (ValueError, NotImplementedError):
+                    pass  # the only exceptions strict mode may raise
+                d = fn(payload, fake=True)
+                assert isinstance(d, dict)
+
+        run()
+
+    def test_truncated_chunk_bodies_are_valueerrors(self):
+        import struct
+
+        from rust_ruuvitag_etl_spark.operators.multimodal import (
+            decode_flac,
+            decode_jpeg_array,
+            decode_wav,
+        )
+
+        # WAV: fmt chunk claims 16 bytes, carries 2
+        wav = (
+            b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+        )
+        with pytest.raises(ValueError):
+            decode_wav(wav)
+        # JPEG: SOF0 with a 3-byte body
+        jp = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 5) + b"\x08\x00\x10"
+        with pytest.raises(ValueError):
+            decode_jpeg_array(jp)
+        # FLAC: STREAMINFO length lies
+        fl = b"fLaC" + struct.pack(">I", (1 << 31) | 34) + b"\x00" * 10
+        with pytest.raises(ValueError):
+            decode_flac(fl)
