@@ -387,3 +387,90 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").cast("double") / F.max("t_s").cast("double"), 6
         ).alias("kl_vs_corpus"),
     )
+
+
+# --- k-NN join ------------------------------------------------------------
+
+
+@query(
+    "similarity_knn_join",
+    oracle="""
+WITH cat AS (
+    SELECT vec_id AS cat_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+    FROM embeddings
+),
+scored AS (
+    SELECT v.vec_id, cat.cat_id, cat.label,
+           list_sum(list_transform(range(1, len(v.ev) + 1),
+                    i -> v.ev[i] * cat.cv[i]))
+           / (sqrt(list_sum(list_transform(v.ev, x -> x * x)))
+              * sqrt(list_sum(list_transform(cat.cv, x -> x * x)))) AS c
+    FROM v JOIN cat ON v.vec_id <> cat.cat_id
+),
+ranked AS (
+    SELECT vec_id, cat_id, label, ROUND(c, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                ORDER BY c DESC, cat_id) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT vec_id, cat_id, label AS neighbor_label, cosine, rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN (k=3): every corpus vector finds its 3 nearest
+    labeled exemplars — the classify/deduplicate/recommend primitive
+    where the WHOLE corpus is the query side, not a handful of probes
+    (the dual of similarity_bruteforce_topk). The exemplar catalog
+    (every tenth vector here; in production the labeled seed set or
+    the k-means exemplars) broadcasts; scoring is scan-local against
+    the broadcast; the only shuffle is the per-vector top-3 window on
+    the uniform vec_id key. That is THE 100 TB shape for "label
+    100 TB of embeddings against a small trusted set": corpus read
+    once, never reshuffled, work linear in |corpus| × |catalog|.
+
+    Self-pairs are excluded (an exemplar must not claim itself). Ties
+    break by cat_id for engine determinism; cosine rounds at 6dp only
+    in the OUTPUT, not the ordering."""
+    from ..functions import vectors as vf
+
+    em = spread(load(spark, sf_dir, "embeddings"))
+    cat = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select(
+            F.col("vec_id").alias("cat_id"),
+            F.col("label").alias("neighbor_label"),
+            F.col("embedding").alias("_cv"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        em.select("vec_id", "embedding")
+        .join(F.broadcast(cat), F.col("vec_id") != F.col("cat_id"))
+        .select(
+            "vec_id",
+            "cat_id",
+            "neighbor_label",
+            vf.cosine(F.col("embedding"), F.col("_cv")).alias("_c"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_c"), F.asc("cat_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "vec_id",
+            "cat_id",
+            "neighbor_label",
+            F.round("_c", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

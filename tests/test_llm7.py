@@ -215,3 +215,44 @@ class TestCorpusDriftKl:
         # balanced twins agree exactly.
         assert all(v >= 0 for v in rows.values())
         assert rows["balanced"] == rows["balanced2"]
+
+
+class TestKnnJoin:
+    def test_knn_semantics_on_constructed_vectors(self, spark, tmp_path):
+        import math
+
+        from rust_ruuvitag_etl_spark.plans.llm7 import similarity_knn_join
+
+        # Catalog = ids 0,10,20 pointing along distinct axes; corpus
+        # vectors near each axis must pick that exemplar first.
+        def vec(axis, angle=0.0):
+            v = [0.0] * 6
+            v[axis] = math.cos(angle)
+            v[(axis + 1) % 6] = math.sin(angle)
+            return v
+
+        rows = [
+            (0, vec(0), 0), (10, vec(2), 1), (20, vec(4), 2),
+            (1, vec(0, 0.1), 9), (2, vec(2, 0.15), 9), (3, vec(4, 0.2), 9),
+        ]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v], lb) for i, v, lb in rows],
+            "vec_id long, embedding array<float>, label int",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/embeddings.parquet"
+        )
+        got = similarity_knn_join(spark, str(tmp_path)).collect()
+        top1 = {
+            r["vec_id"]: (r["cat_id"], r["neighbor_label"])
+            for r in got if r["rank"] == 1
+        }
+        assert top1[1] == (0, 0)
+        assert top1[2] == (10, 1)
+        assert top1[3] == (20, 2)
+        # every corpus vector gets exactly 3 neighbors; no self-pairs
+        from collections import Counter
+
+        counts = Counter(r["vec_id"] for r in got)
+        assert all(c == 3 for c in counts.values())
+        assert all(r["vec_id"] != r["cat_id"] for r in got)
