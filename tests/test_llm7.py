@@ -250,9 +250,11 @@ class TestKnnJoin:
         assert top1[1] == (0, 0)
         assert top1[2] == (10, 1)
         assert top1[3] == (20, 2)
-        # every corpus vector gets exactly 3 neighbors; no self-pairs
+        # non-exemplar vectors get all 3 neighbors; exemplars get the
+        # 2 OTHER exemplars (self-pairs excluded); never a self-pair
         from collections import Counter
 
         counts = Counter(r["vec_id"] for r in got)
-        assert all(c == 3 for c in counts.values())
+        assert counts[1] == counts[2] == counts[3] == 3
+        assert counts[0] == counts[10] == counts[20] == 2
         assert all(r["vec_id"] != r["cat_id"] for r in got)
