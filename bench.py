@@ -66,6 +66,7 @@ HEADLINE = [
     "bitmap_user_activity",
     "multimodal_jpeg_stats",
     "multimodal_flac_stats",
+    "similarity_knn_join",
 ]
 
 
