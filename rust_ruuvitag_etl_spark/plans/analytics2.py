@@ -721,3 +721,49 @@ def timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("modified_z"),
         )
     )
+
+
+# --- equi-depth histogram -------------------------------------------------
+
+
+@query(
+    "histogram_equi_depth",
+    oracle="""
+WITH b AS (
+    SELECT value,
+           ntile(10) OVER (ORDER BY value, event_id) AS bucket
+    FROM events
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM b GROUP BY bucket
+""",
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 buckets of equal row count) over event
+    values — the optimizer-statistics / data-profiling dual of
+    histogram_fixed_width (equal-WIDTH buckets): bucket boundaries
+    adapt to the distribution, so skewed data still yields balanced
+    buckets. ntile is deterministic under the (value, event_id) total
+    order, and the per-bucket stats are exact min/max/count — no float
+    discipline needed.
+
+    Scale posture: a global ntile needs a total order — at this
+    scale one range-partitioned sort; at 100 TB the drop-in substitute
+    is approx_percentile boundaries (the sketch-error-gated pattern of
+    agg_approx_percentile) with a scan-local bucket assignment, which
+    avoids the global sort entirely. This query states the EXACT
+    semantics the approximation is graded against."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
