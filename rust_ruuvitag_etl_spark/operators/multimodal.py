@@ -960,14 +960,24 @@ def decode_jpeg_array(content: bytes) -> dict:
     sof = None
     restart_interval = 0
     scan = None
-    while pos + 4 <= len(content):
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # Spec-legal 0xFF fill bytes may pad between segments (B.1.1.2):
+        # skip repeats until the marker byte proper.
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         if marker == 0xD8:  # stray SOI
             raise ValueError("unexpected SOI marker")
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("EOI before any scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone length-less markers — skip.
+            pos += 2
+            continue
+        if pos + 4 > len(content):
+            raise ValueError("truncated marker segment header")
         (seglen,) = struct.unpack_from(">H", content, pos + 2)
         body = content[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -1375,6 +1385,10 @@ def decode_flac(content: bytes) -> dict:
         raise ValueError("missing STREAMINFO")
     total = streaminfo["total"]
     n_ch = streaminfo["channels"]
+    # Default before the frame loop: a structurally valid stream with
+    # total=0 and zero frames must return STREAMINFO's rate, not crash
+    # with an unbound local (the fake-mode-is-TOTAL contract).
+    rate = streaminfo["sample_rate"]
     channels: list[list[int]] = [[] for _ in range(n_ch)]
     while pos < len(content) and (total == 0 or len(channels[0]) < total):
         frame_start = pos

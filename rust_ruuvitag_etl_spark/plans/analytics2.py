@@ -767,3 +767,59 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+@query(
+    "histogram_equi_depth_approx",
+    oracle="""
+SELECT CAST(r AS INTEGER) AS bucket,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS total_rows,
+       TRUE AS depth_ok
+FROM range(1, 11) AS t(r)
+""",
+)
+def histogram_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe equi-depth histogram — the production twin of
+    :func:`histogram_equi_depth` (which is the exact SEMANTICS SPEC but
+    sorts the whole fact table in ONE partition via a global ntile).
+    This plan never builds a total order: decile boundaries come from
+    ONE ``percentile_approx`` aggregate (a mergeable GK sketch —
+    map-side partials, a 1-row result), the 9-boundary array is
+    broadcast back onto the scan, and each row's bucket is a
+    scan-local fold over the array (``F.aggregate``). The only
+    data-sized shuffle is the 10-key groupBy.
+
+    Sketch outputs are engine-specific, so the verifiable contract is
+    the agg_approx_percentile gate pattern: the output carries, per
+    bucket, the exact total row count (buckets PARTITION the scan, so
+    the sum of bucket counts is sketch-independent) and ``depth_ok`` =
+    'this bucket holds total/10 rows ±2%' (accuracy 10000 → rank error
+    ≤1e-4 per boundary, i.e. ±0.2% of a bucket — 10× inside the gate).
+    The oracle emits 10 rows of (bucket, exact count, TRUE), so the
+    hash match enforces totality + balance of the approximate plan."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.percentile_approx(
+            "value", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("_bs")
+    )
+    bucket = F.aggregate(
+        "_bs",
+        F.lit(1),
+        lambda acc, b: acc + F.when(F.col("value") > b, 1).otherwise(0),
+    )
+    hist = (
+        ev.select("value")
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = hist.agg(F.sum("n").cast("bigint").alias("total_rows"))
+    depth_ok = (
+        F.abs(F.col("n") - F.col("total_rows") / 10)
+        <= F.lit(0.02) * F.col("total_rows") / 10
+    )
+    return hist.crossJoin(F.broadcast(total)).select(
+        "bucket", "total_rows", depth_ok.alias("depth_ok")
+    )

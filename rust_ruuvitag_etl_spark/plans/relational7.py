@@ -178,9 +178,12 @@ def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part value vs a global-fraction scalar
     threshold. Adaptation: no partsupp, so 'inventory value' is the
     discounted lineitem revenue routed through EUROPE suppliers. The
-    scalar subquery decorrelates into an unpartitioned window SUM over
-    the per-part AGGREGATE (|parts| rows, not lineitem) — the fact chain
-    is scanned once, unlike a naive self-join of the CTE. Both sums are
+    scalar subquery decorrelates into a 1-row grand-total aggregate
+    broadcast back onto the per-part AGGREGATE (|parts| rows, not
+    lineitem) — the fact chain is scanned once, and NO row set ever
+    funnels into a single partition (an unpartitioned window here would
+    move every per-part row to one task at 100×; a 1-row broadcast
+    crossJoin keeps the threshold compare scan-local). Both sums are
     exact decimals, so the double threshold compare is engine-identical."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -193,9 +196,11 @@ def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_vol6()).alias("value"))
     )
-    total = F.sum("value").over(Window.partitionBy())
+    thr = pv.agg(
+        (F.sum("value").cast("double") * F.lit(0.001)).alias("_thr")
+    )
     return (
-        pv.withColumn("_thr", total.cast("double") * F.lit(0.001))
+        pv.crossJoin(F.broadcast(thr))
         .filter(F.col("value").cast("double") > F.col("_thr"))
         .select("partkey", F.col("value").cast("double").alias("total_value"))
     )
@@ -265,10 +270,12 @@ WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the scalar-max revenue view — suppliers whose
     quarterly revenue equals the maximum. The view aggregates once; the
-    max is an unpartitioned window over the ~|suppliers| aggregated rows
-    (NOT over lineitem), so the 'second scan of the view' the SQL
-    implies is a reused tiny exchange, and the equality compare runs on
-    exact decimal sums (no float-tie hazard)."""
+    scalar max is a 1-row aggregate broadcast back onto the per-supplier
+    rows (an unpartitioned window would funnel ALL per-supplier rows
+    into one task to find the max — a single-reducer pass at 100× the
+    supplier cardinality; the 1-row crossJoin keeps the equality filter
+    scan-local). The compare runs on exact decimal sums (no float-tie
+    hazard)."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = (
@@ -279,9 +286,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_vol6()).alias("total_rev"))
     )
-    top = rev.withColumn(
-        "_max", F.max("total_rev").over(Window.partitionBy())
-    ).filter(F.col("total_rev") == F.col("_max"))
+    mx = rev.agg(F.max("total_rev").alias("_max"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_rev") == F.col("_max")
+    )
     return (
         F.broadcast(s)
         .join(top, s["s_suppkey"] == top["supplier_no"])

@@ -153,6 +153,12 @@ def _ewma(
     exact across any micro-batch boundary."""
     prev: list[int] = list(state.get[0]) if state.exists else []
     chunks = list(pdfs)
+    if not chunks:
+        # Reachable only when a timeout is configured (timed-out keys are
+        # invoked with no data): carry state forward, emit nothing.
+        if prev:
+            state.update((prev,))
+        return
     pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
     order = [c for c in ("ts", "event_id") if c in pdf.columns]
     pdf = pdf.sort_values(order, kind="mergesort")
@@ -184,7 +190,18 @@ def _ewma(
 
 def ewma_stream(events: DataFrame) -> DataFrame:
     """Streaming EWMA smoother: ``events`` needs (event_id, event_type,
-    ts, value). Output mode ``append`` — one smoothed row per event."""
+    ts, value). Output mode ``append`` — one smoothed row per event.
+
+    ORDERING CONTRACT: rows are sorted by (ts, event_id) only WITHIN each
+    micro-batch; the fold order across batch boundaries is arrival order.
+    The batch LAG oracle (`plans/analytics2.py` timeseries_ewma_smooth)
+    matches only when micro-batches arrive in (ts, event_id) order — true
+    for the registry harness, which ships `events` as one parquet file =
+    one availableNow micro-batch (`plans/streaming_batchck.py`). A
+    production deployment with multiple files / `maxFilesPerTrigger` must
+    either pre-sort the source per trigger or accept arrival-order folds
+    (the standard streaming semantics for out-of-order data without
+    watermarked reordering)."""
     return events.groupBy("event_type").applyInPandasWithState(
         _ewma,
         outputStructType=EWMA_SCHEMA,

@@ -201,6 +201,19 @@ class TestFlacRejection:
             decode_audio(junk)
         assert decode_audio(junk, fake=True)["n_samples"] == len(junk) * 2
 
+    def test_zero_frames_total_unknown(self):
+        # Structurally valid: STREAMINFO with total=0 (unknown) and no
+        # frames. Must return an empty decode with STREAMINFO's rate —
+        # historically raised UnboundLocalError ('rate'), which leaked
+        # through _total_decoder and broke fake-mode totality.
+        data = b"fLaC" + _streaminfo(8, 22050, 1, 16, 0)
+        d = decode_flac(data)
+        assert d == {
+            "sample_rate": 22050, "n_channels": 1, "bits": 16, "samples": [],
+        }
+        # fake mode stays total over it too
+        decode_audio(data, fake=True)
+
 
 class TestFlacStereoDecorrelation:
     def _encode_side(self, left, right, mode):

@@ -240,6 +240,21 @@ class TestJpegRoundtrip:
         d = decode_jpeg_array(data)
         assert np.abs(d["rgb"][:, :, 0].astype(float) - img).max() <= 1.0
 
+    def test_fill_bytes_and_standalone_markers_tolerated(self):
+        # Spec-legal 0xFF fill padding between marker segments (B.1.1.2)
+        # and length-less standalone markers (TEM 0x01, stray RSTn)
+        # before SOS must be skipped, not rejected — real encoders
+        # occasionally emit fill bytes.
+        data = encode_jpeg([np.full((8, 8), 77.0)])
+        idx = data.find(b"\xff\xdb")  # before the DQT segment
+        padded = (
+            data[:idx] + b"\xff\xff\xff" + data[idx : idx + 69]
+            + b"\xff\x01" + b"\xff\xd3"  # TEM + stray RST3
+            + data[idx + 69 :]
+        )
+        d = decode_jpeg_array(padded)
+        assert (d["rgb"] == 77).all()
+
     def test_byte_stuffing_survives(self):
         # An image engineered to produce 0xFF entropy bytes somewhere:
         # random data over many blocks makes stuffing overwhelmingly

@@ -267,6 +267,97 @@ class TestShuffleByteBudget:
             assert measured[name]["stages"] > 0, f"{name}: no stages attributed"
 
 
+def _topgroups(line: str) -> list[str]:
+    """Top-level [...] groups on a physical-plan node line."""
+    out: list[str] = []
+    depth, cur = 0, []
+    for ch in line:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            else:
+                cur.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(cur))
+            else:
+                cur.append(ch)
+        elif depth > 0:
+            cur.append(ch)
+    return out
+
+
+def _is_partitionless_window(node: str) -> bool:
+    """A WindowExec prints ``Window [exprs], [partSpec], [orderSpec]``;
+    with no ORDER BY the orderSpec group is dropped, with no PARTITION BY
+    the partSpec group is dropped — so <3 groups is partition-less iff
+    the last group is an order spec (contains ASC/DESC) or the exprs are
+    the only group."""
+    g = _topgroups(node)
+    if len(g) >= 3:
+        return False
+    if len(g) == 2:
+        return " ASC" in g[1] or " DESC" in g[1]
+    return True
+
+
+class TestGlobalWindowBan:
+    # Audited partition-less windows over CONSTANT-SIZE or spec-only
+    # input; everything else moves ALL rows to one task at 100 TB.
+    ALLOWED = {
+        # the documented exact SEMANTICS SPEC — its scale-safe twin is
+        # histogram_equi_depth_approx (approx_percentile boundaries +
+        # scan-local assignment, no global sort)
+        "histogram_equi_depth",
+        # 3-row post-aggregate stage summary (one row per funnel stage)
+        "funnel_view_click_purchase",
+        # 20-row rank BELOW the distributed TakeOrderedAndProject
+        "text_bm25_ranking",
+    }
+
+    def test_no_registry_query_has_global_window_over_data(self, spark):
+        """NO registry query may plan a partition-less WindowExec except
+        the audited constant-input sites above (round-4 verdict: the
+        Q11/Q15 grand-total windows and the equi-depth ntile were real
+        single-reducer passes — fixed via 1-row-aggregate broadcasts and
+        the approx twin; this test keeps them fixed)."""
+        offenders = {}
+        for name in sorted(REGISTRY):
+            if name.startswith("streaming_") or name in self.ALLOWED:
+                continue
+            plan = _plan(name, spark)
+            hits = [
+                line.lstrip(" +-:*")[:120]
+                for line in plan.splitlines()
+                if line.lstrip(" +-:*").startswith("Window ")
+                and _is_partitionless_window(line.lstrip(" +-:*"))
+            ]
+            if hits:
+                offenders[name] = hits
+        assert not offenders, offenders
+
+
+class TestGlobalTopKPosture:
+    # Every global orderBy().limit(k) site in the registry: each must
+    # compile to TakeOrderedAndProject (per-partition heap + k-row
+    # driver merge), never a global range-sort followed by a limit.
+    TOPK_QUERIES = [
+        "q3_shipping_priority",      # plans/relational.py
+        "sort_limit_top_orders",     # plans/relational.py
+        "q10_returned_items",        # plans/relational5.py
+        "text_top_bigrams",          # plans/llm2.py
+        "text_bm25_ranking",         # plans/llm4.py
+        "text_keyword_pagerank",     # plans/graph.py
+    ]
+
+    def test_global_topk_sites_are_take_ordered(self, spark):
+        for name in self.TOPK_QUERIES:
+            plan = _plan(name, spark)
+            assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
 class TestRound4Posture:
     """Pin the round-4 performance fixes: a regression here re-creates
     a measured single-core or rebuild-per-probe bottleneck."""
