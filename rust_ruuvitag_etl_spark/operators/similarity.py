@@ -171,6 +171,120 @@ def ivf_assign(
     )
 
 
+def hierarchical_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_centroids: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level nearest-centroid assignment — the scale path when the
+    codebook itself grows with the corpus (SemDeDup's k ∝ N regime,
+    where :func:`ivf_assign`'s flat scan is O(N·k) = super-linear).
+
+    Level 1 clusters the k fine centroids into k1 = ⌈√k⌉ coarse cells
+    (a k-row k-means — constant-time next to the corpus); level 2
+    assigns each corpus vector first to its ``nprobe`` nearest coarse
+    cells (N·k1 scored rows) and then to the nearest FINE centroid
+    within those cells (N·nprobe·(k/k1) scored rows on average) —
+    O(N·√k) total work, the inverted-multi-index shape. Both levels
+    are broadcast hash equi-joins + map-side-combined aggregates, and
+    the two per-vector reductions share one hash partitioning on
+    ``id_col``.
+
+    Assignment is approximate at cell boundaries (the globally nearest
+    fine centroid can live outside the nprobe nearest coarse cells) —
+    callers gate downstream recall, exactly as SemDeDup's ``recall_ok``
+    does; nprobe=2 makes a boundary flip between the top two coarse
+    cells harmless, the standard IVF multi-probe discipline. Output
+    schema matches :func:`ivf_assign`: (id, vec, centroid_id)."""
+    import math
+
+    k1 = max(2, math.isqrt(max(1, n_centroids)))
+    fine_as_corpus = centroids.select(
+        F.col("centroid_id").alias(id_col), F.col("centroid").alias(vec_col)
+    )
+    coarse = kmeans_centroids(
+        fine_as_corpus, n_centroids=k1, iters=2, id_col=id_col, vec_col=vec_col
+    )
+    # fine → coarse map (k rows): which coarse cell owns each fine
+    # centroid. Re-key so the level-2 join exposes the fine vectors.
+    f2c = ivf_assign(fine_as_corpus, coarse, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("_fine_id"),
+        F.col(vec_col).alias("_fine_vec"),
+        F.col("centroid_id").alias("_coarse_id"),
+    )
+    # Level 1 must only rank LIVE cells (a coarse cell can end up with
+    # zero fine members after the final Lloyd round) or level 2's inner
+    # join would drop the vectors routed to an empty cell.
+    live = coarse.join(
+        F.broadcast(
+            f2c.select(F.col("_coarse_id").alias("centroid_id")).distinct()
+        ),
+        "centroid_id",
+        "left_semi",
+    ).select(
+        F.col("centroid_id").alias("_cc"),
+        F.col("centroid").alias("_cvec"),
+        F.coalesce(F.pmod(F.col("centroid_id"), F.lit(1)), F.lit(0)).alias(
+            "_one"
+        ),
+    )
+    # Top-nprobe coarse cells per vector: the scored rows for one
+    # vector are all produced in its scan task (row × broadcast), so
+    # the partial collect_list already holds all k1 entries map-side —
+    # the exchange carries ONE row per vector (nprobe small structs +
+    # the vector), not N·k1 rows.
+    scored1 = (
+        corpus.withColumn(
+            "_one", F.coalesce(F.pmod(F.col(id_col), F.lit(1)), F.lit(0))
+        )
+        .join(F.broadcast(live), "_one")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.struct(
+                (-vf.cosine(F.col(vec_col), F.col("_cvec"))).alias("_ns"),
+                F.col("_cc"),
+            ).alias("_e"),
+        )
+    )
+    lvl1 = (
+        scored1.groupBy(id_col)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("_e")), 1, nprobe).alias(
+                "_top"
+            ),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.transform("_top", lambda e: e["_cc"])).alias(
+                "_coarse_id"
+            ),
+        )
+    )
+    scored2 = lvl1.join(F.broadcast(f2c), "_coarse_id").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_fine_id"),
+        vf.cosine(F.col(vec_col), F.col("_fine_vec")).alias("_sim"),
+    )
+    best = scored2.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col(vec_col).alias("v"), F.col("_fine_id").alias("c")),
+            F.struct(F.col("_sim"), (-F.col("_fine_id")).alias("_n")),
+        ).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col("_b.v").alias(vec_col),
+        F.col("_b.c").alias("centroid_id"),
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 8,

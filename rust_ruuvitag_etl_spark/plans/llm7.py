@@ -163,42 +163,40 @@ def _sem_augmented(em: DataFrame) -> DataFrame:
 
 def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production SemDeDup path: k-means the augmented corpus
-    (8 clusters, 2 Lloyd rounds — the same deterministic codebook
-    discipline as the IVF index), assign each vector to its nearest
-    centroid, then verify exact cosine ONLY within clusters. The pair
-    space shrinks from O(N²) to Σ|cluster|² — with k scaled ∝ √N (the
-    SemDeDup paper's regime) that is O(N) pairs; nothing corpus-sized
-    ever cross-joins."""
-    from pyspark.sql import Window
+    (2 Lloyd rounds — the same deterministic codebook discipline as the
+    IVF index), assign each vector to its nearest centroid via the
+    TWO-LEVEL coarse→fine route, then verify exact cosine ONLY within
+    clusters. The pair space shrinks from O(N²) to Σ|cluster|² — with
+    k ∝ N (the SemDeDup paper's regime, bounded cluster sizes) that is
+    O(N) pairs — and the assignment itself is O(N·√k)
+    (:func:`~..operators.similarity.hierarchical_assign`; a flat scan
+    against a k ∝ N codebook would be O(N²/1000) at true scale).
+    Nothing corpus-sized ever cross-joins."""
     from ..functions import vectors as vf
 
     em = load(spark, sf_dir, "embeddings")
+    # Cluster count scales WITH the corpus (the SemDeDup paper's
+    # regime): bounded cluster sizes keep the verify pair space
+    # Σ|cluster|² at O(N). k is sized from the base table's parquet
+    # METADATA count (a footer statistic — no scan, no extra data
+    # pass; the augmentation adds exactly the vec_id%5==0 copies, a
+    # ≤1.2× factor that k-sizing doesn't need precisely). The driver
+    # corpora stay at the k=8 floor, so the oracle-gated recall
+    # measurement is unaffected.
+    n_clusters = max(8, int(em.count() * 1.2) // 1000)
     # spread BEFORE the checkpoint: a single-split parquet corpus would
     # otherwise pin k-means and the within-cluster verify to one core.
     aug = spread(_sem_augmented(em)).localCheckpoint(eager=True)
-    # Cluster count scales WITH the corpus (the SemDeDup paper's
-    # regime): bounded cluster sizes keep the verify pair space
-    # Σ|cluster|² at O(N) — a fixed k would make it quadratic. The
-    # driver corpora stay at the k=8 floor, so the oracle-gated recall
-    # measurement is unaffected.
-    n_clusters = max(8, aug.count() // 1000)
     cents = sim.kmeans_centroids(
         aug.withColumnRenamed("ev", "embedding"),
         n_centroids=n_clusters,
         iters=2,
     ).localCheckpoint(eager=True)
-    scored = aug.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "ev",
-        "centroid_id",
-        vf.cosine(F.col("ev"), F.col("centroid")).alias("_s"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("centroid_id"))
-    asg = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "centroid_id", "ev")
-    )
+    asg = sim.hierarchical_assign(
+        aug.withColumnRenamed("ev", "embedding"),
+        cents,
+        n_centroids=n_clusters,
+    ).select("vec_id", "centroid_id", F.col("embedding").alias("ev"))
     # Explicit repartition on the probe side: the assignment is only a
     # few MB here, so AQE coalesces the window shuffle to ONE partition
     # — which would serialize the Σ|cluster|²-pair verify (CPU-bound,

@@ -123,6 +123,52 @@ class TestSemDedup:
         # Measured recall is 1.0 on this corpus (floor is 0.9).
         assert found == exact
 
+    def test_hierarchical_assign_matches_flat_on_separated_clusters(
+        self, spark
+    ):
+        """On well-separated clusters (orthogonal directions + tiny
+        noise) the two-level route must agree with the flat scan
+        exactly: the coarse cell containing the nearest fine centroid
+        is also the nearest coarse cell."""
+        import random
+
+        random.seed(5)
+        dim, per = 16, 12
+        rows = []
+        for c in range(9):  # 9 clusters -> k1 = 3 coarse cells
+            for j in range(per):
+                v = [0.0] * dim
+                v[c] = 1.0
+                v[(c + 1) % dim] = random.uniform(0.0, 0.05)
+                rows.append((c * per + j, v))
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = sim.kmeans_centroids(em, n_centroids=9, iters=2)
+        flat = {
+            r["vec_id"]: r["centroid_id"]
+            for r in sim.ivf_assign(em, cents).collect()
+        }
+        hier = {
+            r["vec_id"]: r["centroid_id"]
+            for r in sim.hierarchical_assign(em, cents, 9).collect()
+        }
+        assert set(hier) == set(flat)  # every vector assigned exactly once
+        assert hier == flat
+
+    def test_hierarchical_assign_total_even_at_tiny_k(self, spark):
+        """k below the k1 floor (k=2 -> k1=2): every vector still gets
+        exactly one assignment (the live-coarse guard keeps vectors out
+        of empty cells)."""
+        em = spark.createDataFrame(
+            [(i, [float(i % 3), 1.0, 0.5]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = sim.kmeans_centroids(em, n_centroids=2, iters=1)
+        out = sim.hierarchical_assign(em, cents, 2).collect()
+        assert len(out) == 30
+        assert len({r["vec_id"] for r in out}) == 30
+        cent_ids = {r["centroid_id"] for r in cents.collect()}
+        assert {r["centroid_id"] for r in out} <= cent_ids
+
     def test_augmentation_is_ten_percent_copies(self, spark):
         from rust_ruuvitag_etl_spark.plans.llm7 import _sem_augmented
         from rust_ruuvitag_etl_spark.sources import load

@@ -55,7 +55,18 @@ CORPUS_QUERIES = [
     "similarity_ivf_topk",
     "similarity_sq8_topk",
     "dedup_semantic_clusters",
+    # round-5 additions (round-4 verdict #7): label-against-exemplars
+    # join on real corpus growth; TextRank reads documents so its edge
+    # set grows with the corpus too.
+    "similarity_knn_join",
+    "text_keyword_pagerank",
 ]
+
+# Graph axis (round-4 verdict #7): the engagement-graph algorithms read
+# events — replicate events x1/x4/x16 to densify the bipartite graph
+# and measure how per-iteration join+agg rounds scale with edges.
+GRAPH_MULTS = [1, 4, 16]
+GRAPH_QUERIES = ["graph_pagerank_bipartite", "graph_bfs_hops"]
 
 # Skew axis (round-2 verdict #7): zipfian token distributions are the
 # realistic 100 TB failure mode for text/dedup shuffles — a stop-word
@@ -122,6 +133,41 @@ def gen_corpora(spark, base_dir: str, out_root: str) -> dict[int, str]:
             e = e.unionByName(part)
         d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
         e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+        open(os.path.join(out, "_DONE"), "w").close()
+    return dirs
+
+
+def gen_graph_corpora(spark, base_dir: str, out_root: str) -> dict[int, str]:
+    """Replicate sf0.1 events x1/x4/x16 with OFFSET user ids (replica k
+    adds k*10M to user_id and event_id): identical rows would collapse
+    in the graph's DISTINCT (user, type) edge build, offset users grow
+    the bipartite edge set linearly. Idempotent via _DONE marker."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    dirs = {}
+    for mult in GRAPH_MULTS:
+        out = os.path.join(out_root, f"graph_x{mult}")
+        dirs[mult] = out
+        if os.path.exists(os.path.join(out, "_DONE")):
+            continue
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        parts = [
+            ev.select(
+                (F.col("event_id") + k * 10_000_000).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * 10_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for k in range(mult)
+        ]
+        e = parts[0]
+        for part in parts[1:]:
+            e = e.unionByName(part)
+        e.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
         open(os.path.join(out, "_DONE"), "w").close()
     return dirs
 
@@ -201,6 +247,47 @@ def _time_queries(spark, names, sf_dirs) -> dict[str, dict[str, float]]:
     return times
 
 
+def _time_assignment(spark, corpus_dirs) -> dict[str, dict[int, float]]:
+    """SemDeDup-regime assignment probe: k FORCED to N/100 (not the
+    registry's k=8 floor), flat ivf_assign vs two-level
+    hierarchical_assign over the same codebook. Codebook QUALITY is
+    irrelevant to assignment COST, so centroids are just the k
+    largest-id vectors — no Lloyd rounds pollute the timing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rust_ruuvitag_etl_spark.operators import similarity as sim
+    from rust_ruuvitag_etl_spark.operators.dedup import spread
+
+    out: dict[str, dict[int, float]] = {"flat": {}, "two_level": {}}
+    for mult, d in sorted(corpus_dirs.items()):
+        em = spread(
+            spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        ).localCheckpoint(eager=True)
+        n = em.count()
+        k = max(8, n // 100)
+        w = Window.orderBy(F.desc("vec_id"))
+        cents = (
+            em.orderBy(F.desc("vec_id"))
+            .limit(k)
+            .withColumn("centroid_id", F.row_number().over(w) - 1)
+            .select("centroid_id", F.col("embedding").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+        for key, fn in (
+            ("flat", lambda: sim.ivf_assign(em, cents)),
+            ("two_level", lambda: sim.hierarchical_assign(em, cents, k)),
+        ):
+            fn().count()  # warm
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                fn().count()
+                reps.append(time.time() - t0)
+            out[key][mult] = round(sorted(reps)[1], 3)
+    return out
+
+
 def main() -> None:
     root = _repo_root()
     out_md = os.path.join(root, "SCALING.md")
@@ -222,6 +309,17 @@ def main() -> None:
     skew = _time_queries(
         spark, SKEW_QUERIES, {str(m): d for m, d in skew_dirs.items()}
     )
+
+    graph_dirs = gen_graph_corpora(
+        spark, "/root/testdata/sf0.1", os.path.join(root, ".scaling_corpus")
+    )
+    graph = _time_queries(
+        spark, GRAPH_QUERIES, {str(m): d for m, d in graph_dirs.items()}
+    )
+
+    assign = _time_assignment(spark, gen_corpora(
+        spark, "/root/testdata/sf0.1", os.path.join(root, ".scaling_corpus")
+    ))
 
     lines = [
         "# SCALING — headline suite across scale factors",
@@ -328,7 +426,53 @@ def main() -> None:
         "whole 4-value signature bands, and the zipf corpus yields zero",
         "candidate pairs at every size — no hot bucket ever forms).",
         "",
+        "## Graph axis (sf0.1 events replicated x1/x4/x16, offset users)",
+        "",
+        "Replicas add k·10M to user_id, so the DISTINCT (user, type) edge",
+        "set grows linearly (identical rows would collapse in the edge",
+        "build). Each PageRank/BFS iteration is one edge equi-join + one",
+        "groupBy(dst) partial sum over the checkpointed edge list; ~linear",
+        "exponents mean per-iteration cost tracks |edges|, the textbook",
+        "distributed shape.",
+        "",
+        "| query | x1 s | x4 s | x16 s | exp |",
+        "|---|---|---|---|---|",
     ]
+    for name in GRAPH_QUERIES:
+        t1, t4, t16 = (graph[name][str(m)] for m in GRAPH_MULTS)
+        steps = []
+        if t1 > 0:
+            steps.append(math.log(t4 / t1) / math.log(4))
+        if t4 > 0:
+            steps.append(math.log(t16 / t4) / math.log(4))
+        exp = sum(steps) / len(steps) if steps else float("nan")
+        lines.append(f"| {name} | {t1} | {t4} | {t16} | {exp:+.2f} |")
+    lines += [
+        "",
+        "## SemDeDup assignment axis (k FORCED to N/100, x1/x4/x16 embeddings)",
+        "",
+        "The round-4 verdict's watch item: with the codebook scaling k ∝ N",
+        "(the paper's bounded-cluster regime), a flat nearest-centroid scan",
+        "is O(N·k) = O(N²/100) — per 4x corpus step that is 16x work",
+        "(exp +2.0). The two-level coarse→fine route",
+        "(operators/similarity.py:hierarchical_assign) is O(N·√k), i.e. 8x",
+        "per step (exp +1.5) — sub-quadratic, and the k-sizing count now",
+        "comes from parquet metadata (no extra corpus pass). Measured with",
+        "k = N/100 forced (N/100 ≫ the registry's k=8 floor):",
+        "",
+        "| path | x1 s | x4 s | x16 s | exp (quadratic=+2.0) |",
+        "|---|---|---|---|---|",
+    ]
+    for key in ("flat", "two_level"):
+        t1, t4, t16 = (assign[key][m] for m in CORPUS_MULTS)
+        steps = []
+        if t1 > 0:
+            steps.append(math.log(t4 / t1) / math.log(4))
+        if t4 > 0:
+            steps.append(math.log(t16 / t4) / math.log(4))
+        exp = sum(steps) / len(steps) if steps else float("nan")
+        lines.append(f"| {key} | {t1} | {t4} | {t16} | {exp:+.2f} |")
+    lines += [""]
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_md}")
