@@ -591,6 +591,161 @@ def streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_LATE_DELAY_MIN = 10
+_LATE_T0 = "2024-01-01 00:00:00"
+
+
+def _late_stream_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic three-batch stream derived from events (the same
+    derivation the oracle reproduces in SQL): batch 1 is on-time rows
+    spanning minutes 0-45 (windows W0 [0,30) and W1 [30,60)); batch 2
+    is recent rows at minutes 183-189 that push the watermark to
+    179 min — short of their own window [180,210); batch 3 plants LATE
+    rows at minute 5, whose window W0 closed long ago. Late rows must
+    arrive TWO triggers after their window's data because Spark filters
+    late events with the PREVIOUS batch's watermark
+    (``watermarkForLateEvents`` lags ``watermarkForEviction`` by one
+    batch — replay safety; measured on this engine and pinned by
+    tests/test_streaming.py). Margins everywhere: no window boundary
+    ever equals a watermark, so </<= conventions cannot flip the
+    answer."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+    )
+    minute = (
+        F.when(F.col("event_id") % 2 == 0, F.col("event_id") % 46)
+        .when(F.col("event_id") % 10 == 1, F.lit(5))
+        .otherwise(F.lit(180) + F.col("event_id") % 10)
+    ).cast("int")
+    batch = (
+        F.when(F.col("event_id") % 2 == 0, 1)
+        .when(F.col("event_id") % 10 == 1, 3)
+        .otherwise(2)
+    )
+    return ev.select(
+        (F.col("user_id") % 8).alias("uid"),
+        batch.alias("batch"),
+        minute.alias("_m"),
+    ).selectExpr(
+        "uid",
+        "batch",
+        f"timestamp '{_LATE_T0}'"
+        " + make_interval(0, 0, 0, 0, 0, _m, 0) AS ts",
+    )
+
+
+@query(
+    "streaming_late_data_discard",
+    oracle=f"""
+WITH src AS (
+    SELECT user_id % 8 AS uid,
+           CASE WHEN event_id % 2 = 0 THEN 1
+                WHEN event_id % 10 = 1 THEN 3 ELSE 2 END AS batch,
+           CAST(CASE WHEN event_id % 2 = 0 THEN event_id % 46
+                     WHEN event_id % 10 = 1 THEN 5
+                     ELSE 180 + event_id % 10 END AS INTEGER) AS minute
+    FROM events
+    WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+),
+t AS (
+    SELECT uid, batch,
+           TIMESTAMP '{_LATE_T0}' + minute * INTERVAL 1 MINUTE AS ts
+    FROM src
+),
+-- the late-event filter for batch N uses the watermark computed
+-- through batch N-2 (watermarkForLateEvents lags eviction by one
+-- batch): for batch-3 rows that is max ts of batch 1, minus the delay
+wm_late3 AS (
+    SELECT MAX(ts) - INTERVAL {_LATE_DELAY_MIN} MINUTES AS w
+    FROM t WHERE batch = 1
+),
+wmf AS (
+    SELECT MAX(ts) - INTERVAL {_LATE_DELAY_MIN} MINUTES AS w FROM t
+),
+kept AS (
+    SELECT uid, time_bucket(INTERVAL 30 MINUTES, ts) AS ws
+    FROM t
+    WHERE NOT (batch = 3
+               AND time_bucket(INTERVAL 30 MINUTES, ts) + INTERVAL 30 MINUTES
+                   <= (SELECT w FROM wm_late3))
+)
+SELECT uid AS user_id, ws AS window_start, CAST(COUNT(*) AS BIGINT) AS n
+FROM kept
+GROUP BY uid, ws
+HAVING ws + INTERVAL 30 MINUTES <= (SELECT w FROM wmf)
+""",
+)
+def streaming_late_data_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermark semantics end-to-end — the one streaming
+    behavior the reference cannot express (it has no event time at all,
+    ``src/main.rs:81-122``): a 10-minute watermark over 30-minute
+    tumbling windows, driven through THREE deterministic micro-batches
+    (maxFilesPerTrigger=1 over three mtime-ordered files). The batch-1
+    watermark finalizes window W0 and batch 3's planted late rows into
+    W0 are DISCARDED (they arrive two triggers after W0's data —
+    Spark's late filter lags eviction by one batch, see
+    :func:`_late_stream_rows`); append mode emits exactly the windows
+    the final watermark closes (the trailing window never emits). The
+    oracle encodes the full rule in SQL — the lagged late-event
+    watermark, the late-drop predicate, and the final-emission
+    predicate — so the hash match pins discard semantics, not just row
+    counts.
+
+    Scale posture: watermark state eviction is O(open windows) per
+    key; the three-file harness is the bounded stand-in for a
+    continuous source (streaming/pipeline.py carries the same
+    watermark in production mode)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .llm import sf_slug
+
+    rows = _late_stream_rows(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"late_data_{sf_slug(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    for i, b in enumerate((1, 2, 3), start=1):
+        staged = os.path.join(root, f"_stage{b}")
+        rows.filter(F.col("batch") == b).select("uid", "ts").coalesce(
+            1
+        ).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dst = os.path.join(data, f"{b}.parquet")
+        shutil.move(part, dst)
+        # FileStreamSource orders by modification time: pin batch order.
+        os.utime(dst, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+    stream = (
+        spark.readStream.schema("uid bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{_LATE_DELAY_MIN} minutes")
+        .groupBy("uid", F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("uid").alias("user_id"),
+            F.col("w.start").alias("window_start"),
+            "n",
+        )
+    )
+    name = "sld_streaming_late_data_discard"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @query(
     "streaming_bitmap_rollup",
     oracle="""

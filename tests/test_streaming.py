@@ -521,3 +521,99 @@ class TestStreamingEwma:
             )
             den = sum(weights[-len(window):])
             assert got[eid] == (num, den), eid
+
+
+class TestLateDataDiscard:
+    """Append-mode watermark discard semantics, pinned with explicit
+    planted rows: a late event whose window closed two triggers ago is
+    DROPPED; its on-time twin (same window, arrived with the window's
+    data) is KEPT. Also pins the one-batch lag of Spark's late-event
+    filter (watermarkForLateEvents trails watermarkForEviction), which
+    the registry query streaming_late_data_discard's oracle encodes."""
+
+    def _drain(self, spark, files, name):
+        import glob
+        import os
+
+        root = tempfile.mkdtemp(prefix="late_pin_")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        for i, rows in enumerate(files, start=1):
+            df = spark.createDataFrame(rows, "uid long, ts timestamp")
+            staged = os.path.join(root, f"_s{i}")
+            df.coalesce(1).write.parquet(staged)
+            part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+            dst = os.path.join(data, f"{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+        stream = (
+            spark.readStream.schema("uid long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("uid", F.window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("uid", F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            p["stateOperators"][0]["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        out = {
+            (r["uid"], str(r["ws"])): r["n"]
+            for r in spark.table(name).collect()
+        }
+        shutil.rmtree(root, ignore_errors=True)
+        return out, dropped
+
+    def test_late_event_dropped_on_time_twin_kept(self, spark):
+        import datetime as dt
+
+        T = lambda m: dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+        # batch 1: the on-time twin (uid 1) in W0 plus a 00:44 row that
+        # advances the watermark to 00:34 > W0.end; batch 2: recent rows
+        # (the lagged late-filter batch); batch 3: the LATE row into W0.
+        out, dropped = self._drain(
+            spark,
+            [
+                [(1, T(5)), (2, T(44))],
+                [(2, T(180))],
+                [(1, T(6))],  # late: W0 closed since end of batch 1
+            ],
+            "late_pin_main",
+        )
+        assert dropped == 1
+        # W0 for uid 1 holds ONLY the on-time twin.
+        assert out[(1, "2024-01-01 00:00:00")] == 1
+        # The trailing window (ts 03:00) is never finalized in append
+        # mode: the watermark stops at 02:59... (max 03:00 - 10 min).
+        assert (2, "2024-01-01 03:00:00") not in out
+
+    def test_late_filter_lags_eviction_by_one_batch(self, spark):
+        import datetime as dt
+
+        T = lambda m: dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+        # Same shape but the late row arrives only ONE trigger after
+        # W0's data: the late filter still runs with the PREVIOUS
+        # watermark (1970), so the row is absorbed before eviction.
+        out, dropped = self._drain(
+            spark,
+            [
+                [(1, T(5)), (2, T(44))],
+                [(1, T(6)), (2, T(180))],
+            ],
+            "late_pin_lag",
+        )
+        assert dropped == 0
+        assert out[(1, "2024-01-01 00:00:00")] == 2
