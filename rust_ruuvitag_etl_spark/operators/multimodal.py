@@ -1487,6 +1487,176 @@ def decode_flac(content: bytes) -> dict:
     }
 
 
+@_total_decoder
+def decode_avi(content: bytes) -> dict:
+    """REAL AVI (RIFF) video-container parser — pure stdlib ``struct``,
+    no media libraries (the video analog of :func:`decode_wav`'s RIFF
+    walk, upgrading the pseudo-frame byte slicer the frame-sample query
+    uses into a genuine container decode). Walks the RIFF chunk tree
+    with even-byte chunk padding: ``LIST hdrl`` (the 56-byte
+    ``avih`` main header, ``LIST strl`` with the ``strh`` stream header
+    and ``strf`` BITMAPINFOHEADER), ``LIST movi`` (the ``##db``
+    uncompressed DIB frame chunks), and the optional ``idx1`` index —
+    every idx1 entry is verified against the actual chunk offsets and
+    lengths, the frame count against ``avih.dwTotalFrames``, and the
+    stream format against the declared dimensions.
+
+    Supported: single-stream uncompressed 24-bit RGB ('DIB ' / BI_RGB)
+    video, frames stored bottom-up BGR with 4-byte row stride exactly
+    like BMP pixel arrays. Raises ``ValueError`` on malformed payloads
+    and ``NotImplementedError`` for compressed codecs / non-24-bit
+    frames.
+
+    Returns ``{"width", "height", "n_frames", "frames"}`` with
+    ``frames`` a list of uint8 numpy arrays of shape (height, width,
+    3), rows top to bottom, channels RGB."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", content, 4)
+    if 8 + riff_size > len(content):
+        raise ValueError("RIFF size extends past end of payload")
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            cc = content[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", content, pos + 4)
+            if pos + 8 + clen > end:
+                raise ValueError(f"truncated {cc!r} chunk")
+            yield cc, pos + 8, clen
+            pos += 8 + clen + (clen & 1)  # RIFF chunks pad to even sizes
+
+    avih = strh = strf = None
+    frames_raw: list[tuple[int, bytes]] = []
+    idx = None
+    for cc, b, ln in walk(12, 8 + riff_size):
+        if cc == b"LIST":
+            ltype = content[b : b + 4]
+            if ltype == b"hdrl":
+                for cc2, b2, l2 in walk(b + 4, b + ln):
+                    if cc2 == b"avih":
+                        if l2 != 56:
+                            raise ValueError(f"bad avih length {l2}")
+                        avih = struct.unpack_from("<14I", content, b2)
+                    elif cc2 == b"LIST" and content[b2 : b2 + 4] == b"strl":
+                        for cc3, b3, l3 in walk(b2 + 4, b2 + l2):
+                            if cc3 == b"strh":
+                                if l3 < 48:
+                                    raise ValueError(f"bad strh length {l3}")
+                                strh = (
+                                    content[b3 : b3 + 4],
+                                    content[b3 + 4 : b3 + 8],
+                                )
+                            elif cc3 == b"strf":
+                                if l3 < 40:
+                                    raise ValueError(f"bad strf length {l3}")
+                                strf = struct.unpack_from(
+                                    "<IiiHHI", content, b3
+                                )
+            elif ltype == b"movi":
+                for cc2, b2, l2 in walk(b + 4, b + ln):
+                    if cc2[2:4] in (b"db", b"dc"):
+                        # offset convention: from the 'movi' fourcc to
+                        # the chunk's ckid (first chunk = 4)
+                        frames_raw.append((b2 - 8 - b, content[b2 : b2 + l2]))
+        elif cc == b"idx1":
+            if ln % 16:
+                raise ValueError(f"idx1 length {ln} not a multiple of 16")
+            idx = [
+                struct.unpack_from("<4sIII", content, b + 16 * i)
+                for i in range(ln // 16)
+            ]
+    if avih is None:
+        raise ValueError("missing avih main header")
+    if strh is None or strf is None:
+        raise ValueError("missing strh/strf stream headers")
+    n_frames, n_streams, w, h = avih[4], avih[6], avih[8], avih[9]
+    if n_streams != 1:
+        raise NotImplementedError(f"only single-stream AVI (got {n_streams})")
+    if strh[0] != b"vids":
+        raise NotImplementedError(f"only video streams (got {strh[0]!r})")
+    if strh[1] not in (b"DIB ", b"\x00\x00\x00\x00"):
+        raise NotImplementedError(f"compressed codec {strh[1]!r}")
+    _bi_size, bw, bh, _planes, bpp, compression = strf
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit frames (bpp={bpp}, comp={compression})"
+        )
+    if (bw, abs(bh)) != (w, h) or w <= 0 or h <= 0:
+        raise ValueError(f"strf {bw}x{bh} disagrees with avih {w}x{h}")
+    if len(frames_raw) != n_frames:
+        raise ValueError(
+            f"movi holds {len(frames_raw)} frames, avih declares {n_frames}"
+        )
+    if idx is not None:
+        if len(idx) != len(frames_raw):
+            raise ValueError("idx1 entry count != frame count")
+        for (ckid, _flags, off, ln2), (real_off, data) in zip(idx, frames_raw):
+            if ckid[2:4] not in (b"db", b"dc"):
+                raise ValueError(f"idx1 entry for non-frame chunk {ckid!r}")
+            if off != real_off or ln2 != len(data):
+                raise ValueError(
+                    f"idx1 entry ({off}, {ln2}) != actual "
+                    f"({real_off}, {len(data)})"
+                )
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for _off, data in frames_raw:
+        if len(data) != h * stride:
+            raise ValueError(
+                f"frame length {len(data)} != {h} rows x {stride} stride"
+            )
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)
+        rgb = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        if bh > 0:  # bottom-up like BMP
+            rgb = rgb[::-1]
+        frames.append(rgb)
+    return {"width": w, "height": h, "n_frames": n_frames, "frames": frames}
+
+
+AVI_STATS_SCHEMA = (
+    "media_id long, frame_no int, width int, height int, n_frames int, "
+    "sum_r long, sum_g long, sum_b long, topleft_r int"
+)
+
+
+def avi_video_stats(media: DataFrame, every_nth: int = 1) -> DataFrame:
+    """Arrow-batched per-frame feature extraction over REAL AVI
+    payloads: decode the container (:func:`decode_avi`), keep every
+    ``every_nth``-th frame, and emit per-frame channel sums plus the
+    order-sensitive top-left red byte (which only matches the oracle if
+    the bottom-up un-flip AND the BGR→RGB swap both happened). Same
+    mapInPandas record-batch streaming as the other codecs: constant
+    memory per task, per-frame reductions as numpy sums."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "frame_no", "width", "height", "n_frames",
+                "sum_r", "sum_g", "sum_b", "topleft_r",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_avi(bytes(content))
+                for fno in range(0, d["n_frames"], every_nth):
+                    rgb = d["frames"][fno].astype("int64")
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(fno)
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["n_frames"].append(d["n_frames"])
+                    out["sum_r"].append(int(rgb[:, :, 0].sum()))
+                    out["sum_g"].append(int(rgb[:, :, 1].sum()))
+                    out["sum_b"].append(int(rgb[:, :, 2].sum()))
+                    out["topleft_r"].append(int(rgb[0, 0, 0]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AVI_STATS_SCHEMA)
+
+
 FLAC_STATS_SCHEMA = WAV_STATS_SCHEMA
 
 

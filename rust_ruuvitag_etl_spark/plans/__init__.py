@@ -28,4 +28,5 @@ from . import (  # noqa: E402, F401
     analytics2,
     graph,
     llm7,
+    llm8,
 )
