@@ -208,6 +208,7 @@ class TestPythonBoundary:
             "multimodal_gif_stats",  # real GIF (LZW) decode needs Python
             "multimodal_jpeg_stats",  # real JPEG (Huffman+IDCT) decode
             "multimodal_flac_stats",  # real FLAC (Rice) decode
+            "multimodal_avi_stats",  # real AVI (RIFF) decode needs Python
             "similarity_bruteforce_topk_arrow",
         }
         markers = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
