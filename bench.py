@@ -67,7 +67,27 @@ HEADLINE = [
     "multimodal_jpeg_stats",
     "multimodal_flac_stats",
     "similarity_knn_join",
+    "multimodal_avi_stats",
 ]
+
+
+def _calibration_s(reps: int = 3) -> float:
+    """Contention sentinel: median wall-clock of a fixed pure-Python CPU
+    loop (no Spark, no IO). On idle hardware this reads a stable
+    machine-specific constant; a reading >1.3x the recorded idle value
+    means the box is contended and every suite timing in this run is
+    inflated — rerun before treating a per-query delta as a regression
+    (three rounds running, a contended bench manufactured a phantom
+    regression: r3 langid, r4 corpus_prep, r5 the whole suite at 44.7 s
+    vs 34.5 s idle). Interpretation notes live in PLANS.md."""
+    samples = []
+    for _ in range(reps):
+        t0 = time.time()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i & 0xFFFF
+        samples.append(time.time() - t0)
+    return round(sorted(samples)[reps // 2], 3)
 
 
 def _ivf_probe_only(spark, sf_dir):
@@ -133,6 +153,7 @@ OVERRIDES = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    calibration = _calibration_s()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -171,6 +192,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration_s": calibration,
             }
         )
     )

@@ -161,28 +161,50 @@ def _sem_augmented(em: DataFrame) -> DataFrame:
     return base.unionAll(copies)
 
 
+HIER_ASSIGN_MIN_K = 1024
+"""Codebook-size crossover between flat and two-level assignment.
+
+Measured (tools/scaling_probe.py assignment axis, k forced to N/100,
+sf0.1 corpus ×1/×4/×16): flat ivf_assign runs 0.45-0.69 s flat while
+hierarchical_assign sits at ~2.2 s of fixed overhead (extra centroid
+k-means, collect_list/array_sort top-nprobe, explode, second join —
+12 exchanges vs the flat scan's 1-2) at EVERY size this sandbox can
+build. Both paths are overhead-dominated here, so the crossover is
+extrapolated from the asymptotics instead of interpolated: flat scores
+N·k pairs, two-level ~N·(√k·(1+nprobe)); the per-pair cosine only
+dominates the ~1.75 s fixed gap once N·k ≳ 10⁹, i.e. k in the low
+thousands with N ≳ 10⁶ under the k = N/1000 sizing below. k ≤ 1024
+therefore routes flat; the two-level path is reserved for the regime
+its asymptotics actually pay for."""
+
+
 def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production SemDeDup path: k-means the augmented corpus
     (2 Lloyd rounds — the same deterministic codebook discipline as the
-    IVF index), assign each vector to its nearest centroid via the
-    TWO-LEVEL coarse→fine route, then verify exact cosine ONLY within
-    clusters. The pair space shrinks from O(N²) to Σ|cluster|² — with
-    k ∝ N (the SemDeDup paper's regime, bounded cluster sizes) that is
-    O(N) pairs — and the assignment itself is O(N·√k)
-    (:func:`~..operators.similarity.hierarchical_assign`; a flat scan
-    against a k ∝ N codebook would be O(N²/1000) at true scale).
-    Nothing corpus-sized ever cross-joins."""
+    IVF index), assign each vector to its nearest centroid, then verify
+    exact cosine ONLY within clusters. The pair space shrinks from
+    O(N²) to Σ|cluster|² — with k ∝ N (the SemDeDup paper's regime,
+    bounded cluster sizes) that is O(N) pairs. Assignment is routed by
+    codebook size: a flat broadcast scan
+    (:func:`~..operators.similarity.ivf_assign`, O(N·k)) below
+    ``HIER_ASSIGN_MIN_K`` where its constant wins, the TWO-LEVEL
+    coarse→fine route
+    (:func:`~..operators.similarity.hierarchical_assign`, O(N·√k))
+    above it, where a flat scan against a k ∝ N codebook would be
+    O(N²/1000). Both paths are recall-gated downstream and produce
+    oracle-identical output on the driver corpora. Nothing corpus-sized
+    ever cross-joins."""
     from ..functions import vectors as vf
 
     em = load(spark, sf_dir, "embeddings")
     # Cluster count scales WITH the corpus (the SemDeDup paper's
     # regime): bounded cluster sizes keep the verify pair space
-    # Σ|cluster|² at O(N). k is sized from the base table's parquet
-    # METADATA count (a footer statistic — no scan, no extra data
-    # pass; the augmentation adds exactly the vec_id%5==0 copies, a
-    # ≤1.2× factor that k-sizing doesn't need precisely). The driver
-    # corpora stay at the k=8 floor, so the oracle-gated recall
-    # measurement is unaffected.
+    # Σ|cluster|² at O(N). k is sized from a cheap columnless count of
+    # the base table (a count(*)-only scan — no embedding bytes read;
+    # the augmentation adds exactly the vec_id%5==0 copies, a ≤1.2×
+    # factor that k-sizing doesn't need precisely). The driver corpora
+    # stay at the k=8 floor, so the oracle-gated recall measurement is
+    # unaffected.
     n_clusters = max(8, int(em.count() * 1.2) // 1000)
     # spread BEFORE the checkpoint: a single-split parquet corpus would
     # otherwise pin k-means and the within-cluster verify to one core.
@@ -192,11 +214,19 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=n_clusters,
         iters=2,
     ).localCheckpoint(eager=True)
-    asg = sim.hierarchical_assign(
-        aug.withColumnRenamed("ev", "embedding"),
-        cents,
-        n_centroids=n_clusters,
-    ).select("vec_id", "centroid_id", F.col("embedding").alias("ev"))
+    if n_clusters <= HIER_ASSIGN_MIN_K:
+        assigned = sim.ivf_assign(
+            aug.withColumnRenamed("ev", "embedding"), cents
+        )
+    else:
+        assigned = sim.hierarchical_assign(
+            aug.withColumnRenamed("ev", "embedding"),
+            cents,
+            n_centroids=n_clusters,
+        )
+    asg = assigned.select(
+        "vec_id", "centroid_id", F.col("embedding").alias("ev")
+    )
     # Explicit repartition on the probe side: the assignment is only a
     # few MB here, so AQE coalesces the window shuffle to ONE partition
     # — which would serialize the Σ|cluster|²-pair verify (CPU-bound,
