@@ -796,7 +796,12 @@ def histogram_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     'this bucket holds total/10 rows ±2%' (accuracy 10000 → rank error
     ≤1e-4 per boundary, i.e. ±0.2% of a bucket — 10× inside the gate).
     The oracle emits 10 rows of (bucket, exact count, TRUE), so the
-    hash match enforces totality + balance of the approximate plan."""
+    hash match enforces totality + balance of the approximate plan.
+    The observed counts are left-joined onto the full 1..10 bucket
+    range so an EMPTY bucket (possible under heavy value duplication,
+    when adjacent percentile boundaries coincide) still emits a row and
+    fails through the intended ``depth_ok=false`` signal instead of a
+    row-count mismatch."""
     ev = load(spark, sf_dir, "events")
     bounds = ev.agg(
         F.percentile_approx(
@@ -815,11 +820,17 @@ def histogram_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Full 1..10 range left-joined with the observed counts: an empty
+    # bucket emits n=0 (→ depth_ok=false) instead of vanishing.
+    buckets = spark.range(1, 11).select(F.col("id").cast("int").alias("bucket"))
+    filled = buckets.join(F.broadcast(hist), "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
     total = hist.agg(F.sum("n").cast("bigint").alias("total_rows"))
     depth_ok = (
         F.abs(F.col("n") - F.col("total_rows") / 10)
         <= F.lit(0.02) * F.col("total_rows") / 10
     )
-    return hist.crossJoin(F.broadcast(total)).select(
+    return filled.crossJoin(F.broadcast(total)).select(
         "bucket", "total_rows", depth_ok.alias("depth_ok")
     )

@@ -598,7 +598,8 @@ _LATE_T0 = "2024-01-01 00:00:00"
 def _late_stream_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic three-batch stream derived from events (the same
     derivation the oracle reproduces in SQL): batch 1 is on-time rows
-    spanning minutes 0-45 (windows W0 [0,30) and W1 [30,60)); batch 2
+    at even minutes 0-44 (even event_ids mod 46 — batch-1 watermark
+    34 min; windows W0 [0,30) and W1 [30,60)); batch 2
     is recent rows at minutes 183-189 that push the watermark to
     179 min — short of their own window [180,210); batch 3 plants LATE
     rows at minute 5, whose window W0 closed long ago. Late rows must
@@ -703,10 +704,10 @@ def streaming_late_data_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import sf_slug
 
     rows = _late_stream_rows(spark, sf_dir)
-    root = os.path.join(
-        tempfile.gettempdir(), f"late_data_{sf_slug(sf_dir)}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    # Per-run staging dir (mkdtemp, like tests/test_streaming.py): a
+    # fixed shared path would let two concurrent drivers on the same
+    # host+sf delete each other's staged files mid-stream.
+    root = tempfile.mkdtemp(prefix=f"late_data_{sf_slug(sf_dir)}_")
     data = os.path.join(root, "data")
     os.makedirs(data)
     for i, b in enumerate((1, 2, 3), start=1):
@@ -743,6 +744,9 @@ def streaming_late_data_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # The memory-sink table owns the results; the staged files are
+    # fully consumed once the availableNow job terminates.
+    shutil.rmtree(root, ignore_errors=True)
     return spark.table(name)
 
 

@@ -123,8 +123,9 @@ EWMA_SCHEMA = StructType(
 
 # state: the up-to-7 most recent samples (most recent LAST) in exact
 # integer micro-units (value quantized to 6dp like the batch twin's
-# DECIMAL(18,6) cast).
-EWMA_STATE_SCHEMA = "vals ARRAY<LONG>"
+# DECIMAL(18,6) cast), plus the (ts, event_id) high-water mark of the
+# last folded row — the cross-batch ordering sentinel (see _ewma).
+EWMA_STATE_SCHEMA = "vals ARRAY<LONG>, hwm_ts LONG, hwm_id LONG"
 
 _EWMA_W = 8
 
@@ -150,18 +151,50 @@ def _ewma(
     """Per-key EWMA over the last 8 samples (decay 1/2, integer weights
     2^k): every arriving row emits its smoothed value; the carried
     state is just the 7 previous samples in micro-units — O(1) per key,
-    exact across any micro-batch boundary."""
-    prev: list[int] = list(state.get[0]) if state.exists else []
+    exact across any micro-batch boundary.
+
+    ENFORCED ordering sentinel: rows are sorted (ts, event_id) within
+    the batch, and the state carries the high-water mark of the last
+    folded row. A micro-batch whose earliest row precedes the mark
+    would silently fold out of order (diverging from the batch LAG
+    oracle), so it raises instead — loud failure over wrong answers;
+    see :func:`ewma_stream` for the contract."""
+    if state.exists:
+        st = state.get
+        prev: list[int] = list(st[0])
+        hwm = (st[1], st[2]) if st[1] is not None else None
+    else:
+        prev = []
+        hwm = None
     chunks = list(pdfs)
     if not chunks:
         # Reachable only when a timeout is configured (timed-out keys are
         # invoked with no data): carry state forward, emit nothing.
         if prev:
-            state.update((prev,))
+            state.update(
+                (prev, hwm[0] if hwm else None, hwm[1] if hwm else None)
+            )
         return
     pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
     order = [c for c in ("ts", "event_id") if c in pdf.columns]
     pdf = pdf.sort_values(order, kind="mergesort")
+
+    def _okey(row) -> tuple[int, int]:
+        ts = int(pd.Timestamp(row["ts"]).value) if "ts" in order else 0
+        eid = int(row["event_id"]) if "event_id" in order else 0
+        return ts, eid
+
+    if order:
+        batch_min = _okey(pdf.iloc[0])
+        if hwm is not None and batch_min < hwm:
+            raise ValueError(
+                "ewma_stream ordering contract violated: micro-batch "
+                f"starts at (ts_ns, event_id)={batch_min} but a prior "
+                f"batch already folded through {hwm}; pre-sort the "
+                "source per trigger or feed batches in (ts, event_id) "
+                "order (see ewma_stream docstring)"
+            )
+        hwm = _okey(pdf.iloc[-1])
     out_num: list[int] = []
     out_den: list[int] = []
     for v in pdf["value"]:
@@ -177,7 +210,9 @@ def _ewma(
             den += w
         out_num.append(num)
         out_den.append(den)
-    state.update((prev,))
+    state.update(
+        (prev, hwm[0] if hwm else None, hwm[1] if hwm else None)
+    )
     yield pd.DataFrame(
         {
             "event_id": pdf["event_id"].astype("int64"),
@@ -192,16 +227,18 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     """Streaming EWMA smoother: ``events`` needs (event_id, event_type,
     ts, value). Output mode ``append`` — one smoothed row per event.
 
-    ORDERING CONTRACT: rows are sorted by (ts, event_id) only WITHIN each
-    micro-batch; the fold order across batch boundaries is arrival order.
-    The batch LAG oracle (`plans/analytics2.py` timeseries_ewma_smooth)
-    matches only when micro-batches arrive in (ts, event_id) order — true
-    for the registry harness, which ships `events` as one parquet file =
-    one availableNow micro-batch (`plans/streaming_batchck.py`). A
-    production deployment with multiple files / `maxFilesPerTrigger` must
-    either pre-sort the source per trigger or accept arrival-order folds
-    (the standard streaming semantics for out-of-order data without
-    watermarked reordering)."""
+    ORDERING CONTRACT (enforced): rows are sorted by (ts, event_id)
+    WITHIN each micro-batch, and the per-key state carries the
+    high-water mark of the last folded row — a later micro-batch whose
+    earliest row precedes it RAISES instead of silently folding out of
+    order. The batch LAG oracle (`plans/analytics2.py`
+    timeseries_ewma_smooth) therefore matches every stream this
+    operator accepts; the registry harness ships `events` as one
+    parquet file = one availableNow micro-batch
+    (`plans/streaming_batchck.py`), and a production deployment with
+    multiple files / `maxFilesPerTrigger` must pre-sort the source per
+    trigger (out-of-order feeds fail loudly, never diverge —
+    tests/test_streaming.py plants one to pin this)."""
     return events.groupBy("event_type").applyInPandasWithState(
         _ewma,
         outputStructType=EWMA_SCHEMA,

@@ -522,6 +522,61 @@ class TestStreamingEwma:
             den = sum(weights[-len(window):])
             assert got[eid] == (num, den), eid
 
+    def test_out_of_order_batches_raise(self, spark, tmp_path):
+        """The enforced ordering sentinel: a micro-batch whose rows
+        precede the state's (ts, event_id) high-water mark must FAIL
+        loudly (a silent arrival-order fold would diverge from the
+        batch LAG oracle). Two mtime-pinned files under
+        maxFilesPerTrigger=1: batch 1 carries the LATER timestamps,
+        batch 2 the earlier ones."""
+        import datetime as dt
+        import glob
+        import os
+
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from rust_ruuvitag_etl_spark.streaming.stateful import ewma_stream
+
+        sch = "event_id long, ts timestamp, event_type string, value double"
+        t0 = dt.datetime(2024, 3, 4, 10, 0, 0)
+        later = [
+            (i, t0 + dt.timedelta(minutes=i), "view", float(i))
+            for i in range(5, 10)
+        ]
+        earlier = [
+            (i, t0 + dt.timedelta(minutes=i), "view", float(i))
+            for i in range(5)
+        ]
+        data = f"{tmp_path}/ooo_src"
+        os.makedirs(data)
+        for n, rows in (("1", later), ("2", earlier)):
+            staged = f"{tmp_path}/_stage{n}"
+            spark.createDataFrame(rows, sch).coalesce(1).write.parquet(
+                staged
+            )
+            part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+            dst = os.path.join(data, f"{n}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + 60 * int(n),) * 2)
+        q = (
+            ewma_stream(
+                spark.readStream.schema(sch)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(data)
+            )
+            .writeStream.format("memory")
+            .queryName("ewma_ooo_guard")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ck_ooo")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException) as exc:
+            q.awaitTermination()
+        assert "ordering contract violated" in str(exc.value)
+
 
 class TestLateDataDiscard:
     """Append-mode watermark discard semantics, pinned with explicit
