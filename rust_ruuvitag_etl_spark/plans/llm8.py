@@ -1,6 +1,7 @@
-"""Round-5 additions: real AVI video-container decode, deterministic
+"""Round-5/6 additions: real AVI video-container decode, deterministic
 random-projection dimensionality reduction with a Johnson-Lindenstrauss
-distortion gate, and Z-order (Morton) storage clustering.
+distortion gate, Z-order (Morton) storage clustering, and (round 6) the
+Ogg container parse with in-expression page CRC-32s.
 
 Registered AFTER the earlier families so the driver's first-50
 correctness sample keeps the reference-parity surface.
@@ -147,3 +148,138 @@ def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(payload_hex).alias("content"),
     )
     return mm.avi_video_stats(media, every_nth=1)
+
+
+# --- real audio container: Ogg (round 6) -----------------------------------
+# Two RFC 3533 pages per event_id: a fully constant BOS page carrying a
+# 16-byte identification packet, then an EOS page whose 12-byte data
+# packet ends in 4 event_id-derived bytes. Every page CRC-32 (the
+# direct 0x04C11DB7 variant — NOT Spark's reflected crc32()) is real:
+# page 0's is precomputed, page 1's folds in-expression through the
+# 256-entry table over a precomputed constant-prefix state, exactly the
+# FLAC CRC-16 technique (plans/analytics2.py) widened to 32 bits.
+
+_OGG_SERIAL = 0x5350524B  # 'KRPS' little-endian on the wire
+_OGG_TAIL_PRIMES = _AVI_PRIMES[:4]  # co-prime multipliers for the tail
+
+
+def _ogg_fixed_parts() -> tuple[str, str, str, int, list[int], int]:
+    """(page0_hex, page1_header_hex, page1_body_prefix_hex,
+    crc_state_after_prefix, crc_table, granule) — everything constant
+    about the two-page stream; the CRC of page 1 resumes from the
+    returned state over the 4 variable tail bytes."""
+    import struct
+
+    from ..operators.multimodal import _OGG_CRC_TABLE, _ogg_crc
+
+    ident = b"SparkOggStream01"  # 16-byte BOS packet (not Vorbis)
+    h0 = (
+        b"OggS" + bytes([0, 0x02]) + struct.pack("<q", 0)
+        + struct.pack("<II", _OGG_SERIAL, 0)
+    )
+    body0 = bytes([1, len(ident)]) + ident
+    page0 = h0 + struct.pack("<I", _ogg_crc(h0 + b"\0" * 4 + body0)) + body0
+
+    granule = 4
+    const8 = b"DATABLK\x00"  # constant first 8 bytes of the data packet
+    h1 = (
+        b"OggS" + bytes([0, 0x04]) + struct.pack("<q", granule)
+        + struct.pack("<II", _OGG_SERIAL, 1)
+    )
+    body1_prefix = bytes([1, 12]) + const8
+    state = _ogg_crc(h1 + b"\0" * 4 + body1_prefix)
+    return (
+        page0.hex(), h1.hex(), body1_prefix.hex(), state,
+        list(_OGG_CRC_TABLE), granule,
+    )
+
+
+(
+    _OGG_PAGE0_HEX, _OGG_H1_HEX, _OGG_BODY1_HEX,
+    _OGG_CRC_STATE, _OGG_TABLE, _OGG_GRANULE,
+) = _ogg_fixed_parts()
+
+
+def _ogg_tail_sql(i: int) -> str:
+    return f"((event_id * {_OGG_TAIL_PRIMES[i]}) % 256)"
+
+
+@query(
+    "multimodal_ogg_pages",
+    oracle=f"""
+SELECT event_id AS media_id,
+       CAST(2 AS INTEGER) AS n_pages,
+       CAST(2 AS INTEGER) AS n_packets,
+       CAST({_OGG_SERIAL} AS BIGINT) AS serial,
+       CAST({_OGG_GRANULE} AS BIGINT) AS last_granule,
+       CAST(28 AS BIGINT) AS payload_bytes,
+       CAST({_ogg_tail_sql(0)} + 256 * {_ogg_tail_sql(1)}
+            + 65536 * {_ogg_tail_sql(2)}
+            + 16777216 * {_ogg_tail_sql(3)} AS BIGINT) AS tail_word
+FROM events
+""",
+)
+def multimodal_ogg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg container parse end-to-end — the container-level close
+    of the last stubbed audio family (mirroring what AVI did for
+    video): pure JVM expressions assemble a genuine two-page RFC 3533
+    Ogg stream per event_id — BOS page with an identification packet,
+    EOS data page whose packet tail carries 4 event_id-derived bytes —
+    including BOTH page CRC-32s in the direct 0x04C11DB7 variant
+    (page 1's folds in-expression through the 256-entry table over a
+    precomputed constant-prefix state, 4 lookup steps). The stdlib
+    parser (operators/multimodal.py:decode_ogg_pages) re-verifies every
+    CRC, the BOS/EOS discipline, sequence continuity, and reassembles
+    packets through the lacing table inside Arrow-batched mapInPandas;
+    ``tail_word`` folds the final packet's last 4 bytes, so a hash
+    match proves byte-exact reassembly. Honest boundary: Vorbis/Opus
+    SAMPLE decode inside the packets stays a documented
+    ``NotImplementedError`` (psychoacoustic codecs genuinely need media
+    libraries); the container walk — the part a data pipeline needs for
+    chunking/validation/indexing — is real and verified.
+    Reference analog: the format-5 BLE decoder ``scanner.rs:35-83``."""
+    ev = spread(load(spark, sf_dir, "events").select("event_id"))
+    e = F.col("event_id")
+    stage1 = ev.select(
+        "event_id",
+        *[
+            F.pmod(e * p, F.lit(256)).cast("int").alias(f"v{i}")
+            for i, p in enumerate(_OGG_TAIL_PRIMES)
+        ],
+    )
+    t = F.array(*[F.lit(x) for x in _OGG_TABLE]).cast("array<bigint>")
+    stage2 = stage1.withColumn("crc_t", t)
+
+    crc = str(_OGG_CRC_STATE)
+    for i in range(4):
+        crc = (
+            f"pmod(({crc}) * 256, 4294967296) ^ "
+            f"element_at(crc_t, (int(({crc}) div 16777216) ^ v{i}) + 1)"
+        )
+    stage3 = stage2.select(
+        "event_id",
+        "v0", "v1", "v2", "v3",
+        F.expr(f"CAST(({crc}) AS BIGINT)").alias("crc32"),
+    )
+
+    def u8_hex(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    crc_le_hex = F.concat(
+        *[
+            u8_hex(F.pmod(F.expr(f"crc32 div {256 ** k}"), F.lit(256)))
+            for k in range(4)
+        ]
+    )
+    payload_hex = F.concat(
+        F.lit(_OGG_PAGE0_HEX),
+        F.lit(_OGG_H1_HEX),
+        crc_le_hex,
+        F.lit(_OGG_BODY1_HEX),
+        *[u8_hex(F.col(f"v{i}")) for i in range(4)],
+    )
+    media = stage3.select(
+        F.col("event_id").alias("media_id"),
+        F.unhex(payload_hex).alias("content"),
+    )
+    return mm.ogg_page_stats(media)

@@ -209,6 +209,7 @@ class TestPythonBoundary:
             "multimodal_jpeg_stats",  # real JPEG (Huffman+IDCT) decode
             "multimodal_flac_stats",  # real FLAC (Rice) decode
             "multimodal_avi_stats",  # real AVI (RIFF) decode needs Python
+            "multimodal_ogg_pages",  # real Ogg page walk needs Python
             "similarity_bruteforce_topk_arrow",
         }
         markers = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
