@@ -164,18 +164,20 @@ def _sem_augmented(em: DataFrame) -> DataFrame:
 HIER_ASSIGN_MIN_K = 1024
 """Codebook-size crossover between flat and two-level assignment.
 
-Measured (tools/scaling_probe.py assignment axis, k forced to N/100,
-sf0.1 corpus ×1/×4/×16): flat ivf_assign runs 0.45-0.69 s flat while
-hierarchical_assign sits at ~2.2 s of fixed overhead (extra centroid
-k-means, collect_list/array_sort top-nprobe, explode, second join —
-12 exchanges vs the flat scan's 1-2) at EVERY size this sandbox can
-build. Both paths are overhead-dominated here, so the crossover is
-extrapolated from the asymptotics instead of interpolated: flat scores
-N·k pairs, two-level ~N·(√k·(1+nprobe)); the per-pair cosine only
-dominates the ~1.75 s fixed gap once N·k ≳ 10⁹, i.e. k in the low
-thousands with N ≳ 10⁶ under the k = N/1000 sizing below. k ≤ 1024
-therefore routes flat; the two-level path is reserved for the regime
-its asymptotics actually pay for."""
+Measured (tools/scaling_probe.py assignment axis → SCALING.md, k
+forced to N/100, sf0.1 embeddings ×1/×4/×16, scoring FORCED through
+the assignment output — a bare count() lets Catalyst prune the
+max_by(cosine) aggregate and measures nothing, which was the round-5
+probe's falling-time anomaly): flat ivf_assign reads
+0.41/0.99/11.5 s — cheap until the N·k scoring dominates, then the
+predicted O(N²/100) kicks in (exp +1.20, trending to the theoretical
++2.0) — while hierarchical_assign reads 2.0/3.5/6.1 s: ~2 s of fixed
+overhead (extra centroid k-means, collect_list/array_sort top-nprobe,
+explode, second join) but a +0.41 exponent. The curves cross between
+×4 (k≈240: flat 3.5× faster) and ×16 (k≈960: two-level ~2× faster);
+run-to-run variance brackets the crossover at k ≈ 500-1500. k ≤ 1024
+routes flat; the two-level path takes over where its O(N·√k)
+asymptotics pay."""
 
 
 def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,7 +428,7 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH cat AS (
     SELECT vec_id AS cat_id, label,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-    FROM embeddings WHERE vec_id % 10 = 0
+    FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 500
 ),
 v AS (
     SELECT vec_id,
@@ -455,13 +457,20 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN JOIN (k=3): every corpus vector finds its 3 nearest
     labeled exemplars — the classify/deduplicate/recommend primitive
     where the WHOLE corpus is the query side, not a handful of probes
-    (the dual of similarity_bruteforce_topk). The exemplar catalog
-    (every tenth vector here; in production the labeled seed set or
-    the k-means exemplars) broadcasts; scoring is scan-local against
-    the broadcast; the only shuffle is the per-vector top-3 window on
-    the uniform vec_id key. That is THE 100 TB shape for "label
-    100 TB of embeddings against a small trusted set": corpus read
-    once, never reshuffled, work linear in |corpus| × |catalog|.
+    (the dual of similarity_bruteforce_topk). The exemplar catalog is
+    a FIXED trusted set — every tenth vector of the base id range
+    (vec_id < 500), i.e. 50 exemplars at every sf and on every
+    corpus-axis replica — matching the production shape (a labeled
+    seed set does not grow with the corpus). It broadcasts; scoring is
+    scan-local against the broadcast; the only shuffle is the
+    per-vector top-3 window on the uniform vec_id key. That is THE
+    100 TB shape for "label 100 TB of embeddings against a small
+    trusted set": corpus read once, never reshuffled, work linear in
+    |corpus| (× the constant |catalog|). Round-6 note: the earlier
+    every-tenth-vector catalog grew ∝ corpus, which the corpus-axis
+    probe exposed as a +1.77 exponent (N·N/10 scoring); pinning the
+    catalog restores the linear production semantics the docstring
+    always claimed.
 
     Self-pairs are excluded (an exemplar must not claim itself). Ties
     break by cat_id for engine determinism; cosine rounds at 6dp only
@@ -471,7 +480,7 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = spread(load(spark, sf_dir, "embeddings"))
     cat = (
         load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 10 == 0)
+        .filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 500))
         .select(
             F.col("vec_id").alias("cat_id"),
             F.col("label").alias("neighbor_label"),

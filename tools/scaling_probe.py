@@ -252,12 +252,24 @@ def _time_assignment(spark, corpus_dirs) -> dict[str, dict[int, float]]:
     registry's k=8 floor), flat ivf_assign vs two-level
     hierarchical_assign over the same codebook. Codebook QUALITY is
     irrelevant to assignment COST, so centroids are just the k
-    largest-id vectors — no Lloyd rounds pollute the timing."""
+    largest-id vectors — no Lloyd rounds pollute the timing.
+
+    Forcing matters here (the round-5 anomaly): under ``.count()``
+    Catalyst PRUNES the unused ``max_by(_sim)`` aggregate expression,
+    so the N·k cosine scoring — the very work this axis grades — never
+    executes and the probe reads flat join-row throughput (observed:
+    flat timings FALLING 0.69→0.45 s while N·k grew 256×). The probe
+    therefore forces through the assignment OUTPUT with
+    ``sum(centroid_id)``: the argmax result is consumed, so every
+    cosine must be computed."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from rust_ruuvitag_etl_spark.operators import similarity as sim
     from rust_ruuvitag_etl_spark.operators.dedup import spread
+
+    def force(df):
+        df.agg(F.sum("centroid_id")).collect()
 
     out: dict[str, dict[int, float]] = {"flat": {}, "two_level": {}}
     for mult, d in sorted(corpus_dirs.items()):
@@ -278,11 +290,11 @@ def _time_assignment(spark, corpus_dirs) -> dict[str, dict[int, float]]:
             ("flat", lambda: sim.ivf_assign(em, cents)),
             ("two_level", lambda: sim.hierarchical_assign(em, cents, k)),
         ):
-            fn().count()  # warm
+            force(fn())  # warm
             reps = []
             for _ in range(3):
                 t0 = time.time()
-                fn().count()
+                force(fn())
                 reps.append(time.time() - t0)
             out[key][mult] = round(sorted(reps)[1], 3)
     return out
@@ -451,14 +463,15 @@ def main() -> None:
         "",
         "## SemDeDup assignment axis (k FORCED to N/100, x1/x4/x16 embeddings)",
         "",
-        "The round-4 verdict's watch item: with the codebook scaling k ∝ N",
-        "(the paper's bounded-cluster regime), a flat nearest-centroid scan",
-        "is O(N·k) = O(N²/100) — per 4x corpus step that is 16x work",
-        "(exp +2.0). The two-level coarse→fine route",
-        "(operators/similarity.py:hierarchical_assign) is O(N·√k), i.e. 8x",
-        "per step (exp +1.5) — sub-quadratic, and the k-sizing count now",
-        "comes from parquet metadata (no extra corpus pass). Measured with",
-        "k = N/100 forced (N/100 ≫ the registry's k=8 floor):",
+        "With the codebook scaling k ∝ N (the paper's bounded-cluster",
+        "regime), a flat nearest-centroid scan is O(N·k) = O(N²/100) — per",
+        "4x corpus step that is 16x scoring work (exp +2.0). The two-level",
+        "coarse→fine route (operators/similarity.py:hierarchical_assign) is",
+        "O(N·√k), i.e. 8x per step (exp +1.5). Timings force through the",
+        "assignment OUTPUT (sum of centroid_id) — a bare .count() lets",
+        "Catalyst prune the max_by(cosine) aggregate and the scoring never",
+        "runs (the round-5 probe's falling-time anomaly, fixed this round).",
+        "Measured with k = N/100 forced (N/100 ≫ the registry's k=8 floor):",
         "",
         "| path | x1 s | x4 s | x16 s | exp (quadratic=+2.0) |",
         "|---|---|---|---|---|",
