@@ -68,6 +68,7 @@ HEADLINE = [
     "multimodal_flac_stats",
     "similarity_knn_join",
     "multimodal_avi_stats",
+    "multimodal_ogg_pages",
 ]
 
 

@@ -813,13 +813,16 @@ def histogram_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1),
         lambda acc, b: acc + F.when(F.col("value") > b, 1).otherwise(0),
     )
+    # localCheckpoint the ≤10-row aggregate: three consumers below
+    # (range fill, grand total, output) would otherwise each replay
+    # the full scan+sketch pipeline — 8 fact scans for one histogram.
     hist = (
         ev.select("value")
         .crossJoin(F.broadcast(bounds))
         .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
+    ).localCheckpoint(eager=True)
     # Full 1..10 range left-joined with the observed counts: an empty
     # bucket emits n=0 (→ depth_ok=false) instead of vanishing.
     buckets = spark.range(1, 11).select(F.col("id").cast("int").alias("bucket"))
