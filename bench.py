@@ -69,6 +69,7 @@ HEADLINE = [
     "similarity_knn_join",
     "multimodal_avi_stats",
     "multimodal_ogg_pages",
+    "multimodal_mp3_frames",
 ]
 
 

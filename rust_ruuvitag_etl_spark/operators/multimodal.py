@@ -396,10 +396,25 @@ def decode_audio(content: bytes, fake: bool = False) -> dict:
                 f"{d['n_packets']} packets) but Vorbis/Opus sample "
                 "decode needs media libraries; pass fake=True"
             )
+    elif content[:3] == b"ID3" or (
+        len(content) >= 2
+        and content[0] == 0xFF
+        and (content[1] & 0xE0) == 0xE0
+    ):
+        # Same honest boundary for mp3: the FRAME walk is real
+        # (decode_mp3_frames: sync, length arithmetic, CRC-16), the
+        # Huffman/psychoacoustic sample decode is not.
+        if not fake:
+            d = decode_mp3_frames(content)
+            raise NotImplementedError(
+                f"MPEG audio stream parsed ({d['n_frames']} frames) "
+                "but Layer III sample decode needs media libraries; "
+                "pass fake=True"
+            )
     elif not fake:
         raise NotImplementedError(
-            "unrecognized audio format (wav/flac supported; Ogg parses "
-            "at container level only); pass fake=True"
+            "unrecognized audio format (wav/flac supported; Ogg and "
+            "mp3 parse at container level only); pass fake=True"
         )
     return {"sample_rate": 16000, "n_samples": len(content) * 2}
 
@@ -1667,6 +1682,190 @@ def avi_video_stats(media: DataFrame, every_nth: int = 1) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=AVI_STATS_SCHEMA)
+
+
+# --- MPEG audio (mp3) frame container --------------------------------------
+
+_MP3_BITRATES_V1L3 = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_BITRATES_V2L3 = (
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),   # MPEG2.5
+}
+
+
+def _mp3_crc16(data: bytes, crc: int = 0xFFFF) -> int:
+    """MPEG audio protection CRC-16: poly 0x8005, init 0xFFFF, MSB
+    first, no final XOR — covers header bytes 2-3 + the side info."""
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1)
+            crc &= 0xFFFF
+    return crc
+
+
+def decode_mp3_frames(content: bytes) -> dict:
+    """REAL MPEG audio (mp3) FRAME walker — pure stdlib, no media
+    libraries: the mp3 analog of :func:`decode_ogg_pages`'s container
+    walk. Skips a leading ID3v2 tag (synchsafe size), then walks every
+    frame: 11-bit sync, version/layer fields, bitrate and sample-rate
+    table lookups, the exact frame-length arithmetic
+    (⌊coef·bitrate/rate⌋ + padding, coef 144 for MPEG1 Layer III / 72
+    for MPEG2(.5)) that must land each frame boundary precisely on the
+    next sync word, and — when the protection bit says so — the
+    CRC-16 over header bytes 2-3 + side info. Headers must agree on
+    version/layer/sample-rate/channel-mode across frames; bitrate and
+    padding may vary per frame (VBR is legal). The walk must consume
+    the payload exactly (no trailing bytes).
+
+    This is a CONTAINER decode: per-frame main data comes back as
+    opaque bytes; Huffman/psychoacoustic SAMPLE decode genuinely needs
+    media libraries and stays behind :func:`decode_audio`'s
+    ``NotImplementedError``. Raises ``ValueError`` on malformed frames
+    and ``NotImplementedError`` for Layer I/II and free-format
+    (bitrate index 0) streams.
+
+    Returns ``{"version", "sample_rate", "channels", "n_frames",
+    "protected", "bitrates_kbps", "frames_main"}``."""
+    pos = 0
+    if content[:3] == b"ID3":
+        if len(content) < 10:
+            raise ValueError("truncated ID3v2 tag")
+        if any(b & 0x80 for b in content[6:10]):
+            raise ValueError("ID3v2 size bytes must be synchsafe")
+        size = (
+            (content[6] << 21) | (content[7] << 14)
+            | (content[8] << 7) | content[9]
+        )
+        pos = 10 + size
+        if pos > len(content):
+            raise ValueError("ID3v2 size extends past end of payload")
+    if pos + 4 > len(content):
+        raise ValueError("no MPEG audio frame")
+    version = sample_rate = channels = None
+    protected = False
+    bitrates: list[int] = []
+    frames_main: list[bytes] = []
+    while pos < len(content):
+        if pos + 4 > len(content):
+            raise ValueError(f"truncated frame header at offset {pos}")
+        b0, b1, b2, b3 = content[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at offset {pos}")
+        ver_id = (b1 >> 3) & 0x3       # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer_id = (b1 >> 1) & 0x3     # 1 = Layer III
+        prot = not (b1 & 0x1)          # protection_bit 0 -> CRC present
+        if ver_id == 1:
+            raise ValueError("reserved MPEG version id")
+        if layer_id != 1:
+            raise NotImplementedError(
+                f"only Layer III supported (layer id {layer_id})"
+            )
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        mode = (b3 >> 6) & 0x3         # 3 = mono
+        if br_idx == 0:
+            raise NotImplementedError("free-format bitrate not supported")
+        if br_idx == 0xF:
+            raise ValueError("invalid bitrate index 15")
+        if sr_idx == 3:
+            raise ValueError("reserved sample-rate index")
+        rate = _MP3_RATES[ver_id][sr_idx]
+        if ver_id == 3:
+            kbps = _MP3_BITRATES_V1L3[br_idx]
+            coef = 144
+        else:
+            kbps = _MP3_BITRATES_V2L3[br_idx]
+            coef = 72
+        ch = 1 if mode == 3 else 2
+        if version is None:
+            version, sample_rate, channels = ver_id, rate, ch
+            protected = prot
+        elif (ver_id, rate, ch) != (version, sample_rate, channels):
+            raise ValueError(
+                f"frame at offset {pos} changes stream parameters"
+            )
+        flen = coef * kbps * 1000 // rate + padding
+        if pos + flen > len(content):
+            raise ValueError(f"truncated frame at offset {pos}")
+        body = pos + 4
+        if prot:
+            if ver_id == 3:
+                side = 17 if ch == 1 else 32
+            else:
+                side = 9 if ch == 1 else 17
+            if body + 2 + side > pos + flen:
+                raise ValueError("frame too short for CRC + side info")
+            (crc_stored,) = (
+                (content[body] << 8) | content[body + 1],
+            )
+            calc = _mp3_crc16(
+                content[pos + 2 : pos + 4]
+                + content[body + 2 : body + 2 + side]
+            )
+            if crc_stored != calc:
+                raise ValueError(f"frame CRC mismatch at offset {pos}")
+            body += 2
+        frames_main.append(content[body : pos + flen])
+        bitrates.append(kbps)
+        pos += flen
+    if not frames_main:
+        raise ValueError("no MPEG audio frame")
+    return {
+        "version": version,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": len(frames_main),
+        "protected": protected,
+        "bitrates_kbps": bitrates,
+        "frames_main": frames_main,
+    }
+
+
+MP3_FRAMES_SCHEMA = (
+    "media_id long, n_frames int, sample_rate int, channels int, "
+    "bitrate_kbps int, main_bytes long, tail_word long"
+)
+
+
+def mp3_frame_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched container-level feature extraction over REAL mp3
+    payloads: walk every frame (:func:`decode_mp3_frames` — sync,
+    table lookups, length arithmetic, side-info CRC-16 all verified)
+    and emit the stream facts plus ``tail_word``, the final frame's
+    last ≤4 main-data bytes folded little-endian — order-sensitive, so
+    a hash match proves byte-exact frame segmentation."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "n_frames", "sample_rate", "channels",
+                "bitrate_kbps", "main_bytes", "tail_word",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_mp3_frames(bytes(content))
+                tail = d["frames_main"][-1][-4:]
+                word = sum(b << (8 * i) for i, b in enumerate(tail))
+                out["media_id"].append(mid)
+                out["n_frames"].append(d["n_frames"])
+                out["sample_rate"].append(d["sample_rate"])
+                out["channels"].append(d["channels"])
+                out["bitrate_kbps"].append(max(d["bitrates_kbps"]))
+                out["main_bytes"].append(
+                    sum(len(m) for m in d["frames_main"])
+                )
+                out["tail_word"].append(word)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=MP3_FRAMES_SCHEMA)
 
 
 # --- Ogg container (RFC 3533) ---------------------------------------------

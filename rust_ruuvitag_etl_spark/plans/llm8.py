@@ -1,7 +1,8 @@
 """Round-5/6 additions: real AVI video-container decode, deterministic
 random-projection dimensionality reduction with a Johnson-Lindenstrauss
 distortion gate, Z-order (Morton) storage clustering, and (round 6) the
-Ogg container parse with in-expression page CRC-32s.
+Ogg container parse with in-expression page CRC-32s plus the MPEG
+audio (mp3) frame walk with real side-info CRC-16s.
 
 Registered AFTER the earlier families so the driver's first-50
 correctness sample keeps the reference-parity surface.
@@ -283,3 +284,92 @@ def multimodal_ogg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(payload_hex).alias("content"),
     )
     return mm.ogg_page_stats(media)
+
+
+# --- real audio container: mp3 (round 6) -----------------------------------
+# One MPEG-1 Layer III stream per event_id: an ID3v2.4 tag (synchsafe
+# size, exercising the skip path), then two protected 384-byte CBR
+# frames — 128 kbps / 48 kHz / mono makes the length arithmetic exact
+# (144·128000/48000 = 384, no padding) — each carrying the REAL
+# side-info CRC-16 (poly 0x8005, init 0xFFFF; constant here because
+# the protected region is constant, so it precomputes — mp3 main data
+# is not CRC-covered by the format). The last 4 main-data bytes of
+# frame 2 derive from event_id; tail_word pins their order.
+
+_MP3_TAIL_PRIMES = _AVI_PRIMES[4:8]
+
+
+def _mp3_fixed_parts() -> str:
+    """Hex of everything before the 4 variable tail bytes: ID3v2 tag,
+    frame 1 (fully constant), frame 2 minus its tail."""
+    from ..operators.multimodal import _mp3_crc16
+
+    # 0xFF 0xFA: sync + MPEG1 + Layer III + protection bit 0 (CRC on);
+    # 0x94: bitrate idx 9 (128k) + rate idx 1 (48 kHz); 0xC0: mono.
+    hdr = bytes([0xFF, 0xFA, 0x94, 0xC0])
+    side = bytes(17)  # MPEG1 mono side info
+    crc = _mp3_crc16(hdr[2:4] + side)
+    frame_prefix = hdr + crc.to_bytes(2, "big") + side
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 16]) + b"SparkMp3Stream01"
+    # 384-byte frames: 4 hdr + 2 crc + 17 side + 361 main
+    return (
+        id3
+        + frame_prefix + bytes(361)
+        + frame_prefix + bytes(357)
+    ).hex()
+
+
+_MP3_CONST_HEX = _mp3_fixed_parts()
+
+
+def _mp3_tail_sql(i: int) -> str:
+    return f"((event_id * {_MP3_TAIL_PRIMES[i]}) % 256)"
+
+
+@query(
+    "multimodal_mp3_frames",
+    oracle=f"""
+SELECT event_id AS media_id,
+       CAST(2 AS INTEGER) AS n_frames,
+       CAST(48000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(128 AS INTEGER) AS bitrate_kbps,
+       CAST(756 AS BIGINT) AS main_bytes,
+       CAST({_mp3_tail_sql(0)} + 256 * {_mp3_tail_sql(1)}
+            + 65536 * {_mp3_tail_sql(2)}
+            + 16777216 * {_mp3_tail_sql(3)} AS BIGINT) AS tail_word
+FROM events
+""",
+)
+def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG audio frame walk end-to-end — the mp3 twin of
+    multimodal_ogg_pages, closing the LAST stubbed codec family at
+    container level: pure JVM expressions assemble a genuine ID3v2.4 +
+    two-frame MPEG-1 Layer III stream per event_id, including each
+    frame's REAL protection CRC-16 over header+side-info (constant
+    protected region → precomputed; main data is not CRC-covered by
+    the format, so the 4 event_id-derived tail bytes need no fold).
+    The stdlib walker (operators/multimodal.py:decode_mp3_frames)
+    skips the ID3 tag via its synchsafe size, re-derives each frame
+    length from the bitrate/sample-rate tables (the walk must land
+    every boundary exactly on the next sync), verifies both CRCs, and
+    re-slices the main data; ``tail_word`` folds the final frame's
+    last 4 bytes, so a hash match proves byte-exact segmentation.
+    Honest boundary: Layer III Huffman/psychoacoustic SAMPLE decode
+    stays a documented ``NotImplementedError``.
+    Reference analog: the format-5 BLE decoder ``scanner.rs:35-83``."""
+    ev = spread(load(spark, sf_dir, "events").select("event_id"))
+    e = F.col("event_id")
+
+    def u8_hex(mult: int):
+        return F.lpad(F.hex(F.pmod(e * mult, F.lit(256))), 2, "0")
+
+    payload_hex = F.concat(
+        F.lit(_MP3_CONST_HEX),
+        *[u8_hex(p) for p in _MP3_TAIL_PRIMES],
+    )
+    media = ev.select(
+        F.col("event_id").alias("media_id"),
+        F.unhex(payload_hex).alias("content"),
+    )
+    return mm.mp3_frame_stats(media)
