@@ -70,6 +70,7 @@ HEADLINE = [
     "multimodal_avi_stats",
     "multimodal_ogg_pages",
     "multimodal_mp3_frames",
+    "multimodal_tiff_stats",
 ]
 
 

@@ -70,10 +70,11 @@ def _total_decoder(fn):
 
 def decode_image(content: bytes, fake: bool = False) -> dict:
     """Image decode: REAL for BMP (:func:`decode_bmp`), PNG
-    (:func:`decode_png`), GIF (:func:`decode_gif`), and baseline JPEG
-    (:func:`decode_jpeg`) payloads; every real image-codec stub is now
-    closed. Fake mode stays TOTAL over arbitrary bytes (decode errors
-    fall back to the deterministic byte-statistics stub)."""
+    (:func:`decode_png`), GIF (:func:`decode_gif`), baseline JPEG
+    (:func:`decode_jpeg`), and baseline TIFF
+    (:func:`decode_tiff_array`) payloads; every real image-codec stub
+    is now closed. Fake mode stays TOTAL over arbitrary bytes (decode
+    errors fall back to the deterministic byte-statistics stub)."""
     if content[:2] == b"\xff\xd8":
         try:
             d = decode_jpeg(content)
@@ -105,10 +106,17 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
         except (ValueError, NotImplementedError):
             if not fake:
                 raise
+    elif content[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            d = decode_tiff_array(content)
+            return {"width": d["width"], "height": d["height"], "channels": 3}
+        except (ValueError, NotImplementedError):
+            if not fake:
+                raise
     elif not fake:
         raise NotImplementedError(
-            "unrecognized image format (bmp/png/gif/jpeg supported); "
-            "pass fake=True"
+            "unrecognized image format (bmp/png/gif/jpeg/tiff "
+            "supported); pass fake=True"
         )
     return {"width": len(content) % 640, "height": len(content) % 480, "channels": 3}
 
@@ -1682,6 +1690,147 @@ def avi_video_stats(media: DataFrame, every_nth: int = 1) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=AVI_STATS_SCHEMA)
+
+
+# --- TIFF (baseline, uncompressed) ------------------------------------------
+
+
+@_total_decoder
+def decode_tiff_array(content: bytes) -> dict:
+    """REAL baseline TIFF decoder — pure stdlib ``struct``, no media
+    libraries: the EIGHTH codec, and the first with a general tagged
+    metadata directory (the IFD walk every TIFF reader starts from).
+    Parses both byte orders (``II`` little / ``MM`` big), verifies the
+    42 magic, walks the first IFD's 12-byte entries (tag / type /
+    count / inline-or-offset value with the ≤4-byte inlining rule),
+    and assembles the image from its strips: per-strip offsets and
+    byte counts must agree exactly with rows-per-strip × row size, and
+    the strips concatenate to (height, width, samples).
+
+    Supported: uncompressed (Compression=1) chunky (PlanarConfig=1)
+    8-bit RGB (Photometric=2, SamplesPerPixel=3) and grayscale
+    BlackIsZero (Photometric=1, SamplesPerPixel=1 — expanded to RGB),
+    any strip layout. Raises ``ValueError`` on malformed payloads and
+    ``NotImplementedError`` for compressed / palette / WhiteIsZero /
+    planar / non-8-bit variants.
+
+    Returns ``{"width", "height", "rgb"}`` with ``rgb`` a uint8 numpy
+    array of shape (height, width, 3), rows top to bottom."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 8:
+        raise ValueError("not a TIFF payload")
+    order = content[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"bad TIFF byte order {order!r}")
+    (magic, ifd_off) = struct.unpack_from(bo + "HI", content, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    if ifd_off + 2 > len(content):
+        raise ValueError("IFD offset past end of payload")
+    (n_entries,) = struct.unpack_from(bo + "H", content, ifd_off)
+    if n_entries == 0:
+        raise ValueError("empty IFD")
+    if ifd_off + 2 + 12 * n_entries + 4 > len(content):
+        raise ValueError("truncated IFD")
+
+    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+    _FMT = {1: "B", 2: "B", 3: "H", 4: "I"}
+
+    def values(pos: int) -> tuple[int, list[int]]:
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", content, pos)
+        if typ not in _SIZES:
+            raise NotImplementedError(f"TIFF value type {typ} (tag {tag})")
+        total = _SIZES[typ] * cnt
+        if total <= 4:
+            off = pos + 8  # inline, left-justified in the value field
+        else:
+            (off,) = struct.unpack_from(bo + "I", content, pos + 8)
+        if off + total > len(content):
+            raise ValueError(f"tag {tag} values past end of payload")
+        return tag, list(
+            struct.unpack_from(bo + str(cnt) + _FMT[typ], content, off)
+        )
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, vals = values(ifd_off + 2 + 12 * i)
+        tags[tag] = vals
+
+    def one(tag: int, default=None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"missing required TIFF tag {tag}")
+            return default
+        return tags[tag][0]
+
+    w, h = one(256), one(257)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    compression = one(259, 1)
+    if compression != 1:
+        raise NotImplementedError(f"TIFF compression {compression}")
+    photometric = one(262)
+    spp = one(277, 1)
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar (non-chunky) TIFF")
+    if photometric == 2:
+        if spp < 3:
+            raise ValueError(f"RGB TIFF with {spp} samples/pixel")
+        if spp > 3:
+            raise NotImplementedError(f"extra samples ({spp}/pixel)")
+    elif photometric == 1:
+        if spp != 1:
+            raise ValueError(f"grayscale TIFF with {spp} samples/pixel")
+    else:
+        raise NotImplementedError(f"TIFF photometric {photometric}")
+    bits = tags.get(258, [1] if photometric == 1 else None)
+    if bits is None:
+        raise ValueError("RGB TIFF missing BitsPerSample")
+    if any(b != 8 for b in bits) or len(bits) != spp:
+        raise NotImplementedError(f"BitsPerSample {bits}")
+    rows_per_strip = one(278, h)
+    if rows_per_strip <= 0:
+        raise ValueError("bad RowsPerStrip")
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    if offs is None or cnts is None:
+        raise ValueError("missing StripOffsets/StripByteCounts")
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    if len(offs) != n_strips or len(cnts) != n_strips:
+        raise ValueError(
+            f"{len(offs)}/{len(cnts)} strips, expected {n_strips}"
+        )
+    row_bytes = w * spp
+    data = bytearray()
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        rows = min(rows_per_strip, h - i * rows_per_strip)
+        if c != rows * row_bytes:
+            raise ValueError(
+                f"strip {i} byte count {c} != {rows} rows x {row_bytes}"
+            )
+        if o + c > len(content):
+            raise ValueError(f"strip {i} extends past end of payload")
+        data += content[o : o + c]
+    px = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, spp)
+    rgb = np.repeat(px, 3, axis=2) if spp == 1 else px
+    return {"width": w, "height": h, "rgb": rgb}
+
+
+def tiff_image_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched image feature extraction over REAL TIFF payloads:
+    identical stat vector and batch-wide reduceat sweeps as
+    :func:`bmp_image_stats`, decoded by the stdlib IFD walker
+    (:func:`decode_tiff_array`)."""
+    return media.mapInPandas(
+        _image_stats_batches(decode_tiff_array), schema=BMP_STATS_SCHEMA
+    )
 
 
 # --- MPEG audio (mp3) frame container --------------------------------------

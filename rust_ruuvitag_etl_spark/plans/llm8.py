@@ -373,3 +373,110 @@ def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(payload_hex).alias("content"),
     )
     return mm.mp3_frame_stats(media)
+
+
+# --- real image container: TIFF (round 6) -----------------------------------
+# One 152-byte baseline TIFF per event_id: 3x2 RGB8, little-endian,
+# split into TWO one-row strips whose offset and byte-count arrays live
+# OUTSIDE the IFD (count 2 x LONG > 4 bytes forces the indirection) —
+# so the decoder's inline-vs-offset value rule and multi-strip
+# assembly are both on the proof path. Pixel p channel c derives from
+# event_id via co-prime multipliers mod 256 (the reversed end of the
+# shared prime table: index 35-(3p+c)).
+
+_TIFF_W, _TIFF_H = 3, 2
+
+
+def _tiff_fixed_parts() -> tuple[str, str]:
+    """(header_hex, tail_hex): everything around the 18 pixel bytes at
+    offsets 8..25 — magic, then BitsPerSample (26), the strip offset /
+    byte-count arrays (32 / 40), and the 9-entry IFD (48)."""
+    import struct
+
+    head = b"II" + struct.pack("<HI", 42, 48)
+
+    def short_entry(tag: int, val: int) -> bytes:
+        return struct.pack("<HHIHH", tag, 3, 1, val, 0)
+
+    tail = (
+        struct.pack("<3H", 8, 8, 8)       # BitsPerSample at 26
+        + struct.pack("<2I", 8, 17)       # StripOffsets array at 32
+        + struct.pack("<2I", 9, 9)        # StripByteCounts array at 40
+        + struct.pack("<H", 9)            # IFD: 9 entries
+        + short_entry(256, _TIFF_W)
+        + short_entry(257, _TIFF_H)
+        + struct.pack("<HHII", 258, 3, 3, 26)
+        + short_entry(259, 1)             # uncompressed
+        + short_entry(262, 2)             # RGB
+        + struct.pack("<HHII", 273, 4, 2, 32)
+        + short_entry(277, 3)
+        + short_entry(278, 1)             # one row per strip
+        + struct.pack("<HHII", 279, 4, 2, 40)
+        + struct.pack("<I", 0)            # no next IFD
+    )
+    return head.hex(), tail.hex()
+
+
+_TIFF_HEAD_HEX, _TIFF_TAIL_HEX = _tiff_fixed_parts()
+
+
+def _tiff_chan_sql(i: int) -> str:
+    return f"(event_id * {_AVI_PRIMES[35 - i]}) % 256"
+
+
+def _tiff_sum_sql(c: int) -> str:
+    return " + ".join(_tiff_chan_sql(3 * p + c) for p in range(6))
+
+
+_TIFF_MAX_SQL = "GREATEST(" + ", ".join(
+    _tiff_chan_sql(i) for i in range(18)
+) + ")"
+_TIFF_LUMA_SQL = " + ".join(_tiff_chan_sql(i) for i in range(18))
+
+
+@query(
+    "multimodal_tiff_stats",
+    oracle=f"""
+SELECT event_id AS media_id,
+       CAST({_TIFF_W} AS INTEGER) AS width,
+       CAST({_TIFF_H} AS INTEGER) AS height,
+       CAST(6 AS BIGINT) AS n_pixels,
+       CAST({_tiff_sum_sql(0)} AS BIGINT) AS sum_r,
+       CAST({_tiff_sum_sql(1)} AS BIGINT) AS sum_g,
+       CAST({_tiff_sum_sql(2)} AS BIGINT) AS sum_b,
+       CAST({_TIFF_MAX_SQL} AS INTEGER) AS max_channel,
+       CAST((event_id * {_AVI_PRIMES[35]}) % 256 AS INTEGER) AS topleft_r,
+       CAST({_TIFF_LUMA_SQL} AS DOUBLE) / 18.0 AS mean_luma
+FROM events
+""",
+)
+def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode end-to-end — the EIGHTH real codec,
+    and the first with a general tagged metadata directory: pure JVM
+    expressions assemble a genuine little-endian TIFF per event_id
+    (magic, a 9-entry IFD, BitsPerSample and TWO-strip offset /
+    byte-count arrays stored OUTSIDE the IFD so the ≤4-byte inlining
+    rule takes the indirect branch), and the stdlib IFD walker
+    (operators/multimodal.py:decode_tiff_array) re-reads the directory,
+    validates every strip's arithmetic, and reassembles the two
+    one-row strips inside Arrow-batched mapInPandas — ``topleft_r``
+    and the channel sums only match if the strip order and the RGB
+    sample order both survived. Stats ride the same batch-wide
+    reduceat sweeps as the other image codecs.
+    Reference analog: the format-5 BLE decoder ``scanner.rs:35-83``."""
+    ev = spread(load(spark, sf_dir, "events").select("event_id"))
+    e = F.col("event_id")
+
+    def u8_hex(mult: int):
+        return F.lpad(F.hex(F.pmod(e * mult, F.lit(256))), 2, "0")
+
+    payload_hex = F.concat(
+        F.lit(_TIFF_HEAD_HEX),
+        *[u8_hex(_AVI_PRIMES[35 - i]) for i in range(18)],
+        F.lit(_TIFF_TAIL_HEX),
+    )
+    media = ev.select(
+        F.col("event_id").alias("media_id"),
+        F.unhex(payload_hex).alias("content"),
+    )
+    return mm.tiff_image_stats(media)

@@ -211,6 +211,7 @@ class TestPythonBoundary:
             "multimodal_avi_stats",  # real AVI (RIFF) decode needs Python
             "multimodal_ogg_pages",  # real Ogg page walk needs Python
             "multimodal_mp3_frames",  # real MPEG frame walk needs Python
+            "multimodal_tiff_stats",  # real TIFF IFD walk needs Python
             "similarity_bruteforce_topk_arrow",
         }
         markers = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
