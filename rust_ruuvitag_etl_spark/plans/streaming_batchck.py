@@ -379,6 +379,82 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "streaming_interval_join_left",
+    oracle="""
+WITH p AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+m AS (
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts > p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+),
+-- the GLOBAL watermark is the min of both streams' watermarks
+wm AS (
+    SELECT LEAST((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM v))
+           - INTERVAL 2 HOURS AS w
+)
+SELECT purchase_id, view_id FROM m
+UNION ALL
+SELECT p.event_id, CAST(NULL AS BIGINT)
+FROM p
+WHERE p.event_id NOT IN (SELECT purchase_id FROM m)
+  AND p.ts < (SELECT w FROM wm)
+""",
+)
+def streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join — the null-extension
+    semantics only a watermark can certify: a purchase with no view in
+    its preceding hour may NOT emit (purchase, NULL) until the join
+    state watermark proves no matching view can still arrive, so the
+    outer row is a *negative* claim about the unbounded future, not
+    just a missing match. Matched pairs emit as they occur (append
+    mode, same as the inner twin); unmatched purchases emit
+    null-extended exactly when their timestamp falls below the final
+    GLOBAL watermark — min(max purchase ts, max view ts) − 2 h, the
+    min-policy across both streams — and purchases younger than that
+    never emit, which the oracle encodes verbatim (the same
+    measured-and-pinned discipline as streaming_late_data_discard's
+    one-batch lag). Eviction-time null flushing rides the
+    end-of-availableNow no-data batch.
+
+    Scale posture: identical state bounds to the inner twin — dual
+    watermarks evict both stores; the outer path adds only a
+    matched-bit per buffered left row."""
+    from ..streaming.pipeline import interval_join_streams
+
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "ts", F.col("event_id").alias("view_id"))
+    )
+    joined = interval_join_streams(
+        purchases, views, key="user_id", ts_col="ts",
+        max_gap="1 hour", watermark="2 hours", how="left_outer",
+    ).select("purchase_id", "view_id")
+    name = "sijl_streaming_interval_join_left"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @query("streaming_sliding_window", oracle=SLIDING_WINDOW_ORACLE)
 def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) event-time windows executed by Structured

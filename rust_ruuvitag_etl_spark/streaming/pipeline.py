@@ -197,13 +197,21 @@ def interval_join_streams(
     ts_col: str = "ts",
     max_gap: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: pair each left event with the
+    """Stream-stream interval join: pair each left event with the
     right-side events of the same key whose timestamp falls in
     (left.ts - max_gap, left.ts]. The dual watermarks bound BOTH join
     state stores — without them a stream-stream join buffers forever
     (the scale-killer); with them state evicts as event time passes.
     New surface: the reference is single-stream only.
+
+    ``how='left_outer'`` adds watermark-certified null extension: an
+    unmatched left row emits (left, NULL) only when the GLOBAL
+    watermark (the min of both streams' watermarks) passes its
+    timestamp — i.e. when state eviction proves no future right row
+    can still match. Rows younger than the final watermark never emit
+    a null row (measured and pinned by tests/test_streaming.py).
 
     Raises if ``watermark`` < ``max_gap``: join state would be evicted
     before the interval closes and matches would be dropped silently.
@@ -214,6 +222,8 @@ def interval_join_streams(
             "a shorter watermark evicts join state before the interval "
             "closes and silently drops matches"
         )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     l = left.withWatermark(ts_col, watermark).alias("l")
     r = right.withWatermark(ts_col, watermark).alias("r")
     return l.join(
@@ -223,5 +233,5 @@ def interval_join_streams(
             f"r.{ts_col} > l.{ts_col} - INTERVAL {max_gap} AND "
             f"r.{ts_col} <= l.{ts_col}"
         ),
-        "inner",
+        how,
     )

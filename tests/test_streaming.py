@@ -578,6 +578,73 @@ class TestStreamingEwma:
         assert "ordering contract violated" in str(exc.value)
 
 
+class TestLeftOuterIntervalJoin:
+    def test_null_rows_gated_by_global_watermark(self, spark, tmp_path):
+        """Pins the left-outer emission rule the registry oracle
+        encodes: matched pairs emit; an unmatched left row emits
+        (left, NULL) iff its ts < min(both streams' max ts) - delay
+        (the global min-policy watermark); younger unmatched rows
+        never emit."""
+        import datetime as dt
+
+        from rust_ruuvitag_etl_spark.streaming.pipeline import (
+            interval_join_streams,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        m = lambda mins: t0 + dt.timedelta(minutes=mins)
+        # purchases: 1000 matches a view; 1001 unmatched + old (emits
+        # null); 1002 matches; 1003 unmatched + young (never emits).
+        p = [(1, m(10), 1000), (1, m(100), 1001),
+             (1, m(500), 1002), (1, m(590), 1003)]
+        v = [(1, m(5), 2000), (1, m(470), 2001), (1, m(600), 2002)]
+        spark.createDataFrame(
+            p, "user_id long, ts timestamp, purchase_id long"
+        ).coalesce(1).write.parquet(f"{tmp_path}/p")
+        spark.createDataFrame(
+            v, "user_id long, ts timestamp, view_id long"
+        ).coalesce(1).write.parquet(f"{tmp_path}/v")
+        ps = spark.readStream.schema(
+            "user_id long, ts timestamp, purchase_id long"
+        ).parquet(f"{tmp_path}/p")
+        vs = spark.readStream.schema(
+            "user_id long, ts timestamp, view_id long"
+        ).parquet(f"{tmp_path}/v")
+        j = interval_join_streams(
+            ps, vs, max_gap="1 hour", watermark="2 hours",
+            how="left_outer",
+        ).select("purchase_id", "view_id")
+        q = (
+            j.writeStream.format("memory")
+            .queryName("loij_pin")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["purchase_id"], r["view_id"])
+            for r in spark.table("loij_pin").collect()
+        }
+        # global watermark = min(590, 600) - 120 = minute 470:
+        # 1001 (ts 100) emits null-extended, 1003 (ts 590) does not.
+        assert got == {(1000, 2000), (1002, 2001), (1001, None)}
+
+    def test_unsupported_join_type_rejected(self, spark):
+        import pytest as _pytest
+
+        from rust_ruuvitag_etl_spark.streaming.pipeline import (
+            interval_join_streams,
+        )
+
+        df = spark.range(1).select(
+            F.col("id").alias("user_id"),
+            F.current_timestamp().alias("ts"),
+        )
+        with _pytest.raises(ValueError, match="unsupported join type"):
+            interval_join_streams(df, df, how="full_outer")
+
+
 class TestLateDataDiscard:
     """Append-mode watermark discard semantics, pinned with explicit
     planted rows: a late event whose window closed two triggers ago is
