@@ -480,3 +480,241 @@ def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(payload_hex).alias("content"),
     )
     return mm.tiff_image_stats(media)
+
+
+# --- content-defined chunking dedup (round 6) -------------------------------
+# FastCDC-style dedup: chunk boundaries come from a rolling hash of the
+# CONTENT (a 4-token window hash hitting a 1-in-4 mask), not from fixed
+# offsets — so an insertion near the head of a document shifts only the
+# chunks up to the next boundary and every later chunk re-synchronizes.
+# Fixed-segment dedup (dedup_exact_lines) loses ALL segments after an
+# insertion; CDC recovers them. The query plants a shifted near-copy
+# (3 inserted preamble tokens) for every doc_id % 7 == 0 and emits the
+# doc pairs sharing >= half of the smaller side's distinct chunks —
+# every planted pair must surface, which the oracle pins exactly.
+
+_CDC_P = 1_000_000_007
+_CDC_WIN = 4          # rolling-window tokens
+_CDC_MASK = 4         # boundary when window hash % 4 == 0 (avg ~4-tok chunks)
+_CDC_MAXDF = 50       # stop-chunk cap: boilerplate chunks are not evidence
+_CDC_OFFSET = 5_000_000
+_CDC_PREFIX = "insert shift preamble "
+
+_CDC_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_CDC_OFFSET}, '{_CDC_PREFIX}' || text
+    FROM documents WHERE doc_id % 7 = 0 AND n_chars >= 200
+),
+t AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS BIGINT[])
+                ELSE list_transform(
+                    string_split_regex(trim(text), '\\s+'),
+                    tok -> list_reduce(
+                        list_prepend(CAST(7 AS BIGINT),
+                            list_transform(range(1, length(tok) + 1),
+                                i -> CAST(ascii(substr(tok, i, 1))
+                                          AS BIGINT))),
+                        (a, x) -> (a * 131 + x) % {_CDC_P}))
+           END AS vals
+    FROM base
+),
+w AS (
+    SELECT doc_id, vals, len(vals) AS n,
+           list_transform(range(1, len(vals) + 1), i ->
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                vals[GREATEST(1, i - 3):i]),
+                   (a, x) -> (a * 31 + x) % {_CDC_P})) AS wh
+    FROM t
+),
+b AS (
+    SELECT doc_id, vals, n,
+           list_transform(range(1, n + 1),
+                          i -> (wh[i] % {_CDC_MASK} = 0) OR (i = n)) AS bf
+    FROM w
+),
+c AS (
+    SELECT doc_id, vals, n, bf,
+           list_transform(range(1, n + 1), i ->
+               len(list_filter(range(1, i), j -> bf[j]))) AS cid
+    FROM b
+),
+ch AS (
+    SELECT doc_id,
+           list_transform(range(0, len(list_filter(bf, x -> x))), k ->
+               list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                       list_transform(
+                           list_filter(range(1, n + 1), i -> cid[i] = k),
+                           i -> vals[i])),
+                   (a, x) -> (a * 31 + x) % {_CDC_P})) AS chunks
+    FROM c
+),
+dc AS (SELECT DISTINCT doc_id, UNNEST(chunks) AS chunk_hash FROM ch),
+kept AS (
+    SELECT chunk_hash FROM dc
+    GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) <= {_CDC_MAXDF}
+),
+dck AS (SELECT dc.* FROM dc JOIN kept USING (chunk_hash)),
+cnt AS (SELECT doc_id, COUNT(*) AS n_chunks FROM dck GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM dck a
+    JOIN dck b2 ON a.chunk_hash = b2.chunk_hash AND a.doc_id < b2.doc_id
+    GROUP BY a.doc_id, b2.doc_id
+)
+SELECT p.id_a, p.id_b, p.n_shared,
+       (p.id_b = p.id_a + {_CDC_OFFSET}) AS planted
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.id_a
+JOIN cnt cb ON cb.doc_id = p.id_b
+WHERE p.n_shared * 2 >= LEAST(ca.n_chunks, cb.n_chunks)
+"""
+
+
+@query("dedup_cdc_shifted", oracle=_CDC_ORACLE)
+def dedup_cdc_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC idea at token
+    granularity): boundaries fall where a 4-token rolling window hash
+    hits a 1-in-4 mask, so they depend on CONTENT, not position —
+    after an insertion the chunk stream re-synchronizes at the next
+    boundary and the rest of the document dedups again, which
+    fixed-offset segmentation (dedup_exact_lines) structurally cannot
+    do. Planted 3-token-shifted copies (doc_id % 7, n_chars ≥ 200)
+    prove it: every planted pair shares ≥ half the smaller side's
+    chunks (measured 100% recall at sf0.001/0.01/0.1 — both knobs
+    matter: the length floor because a document shorter than one chunk
+    has no interior boundary to re-synchronize at, and the 1-in-4 mask
+    density because a 40-token doc misses ALL boundaries with
+    probability (7/8)^40 ≈ 0.5% at 1-in-8 — observed once at sf0.1 —
+    vs (3/4)^40 ≈ 1e-5 at 1-in-4), and the oracle re-derives the
+    identical pair set in SQL.
+
+    Plan shape: the Spark side computes per-document chunks in ONE
+    linear ``aggregate`` fold over (value, boundary) pairs — O(tokens)
+    per doc — then the pair space is a chunk-hash EQUI-join (shuffle
+    keyed by chunk hash, never a cross join) with a stop-chunk cap
+    (df ≤ 50) so boilerplate chunks cannot create hot buckets —
+    the LSH-band discipline applied to CDC. The DuckDB oracle uses a
+    clearer quadratic prefix-count formulation; results are identical.
+    """
+    from ..functions import text as tf
+
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "n_chars"
+    )
+    base = docs.select("doc_id", "text").unionAll(
+        docs.filter(
+            (F.col("doc_id") % 7 == 0) & (F.col("n_chars") >= 200)
+        ).select(
+            (F.col("doc_id") + _CDC_OFFSET).alias("doc_id"),
+            F.concat(F.lit(_CDC_PREFIX), F.col("text")).alias("text"),
+        )
+    )
+    # Token identity is a CHARACTER-level polynomial hash (not a weak
+    # length+first-char feature): chunk hashes then identify chunk
+    # CONTENT, so unrelated documents cannot alias each other's chunks
+    # through token-shape coincidences (pinned by tests/test_llm8.py).
+    s0 = base.select(
+        "doc_id", tf.ws_tokens(F.col("text")).alias("_toks")
+    )
+    vals = F.expr(
+        "transform(_toks, t -> aggregate(sequence(1, length(t)), "
+        "CAST(7 AS BIGINT), "
+        f"(a, i) -> (a * 131 + ascii(substring(t, i, 1))) % {_CDC_P}))"
+    )
+    s1 = s0.select("doc_id", vals.alias("vals"), F.size(vals).alias("n"))
+    win_fold = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("bigint"),
+        lambda a, x: (a * 31 + x) % _CDC_P,
+    )
+    wh = F.when(F.col("n") == 0, F.expr("CAST(array() AS array<bigint>)")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.col("n"), F.lit(1))),
+            lambda i: win_fold(
+                F.slice(
+                    F.col("vals"),
+                    F.greatest(i - 3, F.lit(1)),
+                    F.least(i, F.lit(_CDC_WIN)),
+                )
+            ),
+        )
+    )
+    s2 = s1.select("doc_id", "vals", "n", wh.alias("wh"))
+    bf = F.zip_with(
+        F.col("wh"),
+        F.when(F.col("n") == 0, F.expr("CAST(array() AS array<int>)")).otherwise(
+            F.sequence(F.lit(1), F.greatest(F.col("n"), F.lit(1)))
+        ),
+        lambda h, i: (h % _CDC_MASK == 0) | (i == F.col("n")),
+    )
+    s3 = s2.select("doc_id", "vals", bf.alias("bf"))
+    # ONE linear fold builds the chunk-hash list: carry (open hash,
+    # emitted chunks); a boundary token closes its chunk and resets.
+    pairs_arr = F.zip_with(
+        F.col("vals"), F.col("bf"),
+        lambda v, b: F.struct(v.alias("v"), b.alias("b")),
+    )
+    closed = lambda acc, e: (acc["h"] * 31 + e["v"]) % _CDC_P
+    chunks = F.aggregate(
+        pairs_arr,
+        F.struct(
+            F.lit(7).cast("bigint").alias("h"),
+            F.expr("CAST(array() AS array<bigint>)").alias("cs"),
+        ),
+        lambda acc, e: F.struct(
+            F.when(e["b"], F.lit(7).cast("bigint"))
+            .otherwise(closed(acc, e))
+            .alias("h"),
+            F.when(e["b"], F.array_append(acc["cs"], closed(acc, e)))
+            .otherwise(acc["cs"])
+            .alias("cs"),
+        ),
+        lambda acc: acc["cs"],
+    )
+    dc = (
+        s3.select("doc_id", F.explode(chunks).alias("chunk_hash"))
+        .distinct()
+    )
+    kept = (
+        dc.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CDC_MAXDF)
+        .select("chunk_hash")
+    )
+    dck = dc.join(kept, "chunk_hash")
+    cnt = dck.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a, b2 = dck.alias("a"), dck.alias("b2")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.chunk_hash") == F.col("b2.chunk_hash"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b2.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = cnt.select(
+        F.col("doc_id").alias("id_a"), F.col("n_chunks").alias("ca")
+    )
+    cb = cnt.select(
+        F.col("doc_id").alias("id_b"), F.col("n_chunks").alias("cb")
+    )
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(F.col("n_shared") * 2 >= F.least(F.col("ca"), F.col("cb")))
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (F.col("id_b") == F.col("id_a") + _CDC_OFFSET).alias("planted"),
+        )
+    )
