@@ -1,0 +1,218 @@
+"""Versioned snapshot tables — a minimal from-scratch table format
+(the Iceberg/Delta commit idea reduced to its core) giving the parquet
+sink what raw directories cannot: ATOMIC commits, time travel,
+rollback, and optimistic concurrency.
+
+Layout::
+
+    table/
+      data/<uuid>/part-*.parquet     immutable data segments
+      manifests/v00000001.json       one manifest per committed version
+
+A manifest lists the data segments visible at that version plus
+metadata (parent version, operation, schema, row count, timestamp).
+The MANIFEST IS THE COMMIT: readers resolve the latest manifest and
+read exactly its segment list, so a writer that dies mid-copy leaves
+only unreferenced files (cleaned by :func:`vacuum`), never a
+half-visible table. Commit publication uses ``open(..., 'x')`` —
+atomic file creation — so two concurrent writers racing for version N
+cannot both win: the loser gets :class:`CommitConflict` and must
+re-read and retry (optimistic concurrency, the table-format
+discipline). ``rollback`` never deletes data — it publishes a NEW
+version whose segment list equals the target's, so history stays
+intact and time travel keeps working.
+
+Scale posture: a commit writes one small JSON after the data lands —
+O(1) driver work regardless of table size; readers list ONE directory
+(manifests/) instead of walking the data tree; vacuum deletes only
+segments unreferenced by any retained manifest. On an object store the
+'x'-mode create would be a conditional PUT (same semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first — re-read, rebase,
+    retry (optimistic concurrency)."""
+
+
+def _manifest_dir(table: str) -> str:
+    return os.path.join(table, "manifests")
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(_manifest_dir(table), f"v{version:08d}.json")
+
+
+def _versions(table: str) -> list[int]:
+    d = _manifest_dir(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def _load_manifest(table: str, version: int) -> dict:
+    with open(_manifest_path(table, version)) as f:
+        return json.load(f)
+
+
+def current_version(table: str) -> int | None:
+    vs = _versions(table)
+    return vs[-1] if vs else None
+
+
+def commit(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    expected_version: int | None = ...,
+) -> int:
+    """Write ``df`` as a new segment and publish the next version.
+
+    ``mode='append'`` unions the new segment with the parent's list;
+    ``'overwrite'`` starts the list fresh. ``expected_version`` pins
+    the parent this commit was based on (None = expect an empty
+    table); leave it at the default to take whatever is current
+    (last-writer-wins append). On a version race the manifest create
+    fails atomically and :class:`CommitConflict` is raised — no data
+    is visible, the orphaned segment is vacuum-able."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported commit mode {mode!r}")
+    os.makedirs(_manifest_dir(table), exist_ok=True)
+    parent = current_version(table)
+    if expected_version is not ...:
+        if parent != expected_version:
+            raise CommitConflict(
+                f"table at version {parent}, expected {expected_version}"
+            )
+    segment = os.path.join("data", uuid.uuid4().hex)
+    df.write.parquet(os.path.join(table, segment))
+    if mode == "append" and parent is not None:
+        segments = list(_load_manifest(table, parent)["segments"])
+    else:
+        segments = []
+    segments.append(segment)
+    version = (parent if parent is not None else -1) + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": mode,
+        "segments": segments,
+        "schema": df.schema.json(),
+        "committed_at": time.time(),
+    }
+    try:
+        # 'x' = atomic exclusive create: the loser of a version race
+        # fails HERE, before anything becomes visible.
+        with open(_manifest_path(table, version), "x") as f:
+            json.dump(manifest, f)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {version} was published concurrently"
+        ) from exc
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AT a version (time travel); latest by default.
+    Reads exactly the manifest's segment list — files from later or
+    failed commits are invisible by construction."""
+    if version is None:
+        version = current_version(table)
+        if version is None:
+            raise ValueError(f"{table} has no committed versions")
+    m = _load_manifest(table, version)
+    paths = [os.path.join(table, s) for s in m["segments"]]
+    if not paths:
+        return spark.createDataFrame([], _schema_from_json(m["schema"]))
+    return spark.read.parquet(*paths)
+
+
+def _schema_from_json(schema_json: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(schema_json))
+
+
+def history(table: str) -> list[dict]:
+    """Commit log, oldest first: version, parent, operation, segment
+    and row-bearing file counts, timestamp."""
+    out = []
+    for v in _versions(table):
+        m = _load_manifest(table, v)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "n_segments": len(m["segments"]),
+                "committed_at": m["committed_at"],
+            }
+        )
+    return out
+
+
+def rollback(table: str, version: int) -> int:
+    """Publish a NEW version whose visible data equals ``version``'s.
+    Nothing is deleted: the rolled-back-over versions stay readable
+    (audit trail), and a later vacuum decides what is reclaimable."""
+    target = _load_manifest(table, version)
+    parent = current_version(table)
+    new_version = parent + 1
+    manifest = {
+        "version": new_version,
+        "parent": parent,
+        "operation": f"rollback_to_{version}",
+        "segments": target["segments"],
+        "schema": target["schema"],
+        "committed_at": time.time(),
+    }
+    try:
+        with open(_manifest_path(table, new_version), "x") as f:
+            json.dump(manifest, f)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {new_version} was published concurrently"
+        ) from exc
+    return new_version
+
+
+def vacuum(table: str, keep_last: int = 1) -> list[str]:
+    """Delete data segments unreferenced by the ``keep_last`` most
+    recent manifests (and drop the older manifests). Time travel
+    within the retained window keeps working; orphans from failed
+    commits are reclaimed. Returns the deleted segment paths."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _versions(table)
+    keep = set(vs[-keep_last:])
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load_manifest(table, v)["segments"])
+    data_dir = os.path.join(table, "data")
+    deleted = []
+    if os.path.isdir(data_dir):
+        for seg in os.listdir(data_dir):
+            rel = os.path.join("data", seg)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(table, rel))
+                deleted.append(rel)
+    for v in vs:
+        if v not in keep:
+            os.remove(_manifest_path(table, v))
+    return sorted(deleted)
