@@ -192,6 +192,147 @@ def rollback(table: str, version: int) -> int:
     return new_version
 
 
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption: the rows ADDED strictly after
+    ``from_version`` up to ``to_version`` (latest by default) — i.e.
+    the segments in the target manifest that the base manifest does
+    not reference. Valid only across append lineage: an overwrite or
+    rollback in the range rewrites visibility rather than adding rows,
+    so the delta is not expressible as added segments — raises
+    ``ValueError`` (callers fall back to a full re-read, the same
+    contract as table-format CDC readers without a changelog)."""
+    if to_version is None:
+        to_version = current_version(table)
+    base = set(_load_manifest(table, from_version)["segments"])
+    for v in _versions(table):
+        if from_version < v <= to_version:
+            m = _load_manifest(table, v)
+            if m["operation"] != "append":
+                raise ValueError(
+                    f"non-append operation {m['operation']!r} at version "
+                    f"{v}: incremental read undefined, re-read the snapshot"
+                )
+    target = _load_manifest(table, to_version)["segments"]
+    added = [s for s in target if s not in base]
+    if not added:
+        m = _load_manifest(table, to_version)
+        return spark.createDataFrame([], _schema_from_json(m["schema"]))
+    return spark.read.parquet(*[os.path.join(table, s) for s in added])
+
+
+def write_stream_snapshots(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming sink into a snapshot table with EXACTLY-ONCE commits:
+    each micro-batch commits through :func:`commit` inside
+    ``foreachBatch``, and the manifest records the batch id — on
+    restart-after-failure Spark replays the last uncommitted batch,
+    and a batch id already present in the manifest chain is SKIPPED,
+    so replays cannot double-append (the idempotent-sink discipline
+    ``foreachBatch`` requires; Spark only guarantees at-least-once
+    delivery into it). Returns the started query."""
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for v in _versions(table):
+            m = _load_manifest(table, v)
+            if m.get("stream_batch_id") == batch_id:
+                return  # replayed batch: already committed, skip
+        seen = 0
+        while True:
+            try:
+                parent = current_version(table)
+                version = (parent if parent is not None else -1) + 1
+                _commit_with_extra(
+                    batch_df, table, parent, version,
+                    {"stream_batch_id": batch_id},
+                )
+                return
+            except CommitConflict:
+                seen += 1
+                if seen > 5:
+                    raise
+
+    writer = stream_df.writeStream.foreachBatch(_commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _commit_with_extra(
+    df: DataFrame, table: str, parent: int | None, version: int, extra: dict
+) -> None:
+    os.makedirs(_manifest_dir(table), exist_ok=True)
+    segment = os.path.join("data", uuid.uuid4().hex)
+    df.write.parquet(os.path.join(table, segment))
+    segments = (
+        list(_load_manifest(table, parent)["segments"])
+        if parent is not None
+        else []
+    )
+    segments.append(segment)
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": "append",
+        "segments": segments,
+        "schema": df.schema.json(),
+        "committed_at": time.time(),
+        **extra,
+    }
+    try:
+        with open(_manifest_path(table, version), "x") as f:
+            json.dump(manifest, f)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {version} was published concurrently"
+        ) from exc
+
+
+def cluster_by(
+    spark: SparkSession, table: str, sort_cols: list[str], n_files: int = 4
+) -> int:
+    """Publish a CLUSTERED rewrite of the current snapshot:
+    range-partition on ``sort_cols`` and sort within partitions, so
+    each output file owns a disjoint key range — the write-side layout
+    that makes file-level min/max zone maps selective (a point/range
+    predicate on the sort key prunes to ~one file). Published as a new
+    overwrite-style version; history and time travel keep working."""
+    df = read_snapshot(spark, table)
+    parent = current_version(table)
+    version = parent + 1
+    clustered = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    segment = os.path.join("data", uuid.uuid4().hex)
+    clustered.write.parquet(os.path.join(table, segment))
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": f"cluster_by_{'_'.join(sort_cols)}",
+        "segments": [segment],
+        "schema": df.schema.json(),
+        "committed_at": time.time(),
+    }
+    try:
+        with open(_manifest_path(table, version), "x") as f:
+            json.dump(manifest, f)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {version} was published concurrently"
+        ) from exc
+    return version
+
+
 def vacuum(table: str, keep_last: int = 1) -> list[str]:
     """Delete data segments unreferenced by the ``keep_last`` most
     recent manifests (and drop the older manifests). Time travel

