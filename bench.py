@@ -71,6 +71,8 @@ HEADLINE = [
     "multimodal_ogg_pages",
     "multimodal_mp3_frames",
     "multimodal_tiff_stats",
+    "dedup_cdc_shifted",
+    "embedding_random_projection",
 ]
 
 

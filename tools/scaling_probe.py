@@ -60,6 +60,10 @@ CORPUS_QUERIES = [
     # set grows with the corpus too.
     "similarity_knn_join",
     "text_keyword_pagerank",
+    # round-6 additions: CDC dedup (chunk-hash join growth) and the
+    # JL projection (scan-local — should stay ~linear in corpus).
+    "dedup_cdc_shifted",
+    "embedding_random_projection",
 ]
 
 # Graph axis (round-4 verdict #7): the engagement-graph algorithms read
