@@ -140,7 +140,10 @@ def read_snapshot(
     paths = [os.path.join(table, s) for s in m["segments"]]
     if not paths:
         return spark.createDataFrame([], _schema_from_json(m["schema"]))
-    return spark.read.parquet(*paths)
+    # mergeSchema: segments committed before an additive schema change
+    # surface the new columns as NULL (parquet schema evolution); the
+    # manifest records the schema as of its commit.
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def _schema_from_json(schema_json: str):
@@ -222,7 +225,10 @@ def read_changes(
     if not added:
         m = _load_manifest(table, to_version)
         return spark.createDataFrame([], _schema_from_json(m["schema"]))
-    return spark.read.parquet(*[os.path.join(table, s) for s in added])
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table, s) for s in added])
+    )
 
 
 def write_stream_snapshots(

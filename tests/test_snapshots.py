@@ -136,6 +136,29 @@ class TestRollbackAndVacuum:
             sn.vacuum(str(tmp_path), keep_last=0)
 
 
+class TestSchemaEvolution:
+    def test_additive_column_null_fills_old_segments(self, spark, tmp_path):
+        """Appending a segment with an extra column evolves the table:
+        a full read surfaces the new column with NULL for pre-evolution
+        rows (parquet mergeSchema), and the manifest records the schema
+        as of each commit — time travel to the old version shows the
+        old shape."""
+        t = str(tmp_path / "tbl")
+        sn.commit(_df(spark, 0, 5), t)
+        wider = spark.range(5, 8).selectExpr(
+            "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+        )
+        sn.commit(wider, t)
+        full = sn.read_snapshot(spark, t)
+        assert set(full.columns) == {"id", "v", "tag"}
+        rows = {r["id"]: r["tag"] for r in full.collect()}
+        assert rows[0] is None and rows[7] == "7"
+        # time travel: the pre-evolution version keeps the old shape
+        assert set(sn.read_snapshot(spark, t, version=0).columns) == {
+            "id", "v",
+        }
+
+
 class TestIncrementalReads:
     def test_read_changes_between_appends(self, spark, tmp_path):
         t = str(tmp_path / "tbl")
