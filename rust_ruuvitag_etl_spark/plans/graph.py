@@ -361,3 +361,110 @@ def text_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r").cast("double") / _S, 8).alias("textrank"),
         )
     )
+
+
+# --- triangle counting (round 6) --------------------------------------------
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                    GREATEST(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM pairs e1
+        JOIN pairs e2 ON e2.u = e1.v
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+FROM (SELECT u AS x FROM pairs UNION SELECT v FROM pairs)
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts are
+    adjacent when they appear in the same order) — the clustering /
+    community-density primitive. The Spark plan uses the
+    DEGREE-ORIENTED formulation (Suri & Vassilvitskii's MapReduce
+    triangle counting): every undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher, so each triangle is
+    counted EXACTLY once as a wedge-close and — the 100 TB point — a
+    hot node's wedge work is bounded by its ORIENTED out-degree, which
+    the orientation caps near √|E| for any degree distribution (a
+    celebrity node of degree d contributes C(d,2) wedges under naive
+    id-ordering but only C(out,2), out ≪ d, here). The total is
+    orientation-invariant, so the DuckDB oracle counts the same
+    triangles with the simpler id-ordered 3-way self-join. Two
+    equi-join shuffles over the edge list; edges localCheckpointed so
+    the wedge join never replays the lineitem scan."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    # orient each edge from the lower-(degree, id) endpoint: src -> dst
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.t").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    # Wedges from each source's oriented out-neighbor pairs, closed by
+    # a third edge. The closing edge is stored in exactly ONE oriented
+    # direction (orientation is a total order), so both sides join on
+    # the canonical unordered (min, max) pair key.
+    w = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .select(
+            F.least(F.col("e1.dst"), F.col("e2.dst")).alias("cu"),
+            F.greatest(F.col("e1.dst"), F.col("e2.dst")).alias("cv"),
+        )
+    )
+    closing = oriented.select(
+        F.least("src", "dst").alias("cu"), F.greatest("src", "dst").alias("cv")
+    )
+    tri = w.join(closing, ["cu", "cv"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -272,3 +272,66 @@ class TestClusterBy:
             assert hi1 < lo2  # disjoint, ordered ranges
         # content preserved
         assert sn.read_snapshot(spark, t).count() == 200
+
+
+class TestLakehousePipeline:
+    def test_incremental_dedup_into_snapshot_table(self, spark, tmp_path):
+        """The composed lakehouse loop the pieces exist for: a corpus
+        lands in a snapshot table; each new crawl is anti-joined
+        against the CURRENT snapshot's fingerprints so only novel
+        documents commit; read_changes exposes exactly what a crawl
+        added; and an all-duplicate crawl commits nothing. The final
+        table must equal dedup-from-scratch over all raw crawls."""
+        from pyspark.sql import functions as F
+
+        from rust_ruuvitag_etl_spark.functions import text as tf
+
+        t = str(tmp_path / "corpus")
+
+        def docs(rows):
+            return spark.createDataFrame(
+                rows, "doc_id long, text string"
+            )
+
+        crawl1 = docs([(1, "alpha beta gamma"), (2, "delta epsilon")])
+        sn.commit(crawl1, t)
+
+        def commit_novel(crawl):
+            cur = sn.read_snapshot(spark, t).select(
+                tf.fingerprint(F.col("text")).alias("f")
+            )
+            novel = (
+                crawl.withColumn("f", tf.fingerprint(F.col("text")))
+                .join(cur, "f", "left_anti")
+                .drop("f")
+            )
+            if novel.count() == 0:
+                return None
+            return sn.commit(novel, t)
+
+        # crawl 2: one dup of doc 1 (different id, same text), one new
+        crawl2 = docs([(10, "alpha beta gamma"), (11, "zeta eta")])
+        v = commit_novel(crawl2)
+        assert v == 1
+        added = sn.read_changes(spark, t, from_version=0)
+        assert [(r["doc_id"], r["text"]) for r in added.collect()] == [
+            (11, "zeta eta")
+        ]
+
+        # crawl 3: nothing novel -> no commit, version unchanged
+        crawl3 = docs([(20, "delta epsilon"), (21, "zeta eta")])
+        assert commit_novel(crawl3) is None
+        assert sn.current_version(t) == 1
+
+        # final table == dedup-from-scratch over all raw crawls
+        all_raw = crawl1.unionByName(crawl2).unionByName(crawl3)
+        scratch = {
+            r["text"]
+            for r in all_raw.withColumn(
+                "f", tf.fingerprint(F.col("text"))
+            ).dropDuplicates(["f"]).collect()
+        }
+        table_texts = {
+            r["text"] for r in sn.read_snapshot(spark, t).collect()
+        }
+        assert table_texts == scratch
