@@ -223,3 +223,70 @@ def lateral_topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataF
                       ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l
         """
     )
+
+
+# --- binned interval join (round 6) -----------------------------------------
+
+
+@query(
+    "join_interval_binned",
+    oracle="""
+SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_in_transit
+FROM orders o
+JOIN lineitem l
+  ON o.o_orderdate >= l.l_shipdate
+ AND o.o_orderdate <= l.l_shipdate + INTERVAL 6 DAY
+WHERE l.l_quantity > 47
+GROUP BY o.o_orderkey
+""",
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACT×FACT interval join via time BINNING — the manual
+    implementation of the range-join optimization Spark lacks natively
+    (the broadcast-theta shape of join_range_events_orders only works
+    while one side stays small; two facts need this). Each 7-day
+    shipment-transit interval registers in every week bin it covers
+    (≤2, via sequence+explode); each order keys to its single week
+    bin; the join becomes an EQUI-join on the bin plus the exact
+    BETWEEN residual filter. A point lies in exactly one bin, so each
+    qualifying (order, shipment) pair surfaces exactly once — no
+    dedup. Per-bin work is |orders_bin| × |intervals_bin| (temporal
+    locality), not |O| × |L|: the plan that survives a 100× scale-up
+    where the naive theta join is a cartesian disaster. Semantics:
+    per order, how many heavy shipments (l_quantity > 47) from ANY
+    order were in their 7-day transit window on its order date."""
+    epoch = F.lit("1970-01-01")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 47)
+        .select("l_shipdate")
+        .withColumn("_d", F.datediff(F.col("l_shipdate"), epoch))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_d") / 7),
+                    F.floor((F.col("_d") + 6) / 7),
+                )
+            ),
+        )
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .withColumn(
+            "bin", F.floor(F.datediff(F.col("o_orderdate"), epoch) / 7)
+        )
+    )
+    return (
+        o.join(li, "bin")
+        .filter(
+            (F.col("o_orderdate") >= F.col("l_shipdate"))
+            & (
+                F.col("o_orderdate")
+                <= F.col("l_shipdate") + F.expr("INTERVAL 6 DAYS")
+            )
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_in_transit"))
+    )
