@@ -29,4 +29,5 @@ from . import (  # noqa: E402, F401
     graph,
     llm7,
     llm8,
+    llm9,
 )
