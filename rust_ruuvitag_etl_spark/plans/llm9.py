@@ -318,3 +318,177 @@ def similarity_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_ok",
         F.lit(32.0).alias("compression_ratio"),
     )
+
+
+# --- deterministic global shuffle into training shards ----------------------
+# A training dataloader needs a REPRODUCIBLE corpus-wide permutation
+# materialized as S balanced shards — the classic "global shuffle"
+# write step before sequence packing. rand() is neither reproducible
+# across engines nor across partitionings; two independent salted
+# hashes are: one assigns the shard, the other orders WITHIN the
+# shard, so the composite (shard_id, pos) is a deterministic
+# permutation of the corpus that any engine reproduces bit-for-bit.
+
+_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id,
+           {tf.h60_sql("CAST(doc_id AS VARCHAR)")} % {_SHARDS} AS shard_id,
+           {tf.h60_sql("'p:' || CAST(doc_id AS VARCHAR)")} AS ok
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+                ORDER BY ok, doc_id) AS BIGINT) AS pos
+    FROM h
+),
+g AS (
+    SELECT MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS nn
+    FROM (SELECT COUNT(*) AS n FROM pos GROUP BY shard_id)
+)
+SELECT p.doc_id, p.shard_id, p.pos,
+       (g.mx * {_SHARDS} <= 2 * g.nn + 2 * {_SHARDS}) AS balanced_ok
+FROM pos p, g
+"""
+
+
+@query("shard_global_shuffle", oracle=_SHARD_ORACLE)
+def shard_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 balanced training shards —
+    the write-side permutation a 100 TB pre-training corpus needs
+    before packing: shard_id = portable-hash(doc_id) mod S, and
+    pos = rank of an INDEPENDENTLY salted hash within the shard. Both
+    hashes are content-addressed, so the permutation is reproducible
+    across engines, runs, retries, and partitionings (the property
+    rand()-based shuffles lack, and the reason dataloader resume
+    works); the salt independence means shard membership tells you
+    nothing about position — within-shard order is as good as random.
+
+    The per-row ``balanced_ok`` flag asserts max shard size <=
+    2*avg (integer arithmetic, oracle-checked TRUE) — hash uniformity
+    IS the load-balance guarantee, same discipline as the salted-agg
+    queries.
+
+    100 TB posture: NO global sort anywhere — the only shuffle keys on
+    shard_id (S uniform buckets by construction) and each shard sorts
+    independently (Spark sorts within partitions; a total order across
+    6 TB shards is never materialized). At scale each shard writes to
+    its own file group, and a dataloader seeks by (shard_id, pos).
+    Companion to sample_hash_deterministic (hash-split) and
+    pack_sequences_token_budget (the next pipeline stage).
+    Reference analog: the periodic re-scan cadence of ``main.rs`` —
+    deterministic re-derivation over restart, state never trusted."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h = docs.select(
+        "doc_id",
+        F.pmod(
+            tf.h60(F.col("doc_id").cast("string")), F.lit(_SHARDS)
+        ).alias("shard_id"),
+        tf.h60(F.concat(F.lit("p:"), F.col("doc_id").cast("string"))).alias(
+            "ok"
+        ),
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.asc("ok"), F.asc("doc_id"))
+    pos = h.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+    g = pos.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.max("n").alias("mx"), F.sum("n").alias("nn")
+    )
+    return pos.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "shard_id",
+        "pos",
+        (F.col("mx") * _SHARDS <= 2 * F.col("nn") + 2 * _SHARDS).alias(
+            "balanced_ok"
+        ),
+    )
+
+
+# --- embedding covariance / correlation matrix ------------------------------
+# The PCA / whitening / anisotropy-diagnosis precursor: the 64x64
+# second-moment matrix of the embedding corpus, computed in ONE pass
+# as 2080 (i <= j) partial-aggregated sums — the Gram-matrix shape
+# every "is my embedding space collapsing?" check needs.
+
+_EMB_DIM = 64
+
+
+@query(
+    "embedding_covariance_matrix",
+    oracle=f"""
+WITH v AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+    FROM embeddings
+),
+p AS (
+    SELECT i.range AS i, j.range AS j
+    FROM range(0, {_EMB_DIM}) i, range(0, {_EMB_DIM}) j
+    WHERE i.range <= j.range
+),
+x AS (SELECT p.i, p.j, ev[p.i + 1] AS xi, ev[p.j + 1] AS xj FROM v, p),
+a AS (
+    SELECT i, j, COUNT(*) AS n,
+           SUM(xi) AS sx, SUM(xj) AS sy, SUM(xi * xj) AS sxy,
+           SUM(xi * xi) AS sxx, SUM(xj * xj) AS syy
+    FROM x GROUP BY i, j
+)
+SELECT CAST(i AS INTEGER) AS dim_i, CAST(j AS INTEGER) AS dim_j,
+       ROUND(sxy / n - (sx / n) * (sy / n), 6) AS cov,
+       ROUND((sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+                * sqrt(syy / n - (sy / n) * (sy / n))), 6) AS corr
+FROM a
+""",
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64x64 covariance AND correlation matrix of the embedding corpus
+    (upper triangle, 2080 entries) — the PCA/whitening precursor and
+    the standard anisotropy diagnosis (an embedding space collapsing
+    toward a cone shows up as off-diagonal mass; this corpus is
+    isotropic, so off-diagonals hover near 0).
+
+    100 TB posture: ONE corpus pass, NO per-row joins and NO D x N
+    matrix shuffle — each scan task cross-applies its rows against the
+    BROADCAST 2080-entry (i, j) index table and partial-aggregates the
+    five moment sums in-stage (map-side combine), so the only shuffle
+    is 2080 groups x partitions of constant-width state: the classic
+    distributed Gram-matrix accumulation (the dense row-major cousin of
+    DIMSUM's sampled form, exact here because D = 64 is small). Moments
+    divide and round at the end, identically on both engines.
+    Companion to embedding_random_projection (JL compression) and
+    agg_corr_regression (the scalar corr/covar aggregates)."""
+    em = load(spark, sf_dir, "embeddings")
+    v = em.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("ev")
+    )
+    pairs = [(i, j) for i in range(_EMB_DIM) for j in range(_EMB_DIM) if i <= j]
+    pdf = em.sparkSession.createDataFrame(pairs, "i int, j int")
+    x = v.crossJoin(F.broadcast(pdf)).select(
+        "i",
+        "j",
+        F.col("ev")[F.col("i")].alias("xi"),
+        F.col("ev")[F.col("j")].alias("xj"),
+    )
+    a = x.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("xj").alias("sy"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xj") * F.col("xj")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") / n - (sx / n) * (sy / n)
+    var_i = F.col("sxx") / n - (sx / n) * (sx / n)
+    var_j = F.col("syy") / n - (sy / n) * (sy / n)
+    return a.select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        F.round(cov, 6).alias("cov"),
+        F.round(cov / (F.sqrt(var_i) * F.sqrt(var_j)), 6).alias("corr"),
+    )

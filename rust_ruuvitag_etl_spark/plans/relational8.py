@@ -290,3 +290,69 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n_in_transit"))
     )
+
+
+@query(
+    "ivm_delta_join",
+    oracle="""
+WITH full_j AS (
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_mktsegment,
+           (o.o_orderdate >= TIMESTAMP '1999-01-01') AS fact_new,
+           (c.c_custkey % 10 = 0) AS dim_new
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN fact_new AND dim_new THEN 'both'
+            WHEN fact_new THEN 'fact' ELSE 'dim' END AS delta_src,
+       o_totalprice, c_mktsegment
+FROM full_j WHERE fact_new OR dim_new
+""",
+)
+def ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a JOIN view — the delta-rule
+    decomposition d(O |x| C) = dO|x|C_old  UNION  O_old|x|dC  UNION
+    dO|x|dC, each term tagged with its provenance. The maintained view
+    is orders |x| customer; the fact delta is orders on/after
+    1999-01-01 (a watermark — the standard "new partitions" shape) and
+    the dim delta is c_custkey % 10 = 0 (a dimension back-fill). The
+    oracle computes the SAME delta non-incrementally (full join
+    filtered to rows touching either delta, tags from the predicates),
+    so the hash match IS the IVM correctness theorem instantiated: the
+    three-way decomposition produces exactly the rows the recomputed
+    view gains, each exactly once (the three terms partition the delta
+    because the dim split partitions customers).
+
+    100 TB posture: this is why warehouses maintain views
+    incrementally — the three delta terms touch |dO|*|C| + |O|*|dC| +
+    |dO|*|dC| rows instead of re-joining |O|*|C|. Both dO-sided terms
+    scan only the watermarked fact partitions (partition pruning on
+    the date predicate); the O_old|x|dC term BROADCASTS the small dim
+    delta so the big fact never reshuffles; nothing recomputes the
+    old view. Companion to merge_upsert_orders (row-level MERGE) and
+    incremental_rollup_merge (aggregate IVM) — this is join IVM.
+    Reference analog: the append-only sink discipline of
+    ``database/writer.rs`` (new rows only, never rewrite history)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    d0 = F.lit("1999-01-01").cast("timestamp")
+    o_old, o_new = o.filter(F.col("o_orderdate") < d0), o.filter(
+        F.col("o_orderdate") >= d0
+    )
+    dim_new = F.col("c_custkey") % 10 == 0
+    c_old, c_new = c.filter(~dim_new), c.filter(dim_new)
+
+    def term(fact: DataFrame, dim: DataFrame, tag: str, bcast: bool):
+        d = F.broadcast(dim) if bcast else dim
+        return fact.join(d, F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit(tag).alias("delta_src"),
+            "o_totalprice",
+            "c_mktsegment",
+        )
+
+    return (
+        term(o_new, c_old, "fact", bcast=False)
+        .unionAll(term(o_old, c_new, "dim", bcast=True))
+        .unionAll(term(o_new, c_new, "both", bcast=True))
+    )

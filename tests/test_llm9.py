@@ -140,3 +140,100 @@ class TestBinaryQuantization:
             assert r["vec_id"] in em_ids
             counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
         assert counts == {q: min(per_q, n) for q in range(5)}
+
+
+class TestIvmDeltaJoin:
+    def test_delta_plus_old_equals_full(self, spark):
+        """The IVM theorem end-to-end: old view + emitted delta ==
+        recomputed full view (as multisets of key pairs)."""
+        from rust_ruuvitag_etl_spark.plans.relational8 import ivm_delta_join
+
+        o = load(spark, SF_SMALL, "orders")
+        c = load(spark, SF_SMALL, "customer")
+        d0 = F.lit("1999-01-01").cast("timestamp")
+        old = (
+            o.filter(F.col("o_orderdate") < d0)
+            .join(
+                c.filter(F.col("c_custkey") % 10 != 0),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "o_custkey")
+        )
+        full = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderkey", "o_custkey"
+        )
+        delta = ivm_delta_join(spark, SF_SMALL).select(
+            "o_orderkey", "o_custkey"
+        )
+        got = sorted(
+            (r["o_orderkey"], r["o_custkey"])
+            for r in old.unionAll(delta).collect()
+        )
+        want = sorted(
+            (r["o_orderkey"], r["o_custkey"]) for r in full.collect()
+        )
+        assert got == want
+        assert len(got) > 0
+
+    def test_terms_are_disjoint(self, spark):
+        """Each delta row surfaces exactly once, from exactly one term."""
+        from rust_ruuvitag_etl_spark.plans.relational8 import ivm_delta_join
+
+        rows = ivm_delta_join(spark, SF_SMALL).collect()
+        keys = [(r["o_orderkey"], r["o_custkey"]) for r in rows]
+        assert len(keys) == len(set(keys))
+        assert {r["delta_src"] for r in rows} <= {"fact", "dim", "both"}
+
+
+class TestShardShuffle:
+    def test_permutation_and_balance(self, spark):
+        """(shard_id, pos) is a bijection over the corpus: every doc
+        appears once, positions within a shard are 1..len, the flag
+        holds, and the assignment is reproducible run-to-run."""
+        from rust_ruuvitag_etl_spark.plans.llm9 import shard_global_shuffle
+
+        rows = shard_global_shuffle(spark, SF_SMALL).collect()
+        n_docs = load(spark, SF_SMALL, "documents").count()
+        assert len(rows) == n_docs
+        assert len({r["doc_id"] for r in rows}) == n_docs
+        by_shard = {}
+        for r in rows:
+            assert r["balanced_ok"]
+            by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+        for shard, ps in by_shard.items():
+            assert 0 <= shard < 16
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+        again = {
+            (r["doc_id"], r["shard_id"], r["pos"])
+            for r in shard_global_shuffle(spark, SF_SMALL).collect()
+        }
+        assert again == {(r["doc_id"], r["shard_id"], r["pos"]) for r in rows}
+
+
+class TestCovarianceMatrix:
+    def test_matches_numpy(self, spark):
+        """The 2080 moment aggregates must agree with numpy's
+        covariance/correlation on the collected corpus."""
+        import numpy as np
+
+        from rust_ruuvitag_etl_spark.plans.llm9 import (
+            embedding_covariance_matrix,
+        )
+
+        m = np.array(
+            [
+                r["embedding"]
+                for r in load(spark, SF_SMALL, "embeddings")
+                .select("embedding")
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        cov = np.cov(m, rowvar=False, bias=True)
+        cor = np.corrcoef(m, rowvar=False)
+        rows = embedding_covariance_matrix(spark, SF_SMALL).collect()
+        assert len(rows) == 64 * 65 // 2
+        for r in rows:
+            i, j = r["dim_i"], r["dim_j"]
+            assert abs(r["cov"] - cov[i, j]) < 1e-5, (i, j)
+            assert abs(r["corr"] - cor[i, j]) < 1e-5, (i, j)
