@@ -73,6 +73,8 @@ HEADLINE = [
     "multimodal_tiff_stats",
     "dedup_cdc_shifted",
     "embedding_random_projection",
+    "dedup_ssjoin_prefix",
+    "similarity_bq_topk",
 ]
 
 
@@ -145,8 +147,49 @@ def _minhash_verified_fast(spark, sf_dir):
 # DuckDB oracle can reproduce signatures bit-for-bit in the correctness
 # gate. Same plan shape, same verified-pair semantics (pinned by
 # tests/test_llm_ops.py), different per-shingle hash cost.
+def _bq_probe_only(spark, sf_dir):
+    # The production BQ path: ADC shortlist over the 1-bit codes +
+    # exact re-rank of shortlist members — without the brute-force
+    # exact twin the registry query carries for the correctness gate.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rust_ruuvitag_etl_spark.functions import vectors as vf
+    from rust_ruuvitag_etl_spark.plans.llm9 import _bq_shortlist
+
+    em = load(spark, sf_dir, "embeddings")
+    short = _bq_shortlist(spark, sf_dir)
+    queries_df = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
+    )
+    rescored = (
+        short.join(em, "vec_id")
+        .join(F.broadcast(queries_df), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                vf.cosine(F.col("embedding"), F.col("_qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def _ssjoin_fast(spark, sf_dir):
+    from rust_ruuvitag_etl_spark.operators.dedup import spread, ssjoin_prefix_pairs
+
+    return ssjoin_prefix_pairs(spread(load(spark, sf_dir, "documents")))
+
+
 OVERRIDES = {
     "dedup_minhash_lsh_pairs": _minhash_lsh_fast,
+    "dedup_ssjoin_prefix": _ssjoin_fast,
+    "similarity_bq_topk": _bq_probe_only,
     "dedup_minhash_verified": _minhash_verified_fast,
     "similarity_ivf_topk": _ivf_probe_only,
     "similarity_ivf_pq_topk": _pq_probe_only,

@@ -462,3 +462,106 @@ def keep_best_representative(
         *scored.columns, F.lit(None).cast("long").alias("cluster")
     )
     return clustered.unionByName(singletons).drop("_q")
+
+
+def ssjoin_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_family: str = "fast",
+) -> DataFrame:
+    """EXACT Jaccard >= 0.5 self-join via prefix filtering (SSJoin,
+    Chaudhuri et al. 2006; PPJoin, Xiao et al. 2008) — the exact-recall
+    complement to :func:`minhash_lsh_candidates`.
+
+    Every pair with J >= 1/2 must share a token of each side's
+    (n - ceil(n/2) + 1)-length prefix under ANY global token order, so
+    an equi-join on prefix tokens finds EVERY qualifying pair; ordering
+    rarest-first makes those join keys the least frequent shingles (the
+    anti-skew property). Shingles collapse to ONE 60-bit hash each
+    (the MinHash discipline — strings never leave the scan stage), and
+    the canonical sort key packs (global df, hash) into a single
+    BIGINT: df * 2^31 + (h mod 2^31) — any consistent total order
+    satisfies the prefix lemma, and numeric arrays keep the sort,
+    equi-join, and intersect in cheap long comparisons.
+
+    Output: (id_a, id_b, n_inter, n_a, n_b, jaccard) for J >= 1/2,
+    integer-exact threshold (3*I >= na+nb). Result equals brute force
+    (pinned in tests/test_llm9.py).
+    """
+    two31 = 2147483648
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.explode(tf.shingles(F.col(text_col), shingle_n)).alias("_g"),
+        )
+        .select(
+            id_col, tf.h60(F.col("_g"), family=hash_family).alias("h")
+        )
+        .distinct()
+    )
+    dfq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    keyed = ex.join(dfq, "h").select(
+        id_col,
+        (F.col("df") * two31 + F.pmod(F.col("h"), F.lit(two31))).alias(
+            "key"
+        ),
+    )
+    arr = keyed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("key")).alias("skeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pref = arr.select(
+        id_col,
+        "n",
+        F.explode(
+            F.slice(F.col("skeys"), 1, (F.col("n") / 2).cast("int") + 1)
+        ).alias("pkey"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pkey") == F.col("b.pkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                2 * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    x = arr.select(
+        F.col(id_col).alias("id_a"),
+        F.col("skeys").alias("skeys_a"),
+        F.col("n").alias("n_a"),
+    )
+    y = arr.select(
+        F.col(id_col).alias("id_b"),
+        F.col("skeys").alias("skeys_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("skeys_a", "skeys_b"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .withColumn("n_inter", inter.cast("long"))
+        .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

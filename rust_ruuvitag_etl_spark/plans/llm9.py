@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tf
+from ..operators import dedup as dd
 from ..operators import similarity as sim
+from ..operators.dedup import spread
 from ..sources import load
 from .llm import _SIM_ORACLE
 from .registry import query
@@ -35,24 +37,23 @@ from .registry import query
 
 _SSJ_TAU_NUM, _SSJ_TAU_DEN = 1, 2  # tau = 1/2
 
-_SSJOIN_ORACLE = """
+_SSJOIN_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
     FROM documents WHERE trim(text) <> ''
 ),
 sh AS (
     SELECT doc_id,
-           list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 0) + 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
     FROM toks
 ),
-ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE len(s) > 0),
-dfq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+hx AS (SELECT DISTINCT doc_id, {tf.h60_sql('s')} AS h FROM sh),
+dfq AS (SELECT h, COUNT(*) AS df FROM hx GROUP BY h),
 k AS (
-    SELECT ex.doc_id,
-           lpad(CAST(dfq.df AS VARCHAR), 10, '0') || ' ' || ex.g AS key
-    FROM ex JOIN dfq USING (g)
+    SELECT hx.doc_id,
+           dfq.df * 2147483648 + (hx.h % 2147483648) AS key
+    FROM hx JOIN dfq USING (h)
 ),
 arr AS (
     SELECT doc_id, list_sort(list(key)) AS skeys, COUNT(*) AS n
@@ -91,8 +92,10 @@ def dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall for cost (LSH misses pairs whose signatures never collide)
     and dedup_ngram_jaccard_pairs buys exactness with a same-source
     blocking key, this query is exact AND unblocked: sort each doc's
-    shingles rarest-first (key = zero-padded global df ++ shingle — a
-    total order both engines compute identically, no global rank
+    shingles rarest-first (each shingle collapses to ONE 60-bit hash —
+    the MinHash discipline, strings never leave the scan stage — and
+    the sort key packs (global df, hash) into a single BIGINT; ANY
+    consistent total order satisfies the lemma, no global rank
     assignment and therefore no global sort), take the first
     n - ceil(n/2) + 1 as the PREFIX, and equi-join on prefix shingles.
     The prefix lemma guarantees every J >= 0.5 pair collides, so after
@@ -108,78 +111,15 @@ def dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id equi-joins; the length filter 2*min(n) >= max(n) and the
     threshold gate 3*I >= na+nb are integer-exact on both engines.
     PPJoin's positional filter would prune candidates further by a
-    constant factor; it is omitted here because verification is already
-    candidate-pruned (25 candidate pairs at sf0.01).
+    constant factor; it is omitted because the numeric-array verify is
+    already cheap (long-compare intersects over candidate pairs only).
+    The portable hash family pins the oracle bit-for-bit; production
+    callers (bench OVERRIDES) run hash_family='fast' = xxhash64, the
+    same swap the MinHash family documents.
     Reference analog: the dedup discipline of ``main.rs:118-126``
     (last-wins per key) generalized to near-duplicate sets."""
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.array_distinct(tf.shingles(F.col("text"), 3)).alias("s")
-    ).filter(F.size("s") > 0)
-    ex = sh.select("doc_id", F.explode("s").alias("g"))
-    dfq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    keyed = ex.join(dfq, "g").select(
-        "doc_id",
-        F.concat(
-            F.lpad(F.col("df").cast("string"), 10, "0"), F.lit(" "), F.col("g")
-        ).alias("key"),
-    )
-    arr = keyed.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("key")).alias("skeys"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    pref = arr.select(
-        "doc_id",
-        "n",
-        F.explode(
-            F.slice(F.col("skeys"), 1, (F.col("n") / 2).cast("int") + 1)
-        ).alias("pkey"),
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.pkey") == F.col("b.pkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                2 * F.least(F.col("a.n"), F.col("b.n"))
-                >= F.greatest(F.col("a.n"), F.col("b.n"))
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    x = arr.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("skeys").alias("skeys_a"),
-        F.col("n").alias("n_a"),
-    )
-    y = arr.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("skeys").alias("skeys_b"),
-        F.col("n").alias("n_b"),
-    )
-    inter = F.size(F.array_intersect("skeys_a", "skeys_b"))
-    return (
-        cand.join(x, "id_a")
-        .join(y, "id_b")
-        .withColumn("n_inter", inter.cast("long"))
-        .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
-        .select(
-            "id_a",
-            "id_b",
-            "n_inter",
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
-            ).alias("jaccard"),
-        )
-    )
+    docs = spread(load(spark, sf_dir, "documents"))
+    return dd.ssjoin_prefix_pairs(docs, hash_family="portable")
 
 
 # --- binary (1-bit) quantization ANN ---------------------------------------
@@ -199,58 +139,60 @@ _BQ_RECALL_FLOOR_HITS = 35   # >= 70% of the 50 exact hits (5 queries x 10)
 def _bq_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, vec_id) shortlist from the 1-bit code scan.
 
-    Build: one 64-aggregate mean pass -> 1-row broadcast threshold
-    vector; each corpus vector binarizes SCAN-LOCAL into two BIGINT
-    sign words (bit i of word w set iff v[32w+i] > mean[32w+i]) — pure
-    shift/mask/when expressions inside whole-stage codegen, no UDF.
-    Probe: the 5 centered query vectors broadcast; the ADC score
-    sum_i qc[i]*(2*bit_i - 1) decodes each bit with one shiftright+AND,
-    so the approximate scan touches ONLY the 8-byte codes. Shortlist =
-    top max(50, N/10) per query by (score desc, vec_id) — the per-query
-    window is the only shuffle, keyed by the 5 query ids over
-    shortlist-sized input."""
+    Build: the per-dimension mean vector (posexplode -> 64-group avg ->
+    re-assembled array) broadcasts as ONE 1-row array column; each
+    corpus vector binarizes SCAN-LOCAL into two BIGINT sign words via a
+    single ``aggregate`` fold (bit i of word w set iff
+    v[32w+i] > mean[32w+i]). Probe: the 5 centered query vectors
+    broadcast; the ADC score sum_i qc[i]*(2*bit_i - 1) decodes each bit
+    with shiftright inside one fold, so the approximate scan touches
+    ONLY the 8-byte codes. Shortlist = top max(50, N/10) per query by
+    (score desc, vec_id) — the per-query window is the only shuffle.
+    Compact higher-order-function expressions keep Catalyst analysis
+    O(1) in the dimension (a 64-wide scalar-column formulation measured
+    ~4 s of per-call driver planning at identical executor cost)."""
     em = load(spark, sf_dir, "embeddings")
-    n = em.count()  # cheap columnless count: sizes the shortlist
-    shortlist = max(_BQ_SHORTLIST_FLOOR, n // 10)
     ev = em.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("ev"),
     )
-    means = ev.agg(
-        *[F.avg(F.col("ev")[i]).alias(f"m{i}") for i in range(_BQ_DIM)]
+    means = (
+        ev.select(F.posexplode("ev").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "mu"))
+            ).alias("_s")
+        )
+        .select(F.transform("_s", lambda s: s["mu"]).alias("m"))
     )
-
-    def word(base: int):
-        return reduce(
-            add,
-            [
-                F.when(
-                    F.col("ev")[i] > F.col(f"m{i}"), F.lit(1 << (i - base))
-                ).otherwise(F.lit(0))
-                for i in range(base, base + 32)
-            ],
-        ).cast("long")
-
+    word_lo = F.expr(
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc"
+        " + IF(element_at(ev, i + 1) > element_at(m, i + 1),"
+        " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    )
+    word_hi = F.expr(
+        "aggregate(sequence(32, 63), CAST(0 AS BIGINT), (acc, i) -> acc"
+        " + IF(element_at(ev, i + 1) > element_at(m, i + 1),"
+        " shiftleft(CAST(1 AS BIGINT), i - 32), CAST(0 AS BIGINT)))"
+    )
     coded = ev.crossJoin(F.broadcast(means)).select(
-        "vec_id", word(0).alias("lo"), word(32).alias("hi")
+        "vec_id", word_lo.alias("lo"), word_hi.alias("hi")
     )
     qc = (
         ev.filter(F.col("vec_id") < 5)
         .crossJoin(F.broadcast(means))
         .select(
             F.col("vec_id").alias("query_id"),
-            F.array(
-                *[F.col("ev")[i] - F.col(f"m{i}") for i in range(_BQ_DIM)]
-            ).alias("qc"),
+            F.zip_with("ev", "m", lambda x, y: x - y).alias("qc"),
         )
     )
-
-    def bit(i: int):
-        src = F.col("lo") if i < 32 else F.col("hi")
-        return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
-
-    adc = reduce(
-        add, [F.col("qc")[i] * (2 * bit(i) - 1) for i in range(_BQ_DIM)]
+    adc = F.expr(
+        "aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, i) -> acc"
+        " + element_at(qc, i + 1) * CAST(2 * ((IF(i < 32,"
+        " shiftright(lo, i), shiftright(hi, i - 32))) & 1) - 1"
+        " AS DOUBLE))"
     )
     scored = coded.crossJoin(F.broadcast(qc)).select(
         "query_id", "vec_id", adc.alias("score")
@@ -258,9 +200,18 @@ def _bq_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("vec_id")
     )
+    # shortlist size max(50, N/10) as an IN-PLAN column (1-row count
+    # broadcast) — no separate driver-side count job
+    cnt = ev.agg(F.count(F.lit(1)).alias("_n"))
     return (
         scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= shortlist)
+        .crossJoin(F.broadcast(cnt))
+        .filter(
+            F.col("r")
+            <= F.greatest(
+                F.lit(_BQ_SHORTLIST_FLOOR), (F.col("_n") / 10).cast("int")
+            )
+        )
         .select("query_id", "vec_id")
     )
 
