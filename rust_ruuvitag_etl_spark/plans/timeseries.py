@@ -421,3 +421,103 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(payload_hex).alias("content"),
     )
     return mm.wav_audio_stats(media)
+
+
+@query(
+    "timeseries_seasonal_decompose",
+    oracle="""
+WITH b AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           SUM(CAST(value AS DECIMAL(18,6))) AS y
+    FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, bucket_ts, y,
+           SUM(y) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS s,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS c
+    FROM b
+),
+i AS (
+    SELECT event_type, bucket_ts, y, s,
+           25 * y - s AS det, EXTRACT(hour FROM bucket_ts) AS hod
+    FROM w WHERE c = 25
+),
+se AS (
+    SELECT event_type, hod, SUM(det) AS sd, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM i GROUP BY 1, 2
+)
+SELECT i.event_type, i.bucket_ts,
+       ROUND(CAST(i.y AS DOUBLE), 6) AS hourly_total,
+       ROUND(CAST(i.s AS DOUBLE) / 25, 6) AS trend,
+       ROUND(CAST(se.sd AS DOUBLE) / (25 * se.cnt), 6) AS seasonal,
+       ROUND(CAST(i.y AS DOUBLE) - CAST(i.s AS DOUBLE) / 25
+             - CAST(se.sd AS DOUBLE) / (25 * se.cnt), 6) AS resid
+FROM i JOIN se USING (event_type, hod)
+""",
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (STL-lite) of the
+    per-type hourly volume series: trend = centered 25-hour moving
+    average, seasonal = hour-of-day mean of the detrended series,
+    resid = y - trend - seasonal — the monitoring/forecasting primitive
+    behind 'is this dip a daily rhythm or an incident?'.
+
+    Float discipline (the repo's decimal-moments pattern taken one
+    step further): the hourly totals accumulate in DECIMAL, and
+    because only COMPLETE 25-row neighborhoods qualify, the trend is
+    the exact rational S/25 — so the detrended series is kept as the
+    EXACT decimal 25*y - S, the seasonal sums stay decimal, and every
+    division happens once, at the end, in ONE fixed-shape IEEE
+    expression both engines evaluate identically. No double is ever
+    summed. The ROWS frame assumes a regular series (true at sf0.1;
+    timeseries_gap_fill is the documented pre-step for gappy data).
+
+    100 TB posture: the fact table is touched ONCE by the bucketing
+    aggregate (map-side combinable); every window and join downstream
+    runs over the BUCKET table, whose size is |types| x |hours| —
+    bounded by the time span, independent of fact scale. The 25-row
+    window partitions by event_type; the seasonal profile (<= 24 rows
+    per type) joins back by (type, hour-of-day).
+    Reference analog: the 30-min tumbling accumulation of
+    ``main.rs:69-122``, extended from per-window means to a
+    trend/seasonal/residual split."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("y"))
+    wspec = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-12, 12)
+    )
+    w = b.select(
+        "event_type",
+        "bucket_ts",
+        "y",
+        F.sum("y").over(wspec).alias("s"),
+        F.count(F.lit(1)).over(wspec).alias("c"),
+    )
+    i = w.filter(F.col("c") == 25).select(
+        "event_type",
+        "bucket_ts",
+        "y",
+        "s",
+        (25 * F.col("y") - F.col("s")).alias("det"),
+        F.hour("bucket_ts").alias("hod"),
+    )
+    se = i.groupBy("event_type", "hod").agg(
+        F.sum("det").alias("sd"), F.count(F.lit(1)).alias("cnt")
+    )
+    yd = F.col("y").cast("double")
+    trend = F.col("s").cast("double") / 25
+    seasonal = F.col("sd").cast("double") / (25 * F.col("cnt"))
+    return i.join(F.broadcast(se), ["event_type", "hod"]).select(
+        "event_type",
+        "bucket_ts",
+        F.round(yd, 6).alias("hourly_total"),
+        F.round(trend, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(yd - trend - seasonal, 6).alias("resid"),
+    )

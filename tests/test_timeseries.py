@@ -661,3 +661,54 @@ class TestGifCodec:
             assert d["pixels"] == pixels
 
         prop()
+
+
+class TestSeasonalDecompose:
+    def _write_events(self, spark, tmp_path, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/events.parquet"
+        )
+
+    def test_constant_series_decomposes_to_zero(self, spark, tmp_path):
+        """A constant hourly series must yield trend == the constant,
+        seasonal == 0, resid == 0 at every interior point — the
+        decomposition identity with no signal to mis-attribute."""
+        import datetime as dt
+
+        from rust_ruuvitag_etl_spark.plans.timeseries import (
+            timeseries_seasonal_decompose,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(hours=i), 1, "m", 7.5, "{}")
+            for i in range(72)
+        ]
+        self._write_events(spark, tmp_path, rows)
+        got = timeseries_seasonal_decompose(spark, str(tmp_path)).collect()
+        # 72 buckets, 24 edge rows excluded (12 each side)
+        assert len(got) == 72 - 24
+        for r in got:
+            assert r["hourly_total"] == 7.5
+            assert r["trend"] == 7.5
+            assert r["seasonal"] == 0.0
+            assert r["resid"] == 0.0
+
+    def test_components_sum_to_series(self, spark):
+        """resid + trend + seasonal must reconstruct the hourly total
+        (within the 1e-6 rounding grain) on the real corpus, and only
+        complete 25-hour neighborhoods may appear."""
+        from rust_ruuvitag_etl_spark.plans.timeseries import (
+            timeseries_seasonal_decompose,
+        )
+
+        got = timeseries_seasonal_decompose(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(got) > 0
+        for r in got:
+            recon = r["trend"] + r["seasonal"] + r["resid"]
+            assert abs(recon - r["hourly_total"]) < 3e-6
