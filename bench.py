@@ -75,6 +75,7 @@ HEADLINE = [
     "embedding_random_projection",
     "dedup_ssjoin_prefix",
     "similarity_bq_topk",
+    "timeseries_seasonal_decompose",
 ]
 
 

@@ -64,6 +64,13 @@ CORPUS_QUERIES = [
     # JL projection (scan-local — should stay ~linear in corpus).
     "dedup_cdc_shifted",
     "embedding_random_projection",
+    # round-6 late additions: the exact prefix-filtered similarity
+    # join (candidate volume grows with corpus overlap — the axis
+    # answers whether the prefix filter keeps the verify candidate-
+    # bounded) and the 1-bit ADC probe (should stay ~linear: the
+    # approximate scan reads 8 bytes/vector).
+    "dedup_ssjoin_prefix",
+    "similarity_bq_topk",
 ]
 
 # Graph axis (round-4 verdict #7): the engagement-graph algorithms read
