@@ -874,3 +874,56 @@ def streaming_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_bitmap",
         F.bit_count("day_bitmap").alias("active_days"),
     )
+
+
+@query(
+    "streaming_stateful_topk",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY value DESC, event_id) AS rk
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(rk AS INTEGER) AS rank, event_id, value
+FROM ranked WHERE rk <= 3
+""",
+)
+def streaming_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running TOP-K on the NEW Spark 4 stateful API
+    (``transformWithStateInPandas``): typed state variables — a
+    ListState holding the current top-3 (O(k) per key, non-qualifying
+    rows dropped before the state write) and a ValueState fold counter
+    — created in ``init()``, the successor surface to
+    applyInPandasWithState's monolithic state tuple. The leaderboard
+    shape: re-emittable after every micro-batch while the candidate
+    set is unbounded, which no built-in windowed aggregate expresses.
+    Drained with availableNow and diffed against the batch ROW_NUMBER
+    top-3 oracle; ties resolve (value desc, event_id asc) identically
+    on both sides. Cross-batch state continuity is pinned by a
+    two-micro-batch test in tests/test_streaming.py.
+    Reference analog: the per-sensor accumulation loop of
+    ``src/main.rs:72,97-102``, kept permanently instead of reset."""
+    from ..streaming.stateful import topk_stream
+
+    ev = _events_stream(spark, sf_dir)
+    readings = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "event_id", "value"
+    )
+    name = "ssm_streaming_stateful_topk"  # fixed: see streaming_windowed_means
+    q = (
+        topk_stream(readings)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    return (
+        spark.table(name)
+        .withColumn("_mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("_mx"))
+        .select("event_type", "rank", "event_id", "value")
+    )

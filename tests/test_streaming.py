@@ -739,3 +739,75 @@ class TestLateDataDiscard:
         )
         assert dropped == 0
         assert out[(1, "2024-01-01 00:00:00")] == 2
+
+
+class TestStreamingStatefulTopk:
+    def test_topk_state_spans_micro_batches(self, spark, tmp_path):
+        """The leaderboard must MERGE across batches: batch 2's 9.5
+        slots between batch 1's 10.0 and 9.0 — a per-batch top-k with
+        no carried state would emit (9.5, 0.5) for batch 2 instead."""
+        import datetime as dt
+
+        from rust_ruuvitag_etl_spark.streaming.stateful import topk_stream
+
+        sch = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        t0 = dt.datetime(2024, 1, 1)
+        rows_a = [
+            (1, t0, 1, "m", 10.0, "{}"),
+            (2, t0, 1, "m", 9.0, "{}"),
+            (3, t0, 1, "m", 1.0, "{}"),
+        ]
+        rows_b = [
+            (4, t0, 1, "m", 9.5, "{}"),
+            (5, t0, 1, "m", 0.5, "{}"),
+        ]
+        src = f"{tmp_path}/topk_src"
+        spark.createDataFrame(rows_a, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        spark.createDataFrame(rows_b, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select("event_type", "event_id", "value")
+        )
+        name = "topk_two_batches"
+        q = (
+            topk_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table(name).collect()
+        # two emissions (n_seen 3 then 5); the final snapshot merges
+        by_n = {}
+        for r in rows:
+            by_n.setdefault(r["n_seen"], []).append(
+                (r["rank"], r["event_id"], r["value"])
+            )
+        assert set(by_n) == {3, 5}
+        assert sorted(by_n[3]) == [(1, 1, 10.0), (2, 2, 9.0), (3, 3, 1.0)]
+        assert sorted(by_n[5]) == [(1, 1, 10.0), (2, 4, 9.5), (3, 2, 9.0)]
+
+    def test_dispatch_gates_on_protobuf(self):
+        """The new-API path import-gates: in this sandbox (no
+        protobuf) the operator must choose the applyInPandasWithState
+        twin rather than fail at runtime."""
+        from rust_ruuvitag_etl_spark.streaming import stateful as st
+
+        try:
+            import google.protobuf  # noqa: F401
+
+            assert st._tws_available()
+        except ModuleNotFoundError:
+            assert not st._tws_available()
