@@ -421,6 +421,17 @@ def main() -> None:
         "corpus-growing catalog (every tenth vector ⇒ N·N/10 scoring,",
         "measured +1.77) before any real deployment would have.",
         "",
+        "`dedup_ssjoin_prefix` is EXACT-recall, so on this axis it is",
+        "output-bound like the verify row above: replica clusters make the",
+        "true J >= 0.5 pair set grow quadratically within each cluster, and",
+        "an exact join must verify every one of them (its ~+0.9 exponent is",
+        "the answer getting bigger, not the prefix filter degrading — the",
+        "filter's candidate join keys on each document's globally rarest",
+        "shingles at every size). `similarity_bq_topk` is the probe-only",
+        "1-bit ADC scan + shortlist re-rank: the shortlist scales as N/10 by",
+        "design, so its ~+0.5 exponent is the chosen recall knob, with the",
+        "8-byte-per-vector scan keeping the constant small.",
+        "",
         "## Skew axis (zipfian tokens, x1/x4/x16 documents)",
         "",
         "Generated zipf(s≈1) corpora under `.scaling_corpus/zipf_x*/`:",
