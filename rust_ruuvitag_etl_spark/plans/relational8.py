@@ -356,3 +356,123 @@ def ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(term(o_old, c_new, "dim", bcast=True))
         .unionAll(term(o_new, c_new, "both", bcast=True))
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM ordered
+),
+seg AS (
+    SELECT user_id, event_type, ts, event_id,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS seg_no
+    FROM flagged
+),
+spans AS (
+    SELECT user_id, event_type, seg_no, MIN(ts) AS valid_from
+    FROM seg GROUP BY user_id, event_type, seg_no
+),
+dim AS (
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg_no)
+               AS valid_to
+    FROM spans
+),
+probes AS (
+    SELECT event_id, user_id, ts, ts - INTERVAL 1 HOUR AS asof_ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       d.event_type AS attributed_state,
+       d.valid_from AS state_since
+FROM probes p
+LEFT JOIN dim d
+  ON d.user_id = p.user_id
+ AND d.valid_from <= p.asof_ts
+ AND (d.valid_to IS NULL OR p.asof_ts < d.valid_to)
+""",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (temporal) join against the SCD2 history — the
+    query scd2_user_event_segments builds its dimension FOR: every
+    purchase event joins the segment that was ACTIVE one hour before
+    it (valid_from <= ts-1h < valid_to, open tail = NULL valid_to) —
+    'what state was this user in when the decision was made', the
+    repeatable-read attribution every warehouse needs for training-
+    label correctness (joining TODAY's dimension row would leak the
+    future). LEFT join: purchases probing before the user's first
+    segment attribute to NULL rather than vanishing.
+
+    Correctness shape: SCD2 segments partition each user's timeline,
+    so at most ONE segment matches any probe — the join cannot fan
+    out; the one-hour lookback makes the probe distinct from the
+    segment boundaries it came from.
+
+    100 TB posture: the join is EQUI on user_id with the interval
+    containment as a residual predicate — after the user_id key the
+    candidate space is that user's own segment list (gaps-and-islands
+    output, bounded per user), so no binning/broadcast machinery is
+    needed (contrast join_interval_binned, where NEITHER side has an
+    equi key); the SCD2 build reuses one user_id window sort across
+    its three window functions. Reference analog: the registry lookup
+    of ``utils.rs:83-87``, made time-correct."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    seg = flagged.withColumn(
+        "seg_no",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = seg.groupBy("user_id", "event_type", "seg_no").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg_no")
+    dim = spans.select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("attributed_state"),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("asof_ts"),
+    )
+    joined = probes.join(
+        dim,
+        (F.col("d_user_id") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("asof_ts"))
+        & (F.col("valid_to").isNull() | (F.col("asof_ts") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "attributed_state",
+        F.col("valid_from").alias("state_since"),
+    )

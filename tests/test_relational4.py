@@ -197,3 +197,34 @@ class TestStatefulMonitor:
                 assert r["running_mean_temp"] == pytest.approx(mean_t, abs=0.01)
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestScd2PointInTime:
+    def test_no_fanout_and_no_future_leak(self, spark):
+        """Every purchase appears exactly once (segments partition the
+        timeline — the join cannot fan out), and any attributed
+        segment began at or before the probe's as-of instant (no
+        future state leaks into the attribution)."""
+        import datetime as dt
+
+        from rust_ruuvitag_etl_spark.plans.relational8 import (
+            scd2_point_in_time_join,
+        )
+        from rust_ruuvitag_etl_spark.sources import load
+
+        sf = "/root/testdata/sf0.001"
+        got = scd2_point_in_time_join(spark, sf).collect()
+        n_purchases = (
+            load(spark, sf, "events")
+            .filter(F.col("event_type") == "purchase")
+            .count()
+        )
+        assert len(got) == n_purchases
+        assert len({r["event_id"] for r in got}) == n_purchases
+        one_h = dt.timedelta(hours=1)
+        n_attr = 0
+        for r in got:
+            if r["attributed_state"] is not None:
+                n_attr += 1
+                assert r["state_since"] <= r["ts"] - one_h
+        assert 0 < n_attr  # the corpus spans a month: most probes hit
