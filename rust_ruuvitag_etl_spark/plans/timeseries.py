@@ -521,3 +521,139 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(seasonal, 6).alias("seasonal"),
         F.round(yd - trend - seasonal, 6).alias("resid"),
     )
+
+
+_HW_ORACLE = """
+WITH RECURSIVE
+b AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+o AS (
+    SELECT event_type, bucket_ts, y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_ts)
+               AS i
+    FROM b
+),
+r AS (
+    SELECT event_type, i, bucket_ts, y,
+           y AS level, CAST(0 AS BIGINT) AS trend,
+           [CAST(0 AS BIGINT) for x in range(24)] AS sea
+    FROM o WHERE i = 1
+    UNION ALL
+    SELECT o.event_type, o.i, o.bucket_ts, o.y,
+           CAST(FLOOR((o.y - r.sea[1] + r.level + r.trend) / 2.0)
+                AS BIGINT),
+           CAST(FLOOR((CAST(FLOOR((o.y - r.sea[1] + r.level + r.trend)
+                                  / 2.0) AS BIGINT)
+                       - r.level + r.trend) / 2.0) AS BIGINT),
+           r.sea[2:24] ||
+             [CAST(FLOOR((o.y
+                          - CAST(FLOOR((o.y - r.sea[1] + r.level + r.trend)
+                                       / 2.0) AS BIGINT)
+                          + r.sea[1]) / 2.0) AS BIGINT)]
+    FROM r JOIN o ON o.event_type = r.event_type AND o.i = r.i + 1
+)
+SELECT event_type, bucket_ts,
+       ROUND(CAST(y AS DOUBLE) / 1000000, 6) AS actual,
+       ROUND(CAST(level + trend + sea[1] AS DOUBLE) / 1000000, 6)
+           AS forecast_next
+FROM r
+"""
+
+
+@query("timeseries_holt_winters", oracle=_HW_ORACLE)
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing, one-step-
+    ahead: level/trend/seasonal(24) state folds through the per-type
+    hourly series and each hour emits the forecast for the next — the
+    classic streaming forecaster (the EWMA family completed with trend
+    and seasonality).
+
+    EXACT iterative arithmetic: alpha = beta = gamma = 1/2, so every
+    update is floor((a + b) / 2) over integer MICRO-units (the
+    streaming-EWMA quantization discipline) — level_t =
+    floor((y_t - s_(t-24) + level_(t-1) + trend_(t-1))/2), trend and
+    seasonal likewise; init level_1 = y_1, trend_1 = 0, seasonal
+    learned from zero. No float ever accumulates, so the DuckDB twin —
+    a genuinely RECURSIVE CTE threading (level, trend, sea LIST)
+    through ~720 iterations per type, the unbounded-iteration
+    companion to the graph family's unrolled oracles — reproduces
+    every forecast bit-for-bit.
+
+    100 TB posture: ONE fact pass builds the hourly buckets
+    (map-side combinable); the sequential fold is inherently serial
+    PER KEY (that is what a forecaster is), so it runs as one
+    ``aggregate`` lambda over each type's collected series — bounded
+    by the time span (720 points/month), independent of fact scale,
+    parallel across types. Reference analog: the per-sensor
+    accumulate-then-emit loop of ``main.rs:69-122`` with state carried
+    instead of reset."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long")
+        .alias("y")
+    )
+    series = b.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_ts", "y"))
+        ).alias("ser")
+    )
+    out_t = (
+        "array<struct<bucket_ts:timestamp,y:bigint,fc:bigint>>"
+    )
+    zero = F.struct(
+        F.lit(False).alias("started"),
+        F.lit(0).cast("long").alias("level"),
+        F.lit(0).cast("long").alias("trend"),
+        F.array_repeat(F.lit(0).cast("long"), 24).alias("sea"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def step(acc, x):
+        first = ~acc["started"]
+        s24 = F.element_at(acc["sea"], 1)
+        nl = F.when(first, x["y"]).otherwise(
+            F.floor((x["y"] - s24 + acc["level"] + acc["trend"]) / 2.0)
+        )
+        nt = F.when(first, F.lit(0).cast("long")).otherwise(
+            F.floor((nl - acc["level"] + acc["trend"]) / 2.0)
+        )
+        snew = F.floor((x["y"] - nl + s24) / 2.0)
+        sea2 = F.concat(F.slice(acc["sea"], 2, 23), F.array(snew))
+        fc = nl + nt + F.element_at(sea2, 1)
+        return F.struct(
+            F.lit(True).alias("started"),
+            nl.alias("level"),
+            nt.alias("trend"),
+            sea2.alias("sea"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["bucket_ts"].alias("bucket_ts"),
+                        x["y"].alias("y"),
+                        fc.alias("fc"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.aggregate("ser", zero, step, lambda acc: acc["out"]).alias("out"),
+    )
+    return folded.select(
+        "event_type", F.explode("out").alias("o")
+    ).select(
+        "event_type",
+        F.col("o.bucket_ts").alias("bucket_ts"),
+        F.round(F.col("o.y").cast("double") / 1000000, 6).alias("actual"),
+        F.round(F.col("o.fc").cast("double") / 1000000, 6).alias(
+            "forecast_next"
+        ),
+    )

@@ -712,3 +712,72 @@ class TestSeasonalDecompose:
         for r in got:
             recon = r["trend"] + r["seasonal"] + r["resid"]
             assert abs(recon - r["hourly_total"]) < 3e-6
+
+
+class TestHoltWinters:
+    def test_constant_series_forecasts_constant(self, spark, tmp_path):
+        """With y == c everywhere: level pins to c, trend and seasonal
+        stay 0, so every one-step forecast is exactly c."""
+        import datetime as dt
+
+        from rust_ruuvitag_etl_spark.plans.timeseries import (
+            timeseries_holt_winters,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(hours=i), 1, "m", 5.25, "{}")
+            for i in range(60)
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/events.parquet"
+        )
+        got = timeseries_holt_winters(spark, str(tmp_path)).collect()
+        assert len(got) == 60
+        for r in got:
+            assert r["actual"] == 5.25
+            assert r["forecast_next"] == 5.25
+
+    def test_learns_daily_seasonality(self, spark, tmp_path):
+        """On a perfectly 24-periodic series the seasonal state halves
+        its error every period: the last day's forecasts must be much
+        closer to the actuals than the first day's."""
+        import datetime as dt
+
+        from rust_ruuvitag_etl_spark.plans.timeseries import (
+            timeseries_holt_winters,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        pattern = [10.0 + (h % 24) for h in range(24)]
+        rows = [
+            (i, t0 + dt.timedelta(hours=i), 1, "m", pattern[i % 24], "{}")
+            for i in range(24 * 8)
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/events.parquet"
+        )
+        got = sorted(
+            timeseries_holt_winters(spark, str(tmp_path)).collect(),
+            key=lambda r: r["bucket_ts"],
+        )
+        # forecast_next at row t predicts actual at t+1. With
+        # alpha = gamma = 1/2 the level chases part of the seasonal
+        # swing each step, so a discontinuous sawtooth converges to a
+        # tracking plateau rather than zero error (measured day-max
+        # error 24 -> 18 -> 13.5 -> ~10): assert the learning halves
+        # the first day's error and keeps improving monotonically over
+        # the first three days.
+        errs = [
+            abs(got[t]["forecast_next"] - got[t + 1]["actual"])
+            for t in range(len(got) - 1)
+        ]
+        day_max = [max(errs[d * 24 : (d + 1) * 24]) for d in range(7)]
+        assert day_max[0] > day_max[1] > day_max[2]
+        assert max(errs[-24:]) < day_max[0] / 2
