@@ -927,3 +927,73 @@ def streaming_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_seen") == F.col("_mx"))
         .select("event_type", "rank", "event_id", "value")
     )
+
+
+@query(
+    "streaming_holt_winters",
+    oracle="""
+WITH RECURSIVE
+b AS (
+    SELECT event_type, date_trunc('hour', ts) AS bts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+o AS (
+    SELECT event_type, bts, y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) AS i
+    FROM b
+),
+r AS (
+    SELECT event_type, i, bts, y,
+           y AS level, CAST(0 AS BIGINT) AS trend,
+           [CAST(0 AS BIGINT) for x in range(24)] AS sea
+    FROM o WHERE i = 1
+    UNION ALL
+    SELECT o.event_type, o.i, o.bts, o.y,
+           CAST(FLOOR((o.y - r.sea[1] + r.level + r.trend) / 2.0)
+                AS BIGINT),
+           CAST(FLOOR((CAST(FLOOR((o.y - r.sea[1] + r.level + r.trend)
+                                  / 2.0) AS BIGINT)
+                       - r.level + r.trend) / 2.0) AS BIGINT),
+           r.sea[2:24] ||
+             [CAST(FLOOR((o.y
+                          - CAST(FLOOR((o.y - r.sea[1] + r.level + r.trend)
+                                       / 2.0) AS BIGINT)
+                          + r.sea[1]) / 2.0) AS BIGINT)]
+    FROM r JOIN o ON o.event_type = r.event_type AND o.i = r.i + 1
+)
+SELECT event_type,
+       CAST(epoch(bts) AS BIGINT) AS bucket_ts,
+       y, CAST(level + trend + sea[1] AS BIGINT) AS fc
+FROM r
+""",
+)
+def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of timeseries_holt_winters: the same exact
+    integer Holt-Winters fold (alpha=beta=gamma=1/2, micro-units)
+    running as an applyInPandasWithState forecaster — per-type state
+    is (level, trend, seasonal[24], folded-hour high-water mark),
+    carried across micro-batches; each completed hourly bucket emits
+    its actual and the next hour's forecast. Diffed against the SAME
+    recursive-CTE oracle as the batch twin (epoch-seconds bucket key,
+    raw micro-unit integers — no float anywhere), so batch and stream
+    are pinned to each other through the oracle. Whole-hour ordering
+    contract enforced in the operator (split hours raise, never
+    diverge); cross-batch continuity pinned by a two-batch test.
+    Reference analog: the 30-min accumulate-then-emit loop of
+    ``main.rs:69-122``, upgraded from per-window means to a
+    forecasting state machine."""
+    from ..streaming.stateful import hw_stream
+
+    ev = _events_stream(spark, sf_dir).select("event_type", "ts", "value")
+    name = "shw_streaming_holt_winters"  # fixed: see streaming_windowed_means
+    q = (
+        hw_stream(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -400,3 +400,118 @@ def topk_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+# --- streaming Holt-Winters (the forecasting twin) --------------------------
+# The batch timeseries_holt_winters fold as a streaming stateful
+# operator: per event_type, raw events bucket into hours inside the
+# handler and each COMPLETED fold step emits (bucket_ts, actual micro
+# units, one-step forecast). State = (level, trend, seasonal[24],
+# last folded hour) — the quantize-then-integer-fold discipline of
+# ewma_stream, so the batch recursive-CTE oracle reproduces every
+# forecast bit-for-bit.
+
+HW_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bucket_ts", LongType()),  # epoch seconds of hour
+        StructField("y", LongType()),
+        StructField("fc", LongType()),
+    ]
+)
+
+HW_STATE_SCHEMA = (
+    "started BOOLEAN, level LONG, trend LONG, sea ARRAY<LONG>, hwm LONG"
+)
+
+
+def _hw_fold_one(
+    level: int, trend: int, sea: list[int], y: int, first: bool
+) -> tuple[int, int, list[int], int]:
+    """One exact Holt-Winters step (alpha=beta=gamma=1/2, micro-units):
+    returns (level', trend', sea', forecast_next). Mirrors the batch
+    aggregate lambda in plans/timeseries.py expression for expression."""
+    import math
+
+    s24 = sea[0]
+    if first:
+        nl, nt = y, 0
+    else:
+        nl = math.floor((y - s24 + level + trend) / 2)
+        nt = math.floor((nl - level + trend) / 2)
+    snew = math.floor((y - nl + s24) / 2)
+    sea2 = sea[1:] + [snew]
+    return nl, nt, sea2, nl + nt + sea2[0]
+
+
+def _hw_stream_fn(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        started, level, trend, sea, hwm = state.get
+        sea = list(sea)
+    else:
+        started, level, trend, sea, hwm = False, 0, 0, [0] * 24, None
+    chunks = [c for c in pdfs]
+    if not chunks:
+        state.update((started, level, trend, sea, hwm))
+        return
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    # bucket to hours in exact micro-units
+    hours = (
+        pdf["ts"].dt.floor("h").astype("int64") // 1_000_000_000
+    )
+    micros = (pdf["value"] * 1_000_000).round().astype("int64")
+    by_hour = (
+        pd.DataFrame({"h": hours, "m": micros})
+        .groupby("h", sort=True)["m"]
+        .sum()
+    )
+    if hwm is not None and len(by_hour) and int(by_hour.index[0]) <= hwm:
+        raise ValueError(
+            "hw_stream ordering contract violated: micro-batch contains "
+            f"hour {int(by_hour.index[0])} at or before the already-"
+            f"folded hour {hwm}; feed whole hours in order (a split "
+            "hour would fold a partial bucket and silently diverge "
+            "from the batch oracle)"
+        )
+    out_h, out_y, out_fc = [], [], []
+    for h, y in by_hour.items():
+        level, trend, sea, fc = _hw_fold_one(
+            level, trend, sea, int(y), not started
+        )
+        started = True
+        hwm = int(h)
+        out_h.append(int(h))
+        out_y.append(int(y))
+        out_fc.append(fc)
+    state.update((started, level, trend, sea, hwm))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(out_h),
+            "bucket_ts": out_h,
+            "y": out_y,
+            "fc": out_fc,
+        }
+    )
+
+
+def hw_stream(events: DataFrame) -> DataFrame:
+    """Streaming Holt-Winters forecaster: ``events`` needs
+    (event_type, ts, value). Append mode — one row per COMPLETED
+    hourly bucket with the next hour's forecast, integer micro-units.
+
+    ORDERING CONTRACT (enforced, the ewma_stream discipline): each
+    micro-batch must carry only WHOLE hours strictly after the state's
+    folded high-water mark — a batch that re-opens a folded hour
+    raises instead of silently folding a partial bucket. The registry
+    harness ships events as one parquet file = one availableNow batch;
+    multi-file sources must align file boundaries to hour boundaries
+    (tests plant a violating split to pin the loud failure)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _hw_stream_fn,
+        outputStructType=HW_SCHEMA,
+        stateStructType=HW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

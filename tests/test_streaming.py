@@ -811,3 +811,105 @@ class TestStreamingStatefulTopk:
             assert st._tws_available()
         except ModuleNotFoundError:
             assert not st._tws_available()
+
+
+class TestStreamingHoltWinters:
+    SCH = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    )
+
+    def _two_files(self, spark, tmp_path, rows_a, rows_b):
+        src = f"{tmp_path}/hw_src"
+        spark.createDataFrame(rows_a, self.SCH).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        spark.createDataFrame(rows_b, self.SCH).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        return (
+            spark.readStream.schema(self.SCH)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select("event_type", "ts", "value")
+        )
+
+    def test_state_crosses_hour_aligned_batches(self, spark, tmp_path):
+        """Two hour-aligned micro-batches must produce the same fold as
+        one batch over the concatenated series (state crosses the
+        boundary losslessly)."""
+        import datetime as dt
+        import math
+
+        from rust_ruuvitag_etl_spark.streaming.stateful import hw_stream
+
+        t0 = dt.datetime(2024, 1, 1)
+        vals = [3.0, 5.0, 4.0, 9.0, 2.0, 6.0]
+        rows = [
+            (i, t0 + dt.timedelta(hours=i), 1, "m", vals[i], "{}")
+            for i in range(6)
+        ]
+        stream = self._two_files(spark, tmp_path, rows[:3], rows[3:])
+        name = "hw_two_batches"
+        q = (
+            hw_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["bucket_ts"]: (r["y"], r["fc"])
+            for r in spark.table(name).collect()
+        }
+        # reference: single-pass exact fold
+        level, trend, sea, want = None, 0, [0] * 24, {}
+        for i, v in enumerate(vals):
+            y = int(v * 1_000_000)
+            if level is None:
+                level, nt = y, 0
+                snew = math.floor((y - level + sea[0]) / 2)
+            else:
+                nl = math.floor((y - sea[0] + level + trend) / 2)
+                trend = math.floor((nl - level + trend) / 2)
+                snew = math.floor((y - nl + sea[0]) / 2)
+                level = nl
+            sea = sea[1:] + [snew]
+            h = int((t0 + dt.timedelta(hours=i)).timestamp())
+            want[h] = (y, level + trend + sea[0])
+        assert got == want
+
+    def test_split_hour_batch_raises(self, spark, tmp_path):
+        """A micro-batch that re-opens an already-folded hour must FAIL
+        loudly (partial-bucket folds silently diverge from the batch
+        oracle otherwise)."""
+        import datetime as dt
+
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        from rust_ruuvitag_etl_spark.streaming.stateful import hw_stream
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows_a = [
+            (0, t0, 1, "m", 1.0, "{}"),
+            (1, t0 + dt.timedelta(minutes=10), 1, "m", 2.0, "{}"),
+        ]
+        # second file lands IN THE SAME HOUR -> partial-bucket re-open
+        rows_b = [(2, t0 + dt.timedelta(minutes=40), 1, "m", 3.0, "{}")]
+        stream = self._two_files(spark, tmp_path, rows_a, rows_b)
+        name = "hw_split_hour"
+        q = (
+            hw_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        import pytest
+
+        with pytest.raises(StreamingQueryException) as ei:
+            q.awaitTermination()
+        assert "ordering contract violated" in str(ei.value)
