@@ -897,3 +897,100 @@ def sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ok"),
         )
     )
+
+
+@query(
+    "attribution_linear_touch",
+    oracle="""
+WITH touches AS (
+    SELECT event_id, user_id, ts, event_type
+    FROM events WHERE event_type IN ('view', 'click')
+),
+purchases AS (
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+joined AS (
+    SELECT p.event_id AS purchase_id, p.user_id, p.value,
+           t.event_id AS touch_id, t.event_type AS touch_type, t.ts AS touch_ts
+    FROM purchases p JOIN touches t
+      ON t.user_id = p.user_id
+     AND t.ts < p.ts
+     AND t.ts >= p.ts - INTERVAL 7 DAY
+),
+ranked AS (
+    SELECT purchase_id, user_id, value, touch_id, touch_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id
+                ORDER BY touch_ts, touch_id) AS INTEGER) AS touch_rank,
+           CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+               AS n_touches
+    FROM joined
+)
+SELECT purchase_id, user_id, touch_id, touch_type, touch_rank, n_touches,
+       ROUND(value / n_touches, 6) AS credit,
+       (touch_rank = 1) AS first_touch,
+       (touch_rank = n_touches) AS last_touch
+FROM ranked
+""",
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every view/click in the 7 days
+    before a purchase shares the purchase's value equally (credit =
+    value / n_touches), with first/last-touch flags so single-touch
+    models fall out as filters — the marketing-analytics allocation
+    the funnel queries stop short of. Credit divides ONCE in a
+    fixed-shape IEEE expression (double / bigint, rounded at the end),
+    identical on both engines; rank ties break (touch_ts, touch_id).
+
+    100 TB posture: the pair space is EQUI on user_id with the 7-day
+    lookback as residual — per-user touch counts bound the fan-out
+    (the scd2_point_in_time_join argument, but deliberately one-to-
+    many); the per-purchase rank/count windows run over the JOINED
+    touch rows partitioned by purchase_id (bounded by the lookback),
+    never over the raw fact. A time-decay model is this plan with the
+    constant 1/n swapped for pow(2, -age) weights — shape unchanged.
+    Reference analog: the registry broadcast enrich of
+    ``utils.rs:83-87`` widened to a value-splitting join."""
+    ev = load(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user_id"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        "value",
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user_id") == F.col("user_id"))
+        & (F.col("touch_ts") < F.col("ts"))
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("touch_ts", "touch_id")
+    wc = Window.partitionBy("purchase_id")
+    ranked = joined.select(
+        "purchase_id",
+        "user_id",
+        "value",
+        "touch_id",
+        "touch_type",
+        F.row_number().over(w).alias("touch_rank"),
+        F.count(F.lit(1)).over(wc).alias("n_touches"),
+    )
+    return ranked.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        "touch_rank",
+        "n_touches",
+        F.round(F.col("value") / F.col("n_touches"), 6).alias("credit"),
+        (F.col("touch_rank") == 1).alias("first_touch"),
+        (F.col("touch_rank") == F.col("n_touches")).alias("last_touch"),
+    )

@@ -326,3 +326,39 @@ class TestMadOutliers:
         # excluded (no division by zero, no infinite z).
         got = self._run(spark, tmp_path, [5.0] * 10 + [99.0])
         assert got == []
+
+
+class TestAttributionLinear:
+    def test_credit_conserves_purchase_value(self, spark):
+        """Attribution must CONSERVE value: each purchase's credits sum
+        to its value (within the 1e-6 rounding grain x n_touches), and
+        exactly one first_touch / one last_touch per purchase."""
+        from pyspark.sql import functions as F
+
+        from rust_ruuvitag_etl_spark.plans.analytics2 import (
+            attribution_linear_touch,
+        )
+        from rust_ruuvitag_etl_spark.sources import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = attribution_linear_touch(spark, sf).collect()
+        assert len(rows) > 0
+        by_p = {}
+        for r in rows:
+            by_p.setdefault(r["purchase_id"], []).append(r)
+        vals = {
+            r["event_id"]: r["value"]
+            for r in load(spark, sf, "events")
+            .filter(F.col("event_type") == "purchase")
+            .collect()
+        }
+        for pid, rs in by_p.items():
+            n = rs[0]["n_touches"]
+            assert len(rs) == n
+            assert sum(1 for r in rs if r["first_touch"]) == 1
+            assert sum(1 for r in rs if r["last_touch"]) == 1
+            assert sorted(r["touch_rank"] for r in rs) == list(
+                range(1, n + 1)
+            )
+            total = sum(r["credit"] for r in rs)
+            assert abs(total - vals[pid]) <= 1e-6 * n
