@@ -76,6 +76,7 @@ HEADLINE = [
     "dedup_ssjoin_prefix",
     "similarity_bq_topk",
     "timeseries_seasonal_decompose",
+    "timeseries_holt_winters",
 ]
 
 
