@@ -476,3 +476,91 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attributed_state",
         F.col("valid_from").alias("state_since"),
     )
+
+
+@query(
+    "drill_across_conformed",
+    oracle="""
+WITH rev AS (
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+),
+eng AS (
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6)))
+                      AS DOUBLE), 4) AS engagement
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+)
+SELECT n.n_name AS nation,
+       rev.n_orders, rev.revenue, eng.n_events, eng.engagement
+FROM rev FULL OUTER JOIN eng ON rev.nationkey = eng.nationkey
+JOIN nation n ON n.n_nationkey = COALESCE(rev.nationkey, eng.nationkey)
+""",
+)
+def drill_across_conformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRILL-ACROSS over two fact stars sharing a conformed dimension —
+    the Kimball rule the multi-fact warehouse lives by: revenue
+    (orders star) and engagement (events star) each aggregate
+    SEPARATELY to the conformed grain (nation, via the shared customer
+    dimension), and only the two tiny result cubes full-outer join.
+    Fact rows never meet fact rows, so the query cannot fan out — the
+    structural mistake this pattern exists to prevent (joining orders
+    x events on customer first would multiply row counts before any
+    aggregate). One-sided nations keep honest NULLs on the missing
+    measure.
+
+    100 TB posture: each star is one map-side-combinable aggregate to
+    <= |nations| rows; the drill-across join and the nation-name
+    enrich run over those constant-size cubes (broadcast). The two
+    stars never co-shuffle; adding a third fact (shipments, costs) is
+    another independent aggregate + join at the same grain.
+    Reference analog: the two vertically-split sinks of
+    ``operations.rs:32-87`` re-unified at report grain."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("r_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
+    eng = (
+        e.join(c, F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("e_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("engagement"),
+        )
+    )
+    cube = rev.join(
+        eng, F.col("r_nationkey") == F.col("e_nationkey"), "full_outer"
+    ).withColumn(
+        "nationkey", F.coalesce("r_nationkey", "e_nationkey")
+    )
+    return cube.join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("nationkey")
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_orders",
+        "revenue",
+        "n_events",
+        "engagement",
+    )
