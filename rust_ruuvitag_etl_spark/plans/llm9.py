@@ -443,3 +443,119 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov, 6).alias("cov"),
         F.round(cov / (F.sqrt(var_i) * F.sqrt(var_j)), 6).alias("corr"),
     )
+
+
+# --- positional phrase search ----------------------------------------------
+# The search-engine operator the inverted index exists for: find every
+# occurrence of a PHRASE by intersecting positional postings — three
+# per-word posting scans joined on (doc_id, adjacent positions), never
+# a substring scan over the corpus. The phrase is corpus-derived (the
+# globally most frequent 3-gram, tie-broken lexicographically) so the
+# query is self-contained at every scale.
+
+_PHRASE_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+pos AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM toks
+),
+top AS (
+    SELECT s AS phrase FROM sh GROUP BY s
+    ORDER BY COUNT(*) DESC, s LIMIT 1
+),
+w AS (
+    SELECT phrase,
+           string_split(phrase, ' ')[1] AS w1,
+           string_split(phrase, ' ')[2] AS w2,
+           string_split(phrase, ' ')[3] AS w3
+    FROM top
+)
+SELECT t1.doc_id, t1.pos, w.phrase
+FROM w
+JOIN pos t1 ON t1.tok = w.w1
+JOIN pos t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+           AND t2.tok = w.w2
+JOIN pos t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+           AND t3.tok = w.w3
+"""
+
+
+@query("text_phrase_search", oracle=_PHRASE_ORACLE)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional PHRASE search — the operator the inverted index
+    exists for: every occurrence of the corpus's most frequent 3-gram
+    (deterministic tie-break), found by intersecting positional
+    postings with two adjacency equi-joins on (doc_id, pos+1) /
+    (doc_id, pos+2) — the TextRank co-occurrence-edge trick pointed at
+    retrieval, and never a substring scan over documents.
+
+    100 TB posture: the phrase selection is one shingle groupBy
+    feeding TakeOrdered(1); the 3 phrase words broadcast, so each
+    postings scan filters to ONE word's postings before any join
+    (predicate pushed to the scan) and the adjacency joins shuffle
+    only those postings on (doc_id, pos) — cost tracks the phrase
+    words' document frequency, not the corpus. A production engine
+    would start from the rarest word's postings; with all three
+    filters pushed down the join order is Catalyst's choice.
+    Companion to text_inverted_index (docs-level postings) and
+    contamination_ngram_eval (n-gram membership)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tf.ws_tokens(F.lower(F.col("text")))).alias(
+            "pos", "tok"
+        ),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    sh = docs.select(
+        "doc_id", F.explode(tf.shingles(F.col("text"), 3)).alias("s")
+    )
+    top = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("s"))
+        .limit(1)
+    )
+    w = top.select(
+        F.col("s").alias("phrase"),
+        F.split("s", " ")[0].alias("w1"),
+        F.split("s", " ")[1].alias("w2"),
+        F.split("s", " ")[2].alias("w3"),
+    )
+    t1 = toks.join(F.broadcast(w), F.col("tok") == F.col("w1")).select(
+        "doc_id", "pos", "phrase", "w2", "w3"
+    )
+    t2 = toks.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("tok").alias("tok2"),
+    )
+    t3 = toks.select(
+        F.col("doc_id").alias("d3"),
+        F.col("pos").alias("p3"),
+        F.col("tok").alias("tok3"),
+    )
+    return (
+        t1.join(
+            t2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("p2") == F.col("pos") + 1)
+            & (F.col("tok2") == F.col("w2")),
+        )
+        .join(
+            t3,
+            (F.col("d3") == F.col("doc_id"))
+            & (F.col("p3") == F.col("pos") + 2)
+            & (F.col("tok3") == F.col("w3")),
+        )
+        .select("doc_id", "pos", "phrase")
+    )
