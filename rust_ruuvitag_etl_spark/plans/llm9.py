@@ -35,8 +35,6 @@ from .registry import query
 # the J >= 0.5 gate 3*I >= na+nb are kept in integer arithmetic so both
 # engines agree bit-for-bit.
 
-_SSJ_TAU_NUM, _SSJ_TAU_DEN = 1, 2  # tau = 1/2
-
 _SSJOIN_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -131,7 +129,6 @@ def dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shortlist recall of symmetric Hamming on this corpus (36-49 vs 20-37
 # of 50 exact hits).
 
-_BQ_DIM = 64
 _BQ_SHORTLIST_FLOOR = 50     # shortlist >= max(50, N/10) per query
 _BQ_RECALL_FLOOR_HITS = 35   # >= 70% of the 50 exact hits (5 queries x 10)
 
