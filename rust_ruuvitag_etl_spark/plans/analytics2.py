@@ -994,3 +994,159 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("touch_rank") == 1).alias("first_touch"),
         (F.col("touch_rank") == F.col("n_touches")).alias("last_touch"),
     )
+
+
+@query(
+    "journey_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+cnt AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+tot AS (
+    SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+    FROM cnt GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.row_total, 6) AS p
+FROM cnt c JOIN tot t USING (from_type)
+""",
+)
+def journey_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov TRANSITION MATRIX of the user journey:
+    P(next event type | current) from each user's time-ordered event
+    sequence — the user-journey / clickstream-analysis primitive
+    (where do sessions leak?), and the sanity check behind any
+    sequence-model training set. One LEAD window per user builds the
+    bigram stream; counts aggregate map-side; each row's probability
+    divides ONCE by its from-type total (fixed-shape IEEE, rounded at
+    the end). Ties at equal timestamps break by event_id so the
+    bigrams are partition-order independent.
+
+    100 TB posture: the window partitions by user_id (uniform key);
+    everything after it is |types|² rows. The row-total join is a
+    broadcast of <= |types| rows — no second pass over the fact.
+    Reference analog: the per-sensor ordered fold of
+    ``main.rs:69-122``, read as a state machine instead of a mean."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    cnt = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias(
+            "p"
+        ),
+    )
+
+
+@query(
+    "pattern_clean_browse_purchase",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS seg
+    FROM events
+),
+grp AS (
+    SELECT user_id, seg,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN event_id END)
+                AS BIGINT) AS purchase_id,
+           MIN(ts) AS span_start,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS n_views,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS n_clicks,
+           CAST(COUNT(*) FILTER (WHERE event_type NOT IN
+                ('view', 'click', 'purchase')) AS BIGINT) AS n_other
+    FROM seq GROUP BY user_id, seg
+)
+SELECT user_id, purchase_id, span_start, n_views, n_clicks
+FROM grp
+WHERE purchase_id IS NOT NULL AND n_other = 0 AND n_views >= 1
+""",
+)
+def pattern_clean_browse_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence-pattern matching (the MATCH_RECOGNIZE shape without
+    the TVF): find every purchase whose ENTIRE span since the user's
+    previous purchase matches ``view (view|click)* purchase`` — at
+    least one view, and nothing but views/clicks in between (a signup
+    or error anywhere in the span kills the match). Funnels count
+    stage presence; a PATTERN constrains the whole sequence, which is
+    the difference between 'did they view first?' and 'was the path
+    clean?'.
+
+    Plan shape: one running conditional count per user (purchases seen
+    STRICTLY BEFORE each row) assigns every event a segment id, so
+    each purchase and exactly its preceding span share a group — the
+    gaps-and-islands trick with the island boundary defined by the
+    pattern's anchor symbol; one aggregate per (user, segment)
+    evaluates the whole regex as three conditional counts. Exactly one
+    purchase per segment BY CONSTRUCTION (a second purchase starts a
+    new segment), so MAX(CASE...) is total, not a tie-break.
+
+    100 TB posture: one user-keyed window + one (user, seg) groupBy —
+    both shuffle on the uniform user key; no joins, no self-joins, no
+    per-row Python. Longer patterns compile to more conditional
+    aggregates over the same single pass. Reference analog: the
+    validity gate of ``scanner.rs:36-45`` applied to sequences instead
+    of payload bytes."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.count(
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+        )
+        .over(w)
+        .alias("seg"),
+    )
+    is_t = lambda t: F.when(F.col("event_type") == t, F.lit(1))  # noqa: E731
+    grp = seq.groupBy("user_id", "seg").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("event_id"))
+        ).alias("purchase_id"),
+        F.min("ts").alias("span_start"),
+        F.count(is_t("view")).alias("n_views"),
+        F.count(is_t("click")).alias("n_clicks"),
+        F.count(
+            F.when(
+                ~F.col("event_type").isin("view", "click", "purchase"),
+                F.lit(1),
+            )
+        ).alias("n_other"),
+    )
+    return grp.filter(
+        F.col("purchase_id").isNotNull()
+        & (F.col("n_other") == 0)
+        & (F.col("n_views") >= 1)
+    ).select("user_id", "purchase_id", "span_start", "n_views", "n_clicks")

@@ -556,3 +556,61 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pos", "phrase")
     )
+
+
+# --- exact-k per-group deterministic sample ---------------------------------
+
+_EVAL_K = 25
+
+
+@query(
+    "sample_exact_k_per_lang",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           {tf.h60_sql("'evalk:' || CAST(doc_id AS VARCHAR)")} AS hk
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+                AS BIGINT) AS pick_rank
+    FROM keyed
+)
+SELECT doc_id, lang, n_chars, pick_rank
+FROM ranked WHERE pick_rank <= {_EVAL_K}
+""",
+)
+def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k per-group deterministic sample: exactly min(k, |group|)
+    documents per language, chosen by a salted content hash — the
+    balanced-eval-set constructor. The rate-based samplers
+    (sample_stratified_by_lang, training_mix_sample) give each row an
+    independent keep probability, so group sizes WOBBLE binomially;
+    an eval set needs exact counts, reproducibly — ordering each group
+    by h60('evalk:' || doc_id) is a deterministic shuffle, and taking
+    rank <= k is an exact-count sample any engine reproduces.
+
+    100 TB posture: one shuffle keyed by lang; the per-group window
+    sorts hash values, and at scale the same result comes cheaper via
+    two-phase top-k (per-partition partial top-k then merge — the
+    TakeOrdered shape per group); the salt ('evalk:') makes this
+    sample independent of every other hash-derived split in the repo,
+    so eval membership never correlates with shard or train/test
+    assignment. Reference analog: the fixed sensor allowlist of
+    ``config.rs:36-70`` — a deterministic, auditable subset."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        tf.h60(
+            F.concat(F.lit("evalk:"), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        keyed.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= _EVAL_K)
+        .select("doc_id", "lang", "n_chars", "pick_rank")
+    )

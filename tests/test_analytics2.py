@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from rust_ruuvitag_etl_spark.plans.analytics2 import (
     dq_constraint_checks,
     timeseries_ewma_smooth,
@@ -362,3 +364,94 @@ class TestAttributionLinear:
             )
             total = sum(r["credit"] for r in rs)
             assert abs(total - vals[pid]) <= 1e-6 * n
+
+
+class TestJourneyAndPattern:
+    def test_transition_probabilities_sum_to_one(self, spark):
+        """Each from_type's outgoing probabilities must sum to ~1 and
+        its counts to the row total used for the division."""
+        from rust_ruuvitag_etl_spark.plans.analytics2 import (
+            journey_transition_matrix,
+        )
+
+        rows = journey_transition_matrix(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) > 0
+        by_from = {}
+        for r in rows:
+            by_from.setdefault(r["from_type"], []).append(r)
+        for ft, rs in by_from.items():
+            assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4, ft
+
+    def test_pattern_rejects_dirty_spans(self, spark, tmp_path):
+        """Constructed journeys: a clean view->click->purchase matches;
+        a span containing an error does not; a purchase with no view
+        (click only) does not; the purchase AFTER a purchase starts a
+        fresh span."""
+        import datetime as dt
+
+        from rust_ruuvitag_etl_spark.plans.analytics2 import (
+            pattern_clean_browse_purchase,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def r(i, typ, uid):
+            return (i, t0 + dt.timedelta(minutes=i), uid, typ, 1.0, "{}")
+
+        rows = [
+            # user 1: view click purchase  -> MATCH (purchase id 3)
+            r(1, "view", 1), r(2, "click", 1), r(3, "purchase", 1),
+            # user 1 second span: error view purchase -> NO match
+            r(4, "error", 1), r(5, "view", 1), r(6, "purchase", 1),
+            # user 2: click purchase (no view) -> NO match
+            r(11, "click", 2), r(12, "purchase", 2),
+            # user 3: view purchase, then view purchase -> TWO matches
+            r(21, "view", 3), r(22, "purchase", 3),
+            r(23, "view", 3), r(24, "purchase", 3),
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/events.parquet"
+        )
+        got = {
+            r["purchase_id"]: (r["user_id"], r["n_views"], r["n_clicks"])
+            for r in pattern_clean_browse_purchase(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert got == {3: (1, 1, 1), 22: (3, 1, 0), 24: (3, 1, 0)}
+
+    def test_exact_k_sample_counts(self, spark):
+        """Exactly min(k, |lang|) rows per language, ranks 1..n, and
+        the pick is reproducible."""
+        from rust_ruuvitag_etl_spark.plans.llm9 import (
+            _EVAL_K,
+            sample_exact_k_per_lang,
+        )
+        from rust_ruuvitag_etl_spark.sources import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = sample_exact_k_per_lang(spark, sf).collect()
+        sizes = {
+            r["lang"]: r["n"]
+            for r in load(spark, sf, "documents")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r["pick_rank"])
+        assert set(by_lang) == set(sizes)
+        for lang, ranks in by_lang.items():
+            want = min(_EVAL_K, sizes[lang])
+            assert sorted(ranks) == list(range(1, want + 1)), lang
+        again = {
+            (r["doc_id"], r["pick_rank"])
+            for r in sample_exact_k_per_lang(spark, sf).collect()
+        }
+        assert again == {(r["doc_id"], r["pick_rank"]) for r in rows}
