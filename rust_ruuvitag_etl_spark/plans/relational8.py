@@ -564,3 +564,184 @@ def drill_across_conformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "engagement",
     )
+
+
+_MB_MIN_PAIRS = 2
+
+
+@query(
+    "market_basket_rules",
+    oracle=f"""
+WITH b AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b
+),
+item AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+    FROM b GROUP BY l_partkey
+),
+pair AS (
+    SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM b a JOIN b b2
+      ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+    GROUP BY a.l_partkey, b2.l_partkey
+    HAVING COUNT(*) >= {_MB_MIN_PAIRS}
+)
+SELECT p.part_a, p.part_b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+       ROUND(CAST(p.n_ab AS DOUBLE) / o.n, 6) AS support,
+       ROUND(CAST(p.n_ab AS DOUBLE) / ia.n_item, 6) AS conf_a_to_b,
+       ROUND(CAST(p.n_ab AS DOUBLE) / ib.n_item, 6) AS conf_b_to_a,
+       ROUND(CAST(p.n_ab AS DOUBLE) * o.n / (ia.n_item * ib.n_item), 6)
+           AS lift
+FROM pair p
+JOIN item ia ON ia.l_partkey = p.part_a
+JOIN item ib ON ib.l_partkey = p.part_b
+CROSS JOIN n_orders o
+""",
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules over order baskets: for every
+    part pair co-ordered in >= 2 baskets, support, both directed
+    confidences, and lift — the retail affinity analysis (and the
+    co-occurrence-statistics shape behind PMI word association). Every
+    measure divides ONCE from exact integer counts, rounded at the end.
+
+    100 TB posture: the pair space is the within-basket self-join on
+    l_orderkey — fan-out bounded by basket size squared (avg 4, max 13
+    parts here), the a-priori locality argument, never a part x part
+    cross join; pair counts partial-aggregate map-side; the item-count
+    enrich joins are part-keyed (dimension-sized, broadcastable) and
+    the basket total is a 1-row broadcast. The HAVING floor is the
+    a-priori min-support prune applied at the first aggregation.
+    Reference analog: the manufacturer-data map lookup of
+    ``scanner.rs:179-181`` — association by shared container,
+    generalized to statistics."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    pair = (
+        a.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("b2.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b2.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b2.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _MB_MIN_PAIRS)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    nab = F.col("n_ab").cast("double")
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(nab / F.col("n"), 6).alias("support"),
+            F.round(nab / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(nab / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                nab * F.col("n") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "orders_open_backlog_curve",
+    oracle="""
+WITH opened AS (
+    SELECT date_trunc('day', o.o_orderdate) AS day,
+           CAST(COUNT(*) AS BIGINT) AS opened, CAST(0 AS BIGINT) AS shipped
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+),
+shipped AS (
+    SELECT date_trunc('day', l_shipdate) AS day,
+           CAST(0 AS BIGINT) AS opened, CAST(COUNT(*) AS BIGINT) AS shipped
+    FROM lineitem GROUP BY 1
+),
+daily AS (
+    SELECT day, CAST(SUM(opened) AS BIGINT) AS opened,
+           CAST(SUM(shipped) AS BIGINT) AS shipped
+    FROM (SELECT * FROM opened UNION ALL SELECT * FROM shipped)
+    GROUP BY day
+)
+SELECT day, opened, shipped,
+       CAST(SUM(opened - shipped) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+FROM daily
+""",
+)
+def orders_open_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SWEEP-LINE interval counting: the open-order-line backlog curve —
+    how many order lines are ordered but not yet shipped, for every day
+    of the warehouse's history. Each line contributes +1 at its order
+    date and -1 at its ship date; the curve is the running sum of the
+    per-day deltas. This counts N overlapping intervals with ZERO
+    interval joins — the classic event-delta trick behind concurrency
+    curves, inventory levels, and active-session counts
+    (timeseries_gap_fill's calendar dual).
+
+    100 TB posture: both delta streams aggregate map-side to one row
+    per DAY before anything else — the only window runs over the
+    |days| table, whose size is the TIME SPAN (~2,500 rows here),
+    independent of fact scale; it is the audited partition-less-window
+    class (tests/test_plan_posture.py ALLOWED), same as the funnel
+    stage summary. The order-date enrich is the one fact-fact equi
+    join, keyed on l_orderkey. Reference analog: the sample-count
+    accumulation of ``utils.rs:58-66``, run over open intervals
+    instead of windows."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    opened = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("opened"),
+            F.lit(0).cast("long").alias("shipped"),
+        )
+    )
+    shipped = li.groupBy(
+        F.date_trunc("day", F.col("l_shipdate")).alias("day")
+    ).agg(
+        F.lit(0).cast("long").alias("opened"),
+        F.count(F.lit(1)).alias("shipped"),
+    )
+    daily = (
+        opened.unionAll(shipped)
+        .groupBy("day")
+        .agg(
+            F.sum("opened").alias("opened"),
+            F.sum("shipped").alias("shipped"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "opened",
+        "shipped",
+        F.sum(F.col("opened") - F.col("shipped"))
+        .over(w)
+        .cast("long")
+        .alias("backlog"),
+    )

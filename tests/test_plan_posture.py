@@ -319,6 +319,10 @@ class TestGlobalWindowBan:
         "funnel_view_click_purchase",
         # 20-row rank BELOW the distributed TakeOrderedAndProject
         "text_bm25_ranking",
+        # cumulative sum over the per-DAY delta table — |days| rows,
+        # bounded by the time span, independent of fact scale (the
+        # sweep-line interval-counting shape)
+        "orders_open_backlog_curve",
     }
 
     def test_no_registry_query_has_global_window_over_data(self, spark):

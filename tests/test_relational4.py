@@ -228,3 +228,61 @@ class TestScd2PointInTime:
                 n_attr += 1
                 assert r["state_since"] <= r["ts"] - one_h
         assert 0 < n_attr  # the corpus spans a month: most probes hit
+
+
+class TestBacklogAndBasket:
+    def test_backlog_invariants(self, spark):
+        """The sweep-line curve: backlog is exactly the running sum
+        of deltas and ends at zero (every line both opens and ships
+        inside the horizon). The synthetic corpus contains ship-
+        before-order lines, so the curve legitimately dips negative —
+        that dip IS the sweep-line's data-quality signal (a causality
+        violation a DQ suite would flag), so the test asserts the
+        identity, not non-negativity."""
+        from rust_ruuvitag_etl_spark.plans.relational8 import (
+            orders_open_backlog_curve,
+        )
+
+        rows = sorted(
+            orders_open_backlog_curve(
+                spark, "/root/testdata/sf0.001"
+            ).collect(),
+            key=lambda r: r["day"],
+        )
+        assert len(rows) > 100
+        run = 0
+        for r in rows:
+            run += r["opened"] - r["shipped"]
+            assert r["backlog"] == run
+        total_opened = sum(r["opened"] for r in rows)
+        total_shipped = sum(r["shipped"] for r in rows)
+        assert total_opened == total_shipped  # every line ships
+        assert rows[-1]["backlog"] == 0
+
+    def test_basket_measures_consistent(self, spark):
+        """lift = conf_a_to_b / (n_b / N): cross-check each rule's
+        measures against its integer counts."""
+        from rust_ruuvitag_etl_spark.plans.relational8 import (
+            market_basket_rules,
+        )
+        from rust_ruuvitag_etl_spark.sources import load
+
+        sf = "/root/testdata/sf0.001"
+        n = (
+            load(spark, sf, "lineitem")
+            .select("l_orderkey")
+            .distinct()
+            .count()
+        )
+        rows = market_basket_rules(spark, sf).collect()
+        assert len(rows) > 0
+        for r in rows[:200]:
+            assert r["n_ab"] >= 2
+            assert r["part_a"] < r["part_b"]
+            assert abs(r["support"] - round(r["n_ab"] / n, 6)) < 1e-9
+            assert (
+                abs(r["conf_a_to_b"] - round(r["n_ab"] / r["n_a"], 6))
+                < 1e-9
+            )
+            lift = r["n_ab"] * n / (r["n_a"] * r["n_b"])
+            assert abs(r["lift"] - round(lift, 6)) < 1e-9
