@@ -1150,3 +1150,81 @@ def pattern_clean_browse_purchase(
         & (F.col("n_other") == 0)
         & (F.col("n_views") >= 1)
     ).select("user_id", "purchase_id", "span_start", "n_views", "n_clicks")
+
+
+@query(
+    "user_churn_survival",
+    oracle="""
+WITH horizon AS (
+    SELECT MAX(date_trunc('day', ts)) AS h FROM events
+),
+rec AS (
+    SELECT e.user_id,
+           CAST(date_diff('day', MAX(date_trunc('day', e.ts)), x.h)
+                AS BIGINT) AS recency_days
+    FROM events e CROSS JOIN horizon x
+    GROUP BY e.user_id, x.h
+),
+hist AS (
+    SELECT recency_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM rec GROUP BY recency_days
+),
+tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM hist)
+SELECT h.recency_days, h.n_users,
+       CAST(SUM(h.n_users) OVER (ORDER BY h.recency_days DESC
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS surviving,
+       ROUND(CAST(SUM(h.n_users) OVER (ORDER BY h.recency_days DESC
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.total, 6)
+           AS survival_rate
+FROM hist h CROSS JOIN tot t
+""",
+)
+def user_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN SURVIVAL CURVE: for each recency (days since a user's
+    last event, measured at the horizon = the corpus's last day), how
+    many users are at least that inactive — the retention team's
+    survival function S(t) = #users with recency >= t, read directly
+    off the recency histogram by a DESCENDING running sum. The
+    survival_rate divides once by the broadcast user total.
+
+    100 TB posture: one fact pass computes per-user last-event day
+    (map-side max); the histogram is one more tiny aggregate; the only
+    window runs over the |distinct recencies| table — bounded by the
+    TIME SPAN in days, independent of users or fact scale (the
+    orders_open_backlog_curve audited class, and the same reason the
+    curve is cheap at any corpus size). Reference analog: the
+    last-reading recency any sensor monitor derives from
+    ``main.rs:97-102``."""
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(
+        F.max(F.date_trunc("day", F.col("ts"))).alias("h")
+    )
+    rec = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "h")
+        .agg(F.max(F.date_trunc("day", F.col("ts"))).alias("last_day"))
+        .select(
+            F.datediff(F.col("h"), F.col("last_day"))
+            .cast("long")
+            .alias("recency_days")
+        )
+    )
+    hist = rec.groupBy("recency_days").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    tot = hist.agg(F.sum("n_users").alias("total"))
+    w = Window.orderBy(F.desc("recency_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    surviving = F.sum("n_users").over(w).cast("long")
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "recency_days",
+            "n_users",
+            surviving.alias("surviving"),
+            F.round(
+                surviving.cast("double") / F.col("total"), 6
+            ).alias("survival_rate"),
+        )
+    )

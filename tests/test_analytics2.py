@@ -455,3 +455,33 @@ class TestJourneyAndPattern:
             for r in sample_exact_k_per_lang(spark, sf).collect()
         }
         assert again == {(r["doc_id"], r["pick_rank"]) for r in rows}
+
+
+class TestChurnSurvival:
+    def test_survival_is_monotone_complement(self, spark):
+        """S(t) must be non-increasing in recency when read ascending,
+        start at the user total for the largest recency bucket's
+        cumulative ... i.e. surviving(min recency) == total users, and
+        each bucket's surviving = users with recency >= t."""
+        from rust_ruuvitag_etl_spark.plans.analytics2 import (
+            user_churn_survival,
+        )
+        from rust_ruuvitag_etl_spark.sources import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = sorted(
+            user_churn_survival(spark, sf).collect(),
+            key=lambda r: r["recency_days"],
+        )
+        n_users = (
+            load(spark, sf, "events").select("user_id").distinct().count()
+        )
+        assert rows[0]["surviving"] == n_users
+        assert abs(rows[0]["survival_rate"] - 1.0) < 1e-9
+        # descending-cumulative identity and monotonicity
+        tail = 0
+        for r in reversed(rows):
+            tail += r["n_users"]
+            assert r["surviving"] == tail
+        for a, b in zip(rows, rows[1:]):
+            assert a["surviving"] >= b["surviving"]

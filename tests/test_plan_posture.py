@@ -323,6 +323,9 @@ class TestGlobalWindowBan:
         # bounded by the time span, independent of fact scale (the
         # sweep-line interval-counting shape)
         "orders_open_backlog_curve",
+        # descending running sum over the |distinct recencies| table —
+        # bounded by the time span in days (same audited class)
+        "user_churn_survival",
     }
 
     def test_no_registry_query_has_global_window_over_data(self, spark):
