@@ -985,7 +985,13 @@ def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecasting state machine."""
     from ..streaming.stateful import hw_stream
 
-    ev = _events_stream(spark, sf_dir).select("event_type", "ts", "value")
+    # non-null filter matches the oracle's SUM semantics (SQL SUM skips
+    # NULLs; the integer quantizer would raise on one instead)
+    ev = (
+        _events_stream(spark, sf_dir)
+        .select("event_type", "ts", "value")
+        .filter(F.col("value").isNotNull())
+    )
     name = "shw_streaming_holt_winters"  # fixed: see streaming_windowed_means
     q = (
         hw_stream(ev)

@@ -14,11 +14,13 @@ metadata (parent version, operation, schema, row count, timestamp).
 The MANIFEST IS THE COMMIT: readers resolve the latest manifest and
 read exactly its segment list, so a writer that dies mid-copy leaves
 only unreferenced files (cleaned by :func:`vacuum`), never a
-half-visible table. Commit publication uses ``open(..., 'x')`` —
-atomic file creation — so two concurrent writers racing for version N
-cannot both win: the loser gets :class:`CommitConflict` and must
-re-read and retry (optimistic concurrency, the table-format
-discipline). ``rollback`` never deletes data — it publishes a NEW
+half-visible table. Commit publication writes the manifest to a temp
+file (flushed + fsync'd) and claims the versioned name with an atomic
+``os.link`` — so two concurrent writers racing for version N cannot
+both win (the loser gets :class:`CommitConflict` and must re-read and
+retry — optimistic concurrency, the table-format discipline), AND a
+writer killed mid-publication leaves either no manifest or a complete
+one, never a truncated current version. ``rollback`` never deletes data — it publishes a NEW
 version whose segment list equals the target's, so history stays
 intact and time travel keeps working.
 
@@ -69,6 +71,47 @@ def _load_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
+def _publish_manifest(table: str, version: int, manifest: dict) -> None:
+    """Atomically claim ``version`` with a COMPLETE manifest.
+
+    The manifest is written to a temp file in manifests/, flushed and
+    fsync'd, then ``os.link``'d onto the versioned name — link is an
+    atomic claim (fails with FileExistsError if the version exists,
+    preserving the optimistic-concurrency race) and, unlike an in-place
+    ``open('x') + json.dump``, a process killed mid-write leaves either
+    no manifest or a complete one, never a truncated current_version
+    that poisons every later read AND blocks the retry. (Iceberg/Delta
+    publish manifests via write-temp + atomic rename for the same
+    reason; on an object store this step is a conditional PUT.)"""
+    os.makedirs(_manifest_dir(table), exist_ok=True)
+    tmp = os.path.join(
+        _manifest_dir(table), f".tmp-{uuid.uuid4().hex}.json"
+    )
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(table, version))
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {version} was published concurrently"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+
+
+def _carry_hwm(manifest: dict, table: str, parent: int | None) -> dict:
+    """Propagate the stream high-water mark through non-stream commits
+    so exactly-once replay detection survives vacuum (see
+    :func:`write_stream_snapshots`)."""
+    if parent is not None:
+        hwm = _load_manifest(table, parent).get("stream_batch_hwm")
+        if hwm is not None:
+            manifest["stream_batch_hwm"] = hwm
+    return manifest
+
+
 def current_version(table: str) -> int | None:
     vs = _versions(table)
     return vs[-1] if vs else None
@@ -114,15 +157,9 @@ def commit(
         "schema": df.schema.json(),
         "committed_at": time.time(),
     }
-    try:
-        # 'x' = atomic exclusive create: the loser of a version race
-        # fails HERE, before anything becomes visible.
-        with open(_manifest_path(table, version), "x") as f:
-            json.dump(manifest, f)
-    except FileExistsError as exc:
-        raise CommitConflict(
-            f"version {version} was published concurrently"
-        ) from exc
+    # the loser of a version race fails inside _publish_manifest,
+    # before anything becomes visible.
+    _publish_manifest(table, version, _carry_hwm(manifest, table, parent))
     return version
 
 
@@ -174,8 +211,10 @@ def rollback(table: str, version: int) -> int:
     """Publish a NEW version whose visible data equals ``version``'s.
     Nothing is deleted: the rolled-back-over versions stay readable
     (audit trail), and a later vacuum decides what is reclaimable."""
-    target = _load_manifest(table, version)
     parent = current_version(table)
+    if parent is None:
+        raise ValueError(f"{table} has no committed versions")
+    target = _load_manifest(table, version)
     new_version = parent + 1
     manifest = {
         "version": new_version,
@@ -185,13 +224,9 @@ def rollback(table: str, version: int) -> int:
         "schema": target["schema"],
         "committed_at": time.time(),
     }
-    try:
-        with open(_manifest_path(table, new_version), "x") as f:
-            json.dump(manifest, f)
-    except FileExistsError as exc:
-        raise CommitConflict(
-            f"version {new_version} was published concurrently"
-        ) from exc
+    _publish_manifest(
+        table, new_version, _carry_hwm(manifest, table, parent)
+    )
     return new_version
 
 
@@ -239,17 +274,24 @@ def write_stream_snapshots(
 ):
     """Streaming sink into a snapshot table with EXACTLY-ONCE commits:
     each micro-batch commits through :func:`commit` inside
-    ``foreachBatch``, and the manifest records the batch id — on
-    restart-after-failure Spark replays the last uncommitted batch,
-    and a batch id already present in the manifest chain is SKIPPED,
-    so replays cannot double-append (the idempotent-sink discipline
+    ``foreachBatch``, and every manifest carries a MONOTONIC high-water
+    mark ``stream_batch_hwm`` (max committed batch id) — on
+    restart-after-failure Spark replays the last uncommitted batch, and
+    a batch id at or below the LATEST manifest's mark is SKIPPED, so
+    replays cannot double-append (the idempotent-sink discipline
     ``foreachBatch`` requires; Spark only guarantees at-least-once
-    delivery into it). Returns the started query."""
+    delivery into it). Dedup reads ONE manifest — O(1) per batch, not
+    O(versions) — and, because every commit (stream or not) carries the
+    mark forward via ``_carry_hwm``, the guarantee SURVIVES ``vacuum``
+    deleting older manifests; batch ids from a structured-streaming
+    checkpoint are strictly increasing, so a single max is a complete
+    replay record. Returns the started query."""
 
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        for v in _versions(table):
-            m = _load_manifest(table, v)
-            if m.get("stream_batch_id") == batch_id:
+        cur = current_version(table)
+        if cur is not None:
+            hwm = _load_manifest(table, cur).get("stream_batch_hwm")
+            if hwm is not None and batch_id <= hwm:
                 return  # replayed batch: already committed, skip
         seen = 0
         while True:
@@ -280,11 +322,8 @@ def _commit_with_extra(
     os.makedirs(_manifest_dir(table), exist_ok=True)
     segment = os.path.join("data", uuid.uuid4().hex)
     df.write.parquet(os.path.join(table, segment))
-    segments = (
-        list(_load_manifest(table, parent)["segments"])
-        if parent is not None
-        else []
-    )
+    parent_m = _load_manifest(table, parent) if parent is not None else {}
+    segments = list(parent_m.get("segments", []))
     segments.append(segment)
     manifest = {
         "version": version,
@@ -295,13 +334,14 @@ def _commit_with_extra(
         "committed_at": time.time(),
         **extra,
     }
-    try:
-        with open(_manifest_path(table, version), "x") as f:
-            json.dump(manifest, f)
-    except FileExistsError as exc:
-        raise CommitConflict(
-            f"version {version} was published concurrently"
-        ) from exc
+    if "stream_batch_id" in extra:
+        prior = parent_m.get("stream_batch_hwm")
+        manifest["stream_batch_hwm"] = (
+            extra["stream_batch_id"]
+            if prior is None
+            else max(prior, extra["stream_batch_id"])
+        )
+    _publish_manifest(table, version, manifest)
 
 
 def cluster_by(
@@ -315,6 +355,8 @@ def cluster_by(
     overwrite-style version; history and time travel keep working."""
     df = read_snapshot(spark, table)
     parent = current_version(table)
+    if parent is None:
+        raise ValueError(f"{table} has no committed versions")
     version = parent + 1
     clustered = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
         *sort_cols
@@ -329,13 +371,7 @@ def cluster_by(
         "schema": df.schema.json(),
         "committed_at": time.time(),
     }
-    try:
-        with open(_manifest_path(table, version), "x") as f:
-            json.dump(manifest, f)
-    except FileExistsError as exc:
-        raise CommitConflict(
-            f"version {version} was published concurrently"
-        ) from exc
+    _publish_manifest(table, version, _carry_hwm(manifest, table, parent))
     return version
 
 
@@ -362,4 +398,8 @@ def vacuum(table: str, keep_last: int = 1) -> list[str]:
     for v in vs:
         if v not in keep:
             os.remove(_manifest_path(table, v))
+    # reclaim temp manifests orphaned by a writer killed pre-publish
+    for f in os.listdir(_manifest_dir(table)):
+        if f.startswith(".tmp-"):
+            os.remove(os.path.join(_manifest_dir(table), f))
     return sorted(deleted)

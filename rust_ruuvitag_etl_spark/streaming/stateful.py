@@ -187,7 +187,11 @@ def _ewma(
 
     if order:
         batch_min = _okey(pdf.iloc[0])
-        if hwm is not None and batch_min < hwm:
+        # <= not <: event_id is unique, so EQUALITY with the folded
+        # high-water mark can only mean a replayed/duplicate row, which
+        # would silently re-fold and diverge from the batch LAG oracle
+        # (same strictness as the Holt-Winters twin's guard).
+        if hwm is not None and batch_min <= hwm:
             raise ValueError(
                 "ewma_stream ordering contract violated: micro-batch "
                 f"starts at (ts_ns, event_id)={batch_min} but a prior "
@@ -457,6 +461,12 @@ def _hw_stream_fn(
         state.update((started, level, trend, sea, hwm))
         return
     pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    # SQL-SUM semantics: null values are skipped, not folded (the
+    # int64 quantizer would raise on NaN where the oracle succeeds)
+    pdf = pdf[pdf["value"].notna()]
+    if not len(pdf):
+        state.update((started, level, trend, sea, hwm))
+        return
     # bucket to hours in exact micro-units
     hours = (
         pdf["ts"].dt.floor("h").astype("int64") // 1_000_000_000

@@ -335,3 +335,97 @@ class TestLakehousePipeline:
             r["text"] for r in sn.read_snapshot(spark, t).collect()
         }
         assert table_texts == scratch
+
+
+class TestCrashAtomicPublication:
+    """Pins the round-6 advice fixes: manifest publication is
+    crash-atomic (write-temp + fsync + atomic link claim), orphaned
+    temp manifests are vacuumed, empty-table rollback/cluster_by fail
+    with a clear error, and the streaming exactly-once guarantee
+    survives vacuum via the carried ``stream_batch_hwm``."""
+
+    def test_interrupted_publish_leaves_no_manifest_and_retries(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A writer killed mid-manifest-write must leave either no
+        manifest or a complete one — never a truncated current version
+        that poisons reads — and the retry must not be blocked by a
+        leftover claim file (the failure mode of in-place open('x'))."""
+        t = str(tmp_path / "tbl")
+        sn.commit(_df(spark, 0, 5), t)
+
+        real_dump = sn.json.dump
+
+        def killed_mid_dump(obj, f, *a, **k):
+            f.write('{"version": 1, "trunca')  # partial bytes on disk
+            raise RuntimeError("killed mid-dump")
+
+        monkeypatch.setattr(sn.json, "dump", killed_mid_dump)
+        with pytest.raises(RuntimeError, match="killed mid-dump"):
+            sn.commit(_df(spark, 5, 9), t)
+        monkeypatch.setattr(sn.json, "dump", real_dump)
+
+        # the crash left NO half-visible version: reads still work
+        assert sn.current_version(t) == 0
+        assert sn.read_snapshot(spark, t).count() == 5
+        # and the retry succeeds (version 1 was never claimed)
+        assert sn.commit(_df(spark, 5, 9), t) == 1
+        assert sn.read_snapshot(spark, t).count() == 9
+
+    def test_orphan_tmp_manifest_reclaimed_by_vacuum(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "tbl")
+        sn.commit(_df(spark, 0, 5), t)
+        sn.commit(_df(spark, 5, 8), t)
+        orphan = os.path.join(sn._manifest_dir(t), ".tmp-orphan.json")
+        with open(orphan, "w") as f:
+            f.write('{"version"')  # truncated: writer died pre-publish
+        sn.vacuum(t, keep_last=1)
+        assert not os.path.exists(orphan)
+        assert sn.read_snapshot(spark, t).count() == 8
+
+    def test_rollback_empty_table_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="no committed versions"):
+            sn.rollback(str(tmp_path / "none"), 0)
+
+    def test_cluster_by_empty_table_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="no committed versions"):
+            sn.cluster_by(spark, str(tmp_path / "none"), ["id"])
+
+    def test_exactly_once_survives_vacuum(self, spark, tmp_path):
+        """vacuum() deletes old manifests; replay detection must NOT
+        depend on them. Every commit carries stream_batch_hwm forward,
+        so a replayed batch id is skipped by reading ONE manifest even
+        after vacuum + interleaved batch commits."""
+        src = str(tmp_path / "src")
+        t = str(tmp_path / "tbl")
+        _df(spark, 0, 5).coalesce(1).write.mode("append").parquet(src)
+        _df(spark, 5, 9).coalesce(1).write.mode("append").parquet(src)
+
+        def _stream():
+            return (
+                spark.readStream.schema("id long, v long")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+
+        q = sn.write_stream_snapshots(_stream(), t, str(tmp_path / "ck1"))
+        q.awaitTermination()
+        assert sn.read_snapshot(spark, t).count() == 9
+        assert sn._load_manifest(t, 1)["stream_batch_hwm"] == 1
+
+        # vacuum away the manifest that recorded batch 0, then commit
+        # a plain batch append — the mark must carry through both
+        sn.vacuum(t, keep_last=1)
+        sn.commit(_df(spark, 100, 101), t)
+        cur = sn._load_manifest(t, sn.current_version(t))
+        assert cur["stream_batch_hwm"] == 1
+
+        # replay both micro-batches (fresh checkpoint restarts ids at
+        # 0): every id <= hwm must be skipped — no double-append
+        before = sn.read_snapshot(spark, t).count()
+        q2 = sn.write_stream_snapshots(_stream(), t, str(tmp_path / "ck2"))
+        q2.awaitTermination()
+        assert sn.read_snapshot(spark, t).count() == before
+        assert sn.current_version(t) == cur["version"]

@@ -913,3 +913,119 @@ class TestStreamingHoltWinters:
         with pytest.raises(StreamingQueryException) as ei:
             q.awaitTermination()
         assert "ordering contract violated" in str(ei.value)
+
+
+class TestReplayAndNullContracts:
+    """Pins the round-6 advice fixes in streaming/stateful.py: the
+    EWMA ordering sentinel rejects a REPLAYED row (batch_min == hwm,
+    not just <), and the Holt-Winters fold skips null values with
+    SQL-SUM semantics instead of crashing in the int64 quantizer."""
+
+    def test_ewma_replayed_row_raises(self, spark, tmp_path):
+        """event_id is unique, so a micro-batch whose first row EQUALS
+        the folded (ts, event_id) high-water mark can only be a
+        replayed/duplicate row; a silent re-fold would diverge from
+        the batch LAG oracle. Same strictness as the HW twin."""
+        import datetime as dt
+        import glob
+        import os
+
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from rust_ruuvitag_etl_spark.streaming.stateful import ewma_stream
+
+        sch = "event_id long, ts timestamp, event_type string, value double"
+        t0 = dt.datetime(2024, 3, 4, 10, 0, 0)
+        first = [
+            (i, t0 + dt.timedelta(minutes=i), "view", float(i))
+            for i in range(5)
+        ]
+        # second batch STARTS with a replay of event 4
+        replayed = [
+            (i, t0 + dt.timedelta(minutes=i), "view", float(i))
+            for i in range(4, 9)
+        ]
+        data = f"{tmp_path}/replay_src"
+        os.makedirs(data)
+        for n, rows in (("1", first), ("2", replayed)):
+            staged = f"{tmp_path}/_stage{n}"
+            spark.createDataFrame(rows, sch).coalesce(1).write.parquet(
+                staged
+            )
+            part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+            dst = os.path.join(data, f"{n}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + 60 * int(n),) * 2)
+        q = (
+            ewma_stream(
+                spark.readStream.schema(sch)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(data)
+            )
+            .writeStream.format("memory")
+            .queryName("ewma_replay_guard")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ck_replay")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException) as exc:
+            q.awaitTermination()
+        assert "ordering contract violated" in str(exc.value)
+
+    def test_hw_null_values_skipped_not_crashed(self, spark, tmp_path):
+        """A null value row must be SKIPPED (the oracle's SUM skips
+        NULLs) — before the fix the (value * 1e6).astype('int64')
+        quantizer raised on NaN and killed the stream."""
+        import datetime as dt
+        import math
+
+        from rust_ruuvitag_etl_spark.streaming.stateful import hw_stream
+
+        sch = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t0, 1, "m", 3.0, "{}"),
+            (1, t0 + dt.timedelta(minutes=5), 1, "m", None, "{}"),
+            (2, t0 + dt.timedelta(hours=1), 1, "m", 5.0, "{}"),
+        ]
+        src = f"{tmp_path}/hw_null_src"
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(src)
+        q = (
+            hw_stream(
+                spark.readStream.schema(sch)
+                .parquet(src)
+                .select("event_type", "ts", "value")
+            )
+            .writeStream.format("memory")
+            .queryName("hw_null_skip")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["bucket_ts"]: (r["y"], r["fc"])
+            for r in spark.table("hw_null_skip").collect()
+        }
+        # reference fold over the two non-null hourly sums (3.0, 5.0)
+        level, trend, sea, want = None, 0, [0] * 24, {}
+        for i, v in enumerate([3.0, 5.0]):
+            y = int(v * 1_000_000)
+            if level is None:
+                level = y
+                snew = math.floor((y - level + sea[0]) / 2)
+            else:
+                nl = math.floor((y - sea[0] + level + trend) / 2)
+                trend = math.floor((nl - level + trend) / 2)
+                snew = math.floor((y - nl + sea[0]) / 2)
+                level = nl
+            sea = sea[1:] + [snew]
+            h = int((t0 + dt.timedelta(hours=i)).timestamp())
+            want[h] = (y, level + trend + sea[0])
+        assert got == want
