@@ -77,6 +77,13 @@ HEADLINE = [
     "similarity_bq_topk",
     "timeseries_seasonal_decompose",
     "timeseries_holt_winters",
+    # round 7: the registry's slowest pair queries enter the headline
+    # so their cost is measured every round — dedup_ngram_jaccard_pairs
+    # re-planned through the prefix filter (was an unmeasured 12 s+
+    # within-block theta join), dedup_embedding_cosine_pairs kept as
+    # the documented spec-level exact-recall reference for the LSH twin
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_cosine_pairs",
 ]
 
 

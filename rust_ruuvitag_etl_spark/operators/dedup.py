@@ -464,6 +464,214 @@ def keep_best_representative(
     return clustered.unionByName(singletons).drop("_q")
 
 
+_TWO31 = 2147483648
+
+
+def _hashed_rarest_arrays(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    hash_family: str,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Per-document rarest-first hashed shingle arrays:
+    (id_col[, block_col], skeys, n). Each distinct shingle collapses to
+    ONE 60-bit hash (strings never leave the scan stage) and the sort
+    key packs (global document frequency, hash) into a single BIGINT —
+    any consistent total order satisfies the prefix lemma, so no global
+    rank assignment and no global sort. ``df`` is one
+    map-side-combinable groupBy."""
+    cols = [id_col] + ([block_col] if block_col else [])
+    ex = (
+        df.select(
+            *cols,
+            F.explode(tf.shingles(F.col(text_col), shingle_n)).alias("_g"),
+        )
+        .select(*cols, tf.h60(F.col("_g"), family=hash_family).alias("h"))
+        .distinct()
+    )
+    dfq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    keyed = ex.join(dfq, "h").select(
+        *cols,
+        (F.col("df") * _TWO31 + F.pmod(F.col("h"), F.lit(_TWO31))).alias(
+            "key"
+        ),
+    )
+    return keyed.groupBy(*cols).agg(
+        F.array_sort(F.collect_list("key")).alias("skeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _prefix_candidates(
+    arr: DataFrame,
+    id_col: str,
+    tau_num: int,
+    tau_den: int,
+    block_col: str | None = None,
+) -> DataFrame:
+    """(id_a, id_b) candidates containing EVERY pair whose hashed-set
+    Jaccard >= tau_num/tau_den — the prefix-filtering lemma (SSJoin,
+    Chaudhuri et al. 2006; PPJoin, Xiao et al. 2008): a pair with
+    J >= t must share an element of each side's first
+    n - ceil(t*n) + 1 keys under ANY consistent total order, so the
+    ONLY pair-generating shuffle is an equi-join on prefix keys —
+    which, ordered rarest-first, are each document's globally RAREST
+    shingles (prefix filtering is its own skew mitigation). The length
+    filter q*min(n) >= p*max(n) is the integer-exact Jaccard length
+    bound; ``block_col`` adds an optional extra equi-key without
+    changing recall."""
+    # prefix length n - ceil(p*n/q) + 1, integer-exact via
+    # ceil(p*n/q) = floor((p*n + q - 1) / q)
+    plen = (
+        F.col("n")
+        - F.floor((F.lit(tau_num) * F.col("n") + (tau_den - 1)) / tau_den)
+        + 1
+    ).cast("int")
+    cols = [id_col] + ([block_col] if block_col else [])
+    pref = arr.select(
+        *cols,
+        "n",
+        F.explode(F.slice(F.col("skeys"), F.lit(1), plen)).alias("pkey"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cond = (
+        (F.col("a.pkey") == F.col("b.pkey"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (
+            tau_den * F.least(F.col("a.n"), F.col("b.n"))
+            >= tau_num * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 5,
+    block_col: str | None = None,
+    hash_family: str = "fast",
+) -> DataFrame:
+    """EXACT n-gram Jaccard >= tau_num/tau_den pairs via prefix
+    filtering — same output as the naive within-block theta join, but
+    the only pair-generating shuffle is an equi-join on prefix keys.
+
+    Three exact-recall stages, each strictly narrowing:
+
+    1. CANDIDATES — the hashed signature table (rarest-first packed
+       keys) is localCheckpoint'd ONCE (the signature-table
+       materialization every real SSJoin system does; ~corpus-sized,
+       linear), prefix keys explode WITHOUT the key arrays (light rows
+       — carrying skeys per prefix row would ship O(n²) bytes per
+       document), and pairs enumerate inside per-(block, prefix-key)
+       groups via collect_list + a nested-transform expansion. Group
+       sizes are bounded in practice by prefix-key document frequency
+       — rarest-first ordering is its own skew mitigation (measured
+       max group 5 at sf0.1) — and the quadratic expansion equals the
+       true candidate output any exact algorithm must produce.
+    2. HASHED VERIFY — candidates join the checkpointed signatures
+       twice (id equi-joins, volume Σ_pairs(n_a+n_b) longs — the
+       inherent exact-verification term) and keep pairs with hashed
+       Jaccard >= t via the integer-exact gate
+       (q+p)*I >= p*(n_a+n_b). Exact recall survives the hash
+       boundary: collapsing universe elements (a collision) can only
+       RAISE Jaccard — merge two elements and in every membership case
+       I/U gains intersection or loses union — so J_hash >= J_string
+       and no true pair is lost.
+    3. STRING VERIFY — only the handful of survivors join the distinct
+       STRING shingle sets, so the reported value is the true string
+       Jaccard, independent of the hash family.
+
+    Output: (id_a, id_b, jaccard) with jaccard = |A∩B|/|A∪B| rounded
+    to 4dp, threshold applied to the raw value.
+    """
+    cols = [id_col] + ([block_col] if block_col else [])
+    arr = _hashed_rarest_arrays(
+        df, text_col, id_col, shingle_n, hash_family, block_col
+    ).localCheckpoint(eager=True)
+    plen = (
+        F.col("n")
+        - F.floor((F.lit(tau_num) * F.col("n") + (tau_den - 1)) / tau_den)
+        + 1
+    ).cast("int")
+    pref = arr.select(
+        *([block_col] if block_col else []),
+        F.struct(id_col, "n").alias("d"),
+        F.explode(F.slice(F.col("skeys"), F.lit(1), plen)).alias("pkey"),
+    )
+    grp_keys = ([block_col] if block_col else []) + ["pkey"]
+    pairs = (
+        pref.groupBy(*grp_keys)
+        .agg(F.array_sort(F.collect_list("d")).alias("g"))
+        .filter(F.size("g") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(g, (x, i) -> transform("
+                    " slice(g, i + 2, size(g) - i - 1),"
+                    f" y -> struct(x.{id_col} AS id_a, y.{id_col} AS id_b,"
+                    " x.n AS n_a, y.n AS n_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(
+            tau_den * F.least("n_a", "n_b")
+            >= tau_num * F.greatest("n_a", "n_b")
+        )
+        .distinct()
+    )
+    xa = arr.select(
+        F.col(id_col).alias("id_a"), F.col("skeys").alias("k_a")
+    )
+    ya = arr.select(
+        F.col(id_col).alias("id_b"), F.col("skeys").alias("k_b")
+    )
+    survivors = (
+        pairs.join(xa, "id_a")
+        .join(ya, "id_b")
+        .withColumn("hi", F.size(F.array_intersect("k_a", "k_b")))
+        .filter(
+            (tau_den + tau_num) * F.col("hi")
+            >= tau_num * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("id_a", "id_b")
+    )
+    sh = df.select(
+        id_col,
+        F.array_distinct(tf.shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).filter(F.size("s") > 0)
+    x = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    y = sh.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    return (
+        survivors.join(x, "id_a")
+        .join(y, "id_b")
+        .withColumn("jaccard_raw", inter.cast("double") / union)
+        .filter(F.col("jaccard_raw") >= tau_num / tau_den)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard_raw", 4).alias("jaccard"),
+        )
+    )
+
+
 def ssjoin_prefix_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -490,52 +698,8 @@ def ssjoin_prefix_pairs(
     integer-exact threshold (3*I >= na+nb). Result equals brute force
     (pinned in tests/test_llm9.py).
     """
-    two31 = 2147483648
-    ex = (
-        df.select(
-            F.col(id_col),
-            F.explode(tf.shingles(F.col(text_col), shingle_n)).alias("_g"),
-        )
-        .select(
-            id_col, tf.h60(F.col("_g"), family=hash_family).alias("h")
-        )
-        .distinct()
-    )
-    dfq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    keyed = ex.join(dfq, "h").select(
-        id_col,
-        (F.col("df") * two31 + F.pmod(F.col("h"), F.lit(two31))).alias(
-            "key"
-        ),
-    )
-    arr = keyed.groupBy(id_col).agg(
-        F.array_sort(F.collect_list("key")).alias("skeys"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    pref = arr.select(
-        id_col,
-        "n",
-        F.explode(
-            F.slice(F.col("skeys"), 1, (F.col("n") / 2).cast("int") + 1)
-        ).alias("pkey"),
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.pkey") == F.col("b.pkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (
-                2 * F.least(F.col("a.n"), F.col("b.n"))
-                >= F.greatest(F.col("a.n"), F.col("b.n"))
-            ),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    arr = _hashed_rarest_arrays(df, text_col, id_col, shingle_n, hash_family)
+    cand = _prefix_candidates(arr, id_col, 1, 2)
     x = arr.select(
         F.col(id_col).alias("id_a"),
         F.col("skeys").alias("skeys_a"),

@@ -94,32 +94,20 @@ WHERE len(a.s) > 0 AND len(b.s) > 0
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for same-source document pairs
-    with similarity ≥ 0.2. The source equi-key bounds the pair space
-    (the blocking-key pattern); at 100 TB the block key would come from
-    LSH instead — see dedup_minhash_lsh_pairs."""
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.array_distinct(tf.shingles(F.col("text"), 3)).alias("s"),
-    ).filter(F.size("s") > 0)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
-    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .withColumn("jaccard_raw", jac)
-        .filter(F.col("jaccard_raw") >= 0.2)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round("jaccard_raw", 4).alias("jaccard"),
-        )
+    with similarity ≥ 0.2 — planned through the PREFIX FILTER (SSJoin
+    lemma at τ=1/5, prefix = n − ⌈n/5⌉ + 1) composed with the source
+    equi-key, NOT a within-block theta join: the source blocks grow
+    linearly with the corpus, so the old plan's pair space was
+    Σ|block|² = O(N²) behind one full-table broadcast. Here the only
+    pair-generating shuffle is an equi-join on (prefix shingle, source),
+    and prefix keys are each document's globally rarest shingles. The
+    exact string-set verify makes the output identical to brute force
+    (pinned in tests/test_llm_ops.py) and independent of the hash
+    family, so the 'fast' xxhash64 family runs in production AND under
+    the unchanged string-based oracle."""
+    docs = dd.spread(load(spark, sf_dir, "documents"))
+    return dd.jaccard_pairs_prefix(
+        docs, tau_num=1, tau_den=5, block_col="source", hash_family="fast"
     )
 
 
@@ -143,10 +131,23 @@ SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM scored WHERE c >= 0.3
 """,
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs, blocked on label (the
-    blocking-key pattern bounds the pair space; at 100 TB the block key
-    comes from LSH — see dedup_embedding_lsh_pairs). Threshold 0.3 fits
-    this synthetic corpus (near-orthogonal vectors, max ≈ 0.47)."""
+    """Exact embedding-cosine near-dup pairs, blocked on label.
+    Threshold 0.3 fits this synthetic corpus (near-orthogonal vectors,
+    max ≈ 0.47).
+
+    SPEC-LEVEL SEMANTICS QUERY, measured in the bench headline but NOT
+    a 100 TB plan: the label blocks grow linearly with the corpus, so
+    the within-block pair space is quadratic — and unlike the set case
+    (dedup_ngram_jaccard_pairs, re-planned through the SSJoin prefix
+    filter) exact DENSE cosine has no deterministic sub-quadratic
+    filter to compose: prefix filtering needs sparse sets, RHP-LSH is
+    probabilistic (any finite band count misses some >=tau pair), and
+    triangle-inequality centroid bounds prune ~nothing on an isotropic
+    corpus. The production twin at scale is
+    ``dedup_embedding_lsh_pairs`` (banded RHP signatures -> equi-join
+    -> exact verify, recall pinned by tests on planted duplicates);
+    this query is its exact-recall reference, kept oracle-checkable at
+    bench scale like ``histogram_equi_depth``."""
     em = load(spark, sf_dir, "embeddings")
     return sim.cosine_near_dup_pairs(em, threshold=0.3, block_col="label")
 

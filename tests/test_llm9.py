@@ -237,3 +237,76 @@ class TestCovarianceMatrix:
             i, j = r["dim_i"], r["dim_j"]
             assert abs(r["cov"] - cov[i, j]) < 1e-5, (i, j)
             assert abs(r["corr"] - cor[i, j]) < 1e-5, (i, j)
+
+
+class TestJaccardPairsPrefix:
+    """The round-7 re-plan of dedup_ngram_jaccard_pairs: prefix filter
+    at tau=1/5 composed with the source equi-key must EQUAL the
+    quadratic within-block theta join it replaced."""
+
+    def test_equals_brute_force_theta_join(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm import (
+            dedup_ngram_jaccard_pairs,
+        )
+
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup_ngram_jaccard_pairs(spark, SF_SMALL).collect()
+        }
+        sh = (
+            load(spark, SF_SMALL, "documents")
+            .select(
+                "doc_id",
+                "source",
+                F.array_distinct(tf.shingles(F.col("text"), 3)).alias("s"),
+            )
+            .filter(F.size("s") > 0)
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+        union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+        brute = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in (
+                a.join(
+                    b,
+                    (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .withColumn("jr", inter.cast("double") / union)
+                .filter(F.col("jr") >= 0.2)
+                .select(
+                    F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.round("jr", 4).alias("jaccard"),
+                )
+            ).collect()
+        }
+        assert got == brute
+        assert len(got) > 0
+
+    def test_block_key_separates_sources(self, spark):
+        """Identical texts in DIFFERENT sources must not pair when
+        block_col is set (the oracle's a.source = b.source), and must
+        pair when it is not."""
+        from rust_ruuvitag_etl_spark.operators.dedup import (
+            jaccard_pairs_prefix,
+        )
+
+        txt = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [(1, "web", txt), (2, "books", txt), (3, "web", txt)],
+            "doc_id long, source string, text string",
+        )
+        blocked = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs_prefix(
+                df, tau_num=1, tau_den=5, block_col="source"
+            ).collect()
+        }
+        assert blocked == {(1, 3)}
+        unblocked = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs_prefix(df, tau_num=1, tau_den=5).collect()
+        }
+        assert unblocked == {(1, 2), (1, 3), (2, 3)}

@@ -411,3 +411,53 @@ class TestRound4Posture:
         plan = _plan("graph_pagerank_bipartite", spark)
         assert "FileScan" not in plan, plan
         assert "Scan parquet" not in plan, plan
+
+
+class TestFullTableBroadcastBan:
+    """No registry query may EXPLICITLY broadcast an unbounded
+    data-plane table (round-6 verdict: a BroadcastExchange of the whole
+    shingle table hid a quadratic pair join for five rounds because
+    nothing flagged it). Detection runs on plans built with
+    autoBroadcastJoinThreshold=-1, so every surviving BroadcastExchange
+    is an explicit F.broadcast hint — the author asserting 'small'; the
+    sites below are the audited cases where that assertion is true by
+    CONTRACT rather than by a bounding aggregate/limit node."""
+
+    # query -> why its hinted broadcast side is genuinely bounded
+    ALLOWED = {
+        # delta-window side: the incremental batch is small by the
+        # incremental-dedup contract (only the delta broadcasts; the
+        # standing corpus never does)
+        "dedup_bloom_delta",
+        "dedup_incremental_delta",
+        # the k-query vector set (vec_id < 5): k rows by the ANN-probe
+        # contract, independent of corpus size
+        "similarity_bruteforce_topk",
+        "similarity_ivf_topk",
+        "similarity_ivf_pq_topk",
+        "similarity_sq8_topk",
+        "similarity_bq_topk",
+        "similarity_knn_join",
+        "similarity_bruteforce_topk_arrow",
+        # per-event-type low-median selection: |event_types| rows (the
+        # bounding node is a rank filter, which the detector can't
+        # prove bounds cardinality)
+        "timeseries_mad_outliers",
+    }
+
+    def test_no_unbounded_data_plane_broadcast(self, spark):
+        from tools.plan_audit import full_table_broadcasts
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            offenders = {}
+            for name in sorted(REGISTRY):
+                if name.startswith("streaming_") or name in self.ALLOWED:
+                    continue
+                plan = _plan(name, spark)
+                fb = full_table_broadcasts(plan)
+                if fb:
+                    offenders[name] = fb
+            assert not offenders, offenders
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

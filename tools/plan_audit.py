@@ -27,6 +27,76 @@ from rust_ruuvitag_etl_spark.plans import REGISTRY
 from rust_ruuvitag_etl_spark.session import get_spark
 
 
+# Data-plane tables that grow without bound with the corpus:
+# broadcasting one of these WITHOUT a cardinality-bounding node in
+# between is the 100 TB anti-pattern this audit exists to catch (a
+# BroadcastExchange of the whole shingle table hid a quadratic pair
+# join for five rounds). The TPC-H dimensions (customer/supplier/
+# part) are deliberately NOT here: the repo's audited discipline
+# broadcasts them filtered as dimensions (test_q5_all_dim_joins_
+# broadcast pins it), and flagging them would bury the data-plane
+# signal in dimension noise.
+SCALE_GROWING_TABLES = (
+    "lineitem",
+    "orders",
+    "events",
+    "documents",
+    "embeddings",
+    "readings",
+)
+
+# Nodes that bound the broadcast side's cardinality: aggregates
+# collapse to group counts, limits/top-k to constants. A selective
+# pushed filter can too, but isn't provably constant-size, so filters
+# do NOT count — audited-legit cases go on the posture-test allowlist.
+_BOUNDING = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|"
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit"
+)
+
+_TREE_PREFIX = re.compile(r"^((?::  )|(?::- )|(?:\+- )|(?:   ))*")
+
+
+def _depth(line: str) -> int:
+    return len(_TREE_PREFIX.match(line).group(0)) // 3
+
+
+def full_table_broadcasts(plan: str) -> list[str]:
+    """Names of scale-growing tables that a BroadcastExchange ships
+    WITHOUT an aggregate/limit between the exchange and the scan.
+
+    Call on a plan built with ``spark.sql.autoBroadcastJoinThreshold``
+    = -1: size-based broadcasting is then off, so every
+    BroadcastExchange left in the plan comes from an EXPLICIT
+    ``F.broadcast`` hint — the author asserting "this side is small".
+    When that side is an unbounded scan of a data-plane table, the
+    assertion is false at 100 TB regardless of what the bench sf
+    shows. (At the default threshold the detector drowns in tiny-sf
+    noise: at sf0.001 Spark size-broadcasts fact sides of ordinary
+    equi-joins that shuffle correctly at scale.)
+
+    Walks the indented tree text: the subtree of a node at depth d is
+    every following line with depth > d."""
+    lines = plan.splitlines()
+    flagged: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _depth(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        body = "\n".join(subtree)
+        if _BOUNDING.search(body):
+            continue
+        for t in SCALE_GROWING_TABLES:
+            if re.search(rf"Scan parquet[^\n]*{t}|{t}\.parquet", body):
+                flagged.append(t)
+    return flagged
+
+
 def audit_plan(plan: str) -> dict[str, object]:
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     return {
@@ -66,7 +136,20 @@ def main() -> None:
         try:
             df = REGISTRY[name].fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
-            rows.append((name, audit_plan(plan)))
+            a = audit_plan(plan)
+            # hint-only pass: with size-based broadcasting off, any
+            # surviving BroadcastExchange is an explicit F.broadcast
+            # hint — flag unbounded data-plane tables shipped whole
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                hinted = (
+                    REGISTRY[name].fn(spark, sf_dir)
+                    ._jdf.queryExecution().executedPlan().toString()
+                )
+                a["full_bcast"] = full_table_broadcasts(hinted)
+            finally:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            rows.append((name, a))
         except Exception as exc:  # pragma: no cover - audit robustness
             rows.append((name, {"error": str(exc)[:80]}))
 
@@ -102,8 +185,15 @@ def main() -> None:
         "phantom regressions motivated this: r3 langid, r4 corpus_prep, r5",
         "the whole suite reading 44.7 s contended vs 34.5 s idle.)",
         "",
-        "| query | Exch | BHJ | SMJ | BNLJ | Scans | Py | Push | ShW | ShR |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "FullBcast = data-plane tables shipped whole through an EXPLICIT",
+        "broadcast hint with no aggregate/limit bounding them, detected",
+        "on a second plan built with autoBroadcastJoinThreshold=-1 so",
+        "size-based tiny-sf broadcasts don't drown the signal (the",
+        "quadratic-pair-join early warning; tests/test_plan_posture.py",
+        "enforces an audited allowlist).",
+        "",
+        "| query | Exch | BHJ | SMJ | BNLJ | Scans | Py | Push | FullBcast | ShW | ShR |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
 
     def mb(name: str, key: str) -> str:
@@ -113,21 +203,28 @@ def main() -> None:
 
     for name, a in rows:
         if "error" in a:
-            lines.append(f"| {name} | ERROR: {a['error']} | | | | | | | | |")
+            lines.append(
+                f"| {name} | ERROR: {a['error']} | | | | | | | | | |"
+            )
         else:
+            fb = ",".join(a["full_bcast"]) or ""
             lines.append(
                 f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | "
                 f"{a['bnlj']} | {a['scans']} | {a['python']} | {a['pushed']} |"
-                f" {mb(name, 'write_bytes')} | {mb(name, 'read_bytes')} |"
+                f" {fb} | {mb(name, 'write_bytes')} | {mb(name, 'read_bytes')} |"
             )
     totals = [a for _, a in rows if "error" not in a]
+    flagged = {n: a["full_bcast"] for n, a in rows if a.get("full_bcast")}
     lines += [
         "",
         f"**{len(totals)} queries audited** — "
         f"{sum(a['bhj'] for a in totals)} broadcast joins vs "
         f"{sum(a['smj'] for a in totals)} sort-merge joins; "
         f"{sum(a['python'] for a in totals)} Python-boundary operators total "
-        "(everything else runs JVM-side).",
+        "(everything else runs JVM-side); "
+        f"{len(flagged)} queries with unbounded full-table broadcasts"
+        + (f" ({', '.join(sorted(flagged))})" if flagged else "")
+        + ".",
         "",
     ]
     with open(out_md, "w") as f:
