@@ -30,4 +30,5 @@ from . import (  # noqa: E402, F401
     llm7,
     llm8,
     llm9,
+    llm10,
 )

@@ -1,0 +1,132 @@
+"""Tests for the round-7 llm10 additions: substring-level dedup via
+winnowing fingerprints (duplicated token spans >= L across documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rust_ruuvitag_etl_spark.plans.llm10 import (
+    DF_CAP,
+    K,
+    L,
+    W,
+    _grams,
+    dedup_substring_spans,
+)
+from rust_ruuvitag_etl_spark.sources import load
+
+from .conftest import SF_SMALL
+
+
+def _run(spark, rows):
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="subspan_")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return {
+        (r["id_a"], r["id_b"]): (r["start_a"], r["start_b"], r["span_len"])
+        for r in dedup_substring_spans(spark, d).collect()
+    }
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+class TestPlantedSpans:
+    def test_planted_span_found_with_exact_offsets(self, spark):
+        """A 30-token span shared at DIFFERENT offsets must come back
+        with both 1-based start positions and its exact length."""
+        span = _words("dup", 30)
+        rows = [
+            (1, "web", span + " " + _words("tailone", 40)),
+            (2, "web", _words("headtwo", 25) + " " + span),
+            (3, "web", _words("noise", 60)),
+        ]
+        got = _run(spark, rows)
+        assert got == {(1, 2): (1, 26, 30)}
+
+    def test_span_below_length_floor_not_reported(self, spark):
+        """A shared span of L-1 = 10 tokens is below the winnowing
+        guarantee and the spec floor — never reported."""
+        span = _words("dup", L - 1)
+        rows = [
+            (1, "web", span + " " + _words("aaa", 40)),
+            (2, "web", _words("bbb", 40) + " " + span),
+        ]
+        assert _run(spark, rows) == {}
+
+    def test_two_spans_same_pair_two_rows(self, spark):
+        """Two separate duplicated spans between the same pair (with a
+        differing gap between them) are two maximal runs, two rows."""
+        s1, s2 = _words("one", 15), _words("two", 20)
+        rows = [
+            (1, "web", s1 + " " + _words("ga", 12) + " " + s2),
+            (2, "web", s1 + " " + _words("gb", 5) + " " + s2),
+        ]
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="subspan2_")
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {
+            (r["start_a"], r["start_b"], r["span_len"])
+            for r in dedup_substring_spans(spark, d).collect()
+        }
+        # doc1: s1 at 1..15, 12-token gap, s2 at 28; doc2: s1 at 1..15,
+        # 5-token gap, s2 at 21
+        assert out == {(1, 1, 15), (28, 21, 20)}
+
+    def test_identical_docs_one_full_span(self, spark):
+        txt = _words("same", 25)
+        got = _run(spark, [(1, "web", txt), (2, "books", txt)])
+        assert got == {(1, 2): (1, 1, 25)}
+
+
+class TestWinnowingPosture:
+    def test_fingerprint_density(self, spark):
+        """Winnowing selects ~2/(W+1) of gram positions — the
+        candidate join input must be a strict sample of the gram
+        table, not all of it (the whole point of fingerprinting)."""
+        docs = load(spark, SF_SMALL, "documents")
+        grams = _grams(docs)
+        key = F.col("gh") * (1 << 20) + F.col("pos")
+        from pyspark.sql import Window
+
+        win = (
+            Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+        )
+        fp = (
+            grams.select("doc_id", F.min(key).over(win).alias("mk"))
+            .distinct()
+            .count()
+        )
+        total = grams.count()
+        assert 0 < fp < 0.7 * total, (fp, total)
+
+    def test_gram_df_far_below_cap(self, spark):
+        """The stop-gram cap must be slack on this corpus (it exists
+        as the skew guard, not as a load-bearing filter): measured max
+        gram df is single-digit."""
+        docs = load(spark, SF_SMALL, "documents")
+        mx = (
+            _grams(docs)
+            .groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df"))
+            .collect()[0][0]
+        )
+        assert mx <= DF_CAP / 5, mx
+
+    def test_spec_constants(self):
+        assert L == K + W - 1
