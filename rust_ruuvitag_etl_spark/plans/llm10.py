@@ -188,3 +188,242 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_len") >= L)
         .select("id_a", "id_b", "start_a", "start_b", "span_len")
     )
+
+
+# --- Gopher repetition filters ---------------------------------------------
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher"), table A1:
+# repetitious documents are filtered by the fraction of CHARACTERS
+# covered by the most frequent word n-gram (n=2,3,4) and by all
+# duplicated word n-grams (n=5). The line-based Gopher rules are
+# omitted: this corpus has no newlines (dedup_exact_lines handles the
+# segment level). Thresholds are the paper's: 0.20 / 0.18 / 0.16 for
+# top-2/3/4-gram, 0.15 for dup-5-gram.
+
+_GOPHER_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t,
+           length(trim(text)) AS n_chars
+    FROM documents WHERE trim(text) <> ''
+),
+g2 AS (
+    SELECT doc_id, n_chars, UNNEST(list_transform(
+        range(1, greatest(len(t) - 1, 0) + 1),
+        i -> array_to_string(t[i:i+1], ' '))) AS g FROM base
+),
+g3 AS (
+    SELECT doc_id, n_chars, UNNEST(list_transform(
+        range(1, greatest(len(t) - 2, 0) + 1),
+        i -> array_to_string(t[i:i+2], ' '))) AS g FROM base
+),
+g4 AS (
+    SELECT doc_id, n_chars, UNNEST(list_transform(
+        range(1, greatest(len(t) - 3, 0) + 1),
+        i -> array_to_string(t[i:i+3], ' '))) AS g FROM base
+),
+g5 AS (
+    SELECT doc_id, n_chars, UNNEST(list_transform(
+        range(1, greatest(len(t) - 4, 0) + 1),
+        i -> array_to_string(t[i:i+4], ' '))) AS g FROM base
+),
+t2 AS (
+    SELECT doc_id, cnt * length(g) AS num FROM (
+        SELECT doc_id, g, COUNT(*) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY COUNT(*) DESC, length(g) DESC, g) AS rn
+        FROM g2 GROUP BY doc_id, g) WHERE rn = 1
+),
+t3 AS (
+    SELECT doc_id, cnt * length(g) AS num FROM (
+        SELECT doc_id, g, COUNT(*) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY COUNT(*) DESC, length(g) DESC, g) AS rn
+        FROM g3 GROUP BY doc_id, g) WHERE rn = 1
+),
+t4 AS (
+    SELECT doc_id, cnt * length(g) AS num FROM (
+        SELECT doc_id, g, COUNT(*) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY COUNT(*) DESC, length(g) DESC, g) AS rn
+        FROM g4 GROUP BY doc_id, g) WHERE rn = 1
+),
+d5 AS (
+    SELECT doc_id, CAST(SUM(cnt * length(g)) AS BIGINT) AS num FROM (
+        SELECT doc_id, g, COUNT(*) AS cnt FROM g5 GROUP BY doc_id, g
+        HAVING COUNT(*) >= 2) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       ROUND(COALESCE(t2.num, 0) / CAST(b.n_chars AS DOUBLE), 6)
+           AS top2gram_frac,
+       ROUND(COALESCE(t3.num, 0) / CAST(b.n_chars AS DOUBLE), 6)
+           AS top3gram_frac,
+       ROUND(COALESCE(t4.num, 0) / CAST(b.n_chars AS DOUBLE), 6)
+           AS top4gram_frac,
+       ROUND(COALESCE(d5.num, 0) / CAST(b.n_chars AS DOUBLE), 6)
+           AS dup5gram_frac,
+       (5 * COALESCE(t2.num, 0) <= 1 * b.n_chars
+        AND 50 * COALESCE(t3.num, 0) <= 9 * b.n_chars
+        AND 25 * COALESCE(t4.num, 0) <= 4 * b.n_chars
+        AND 20 * COALESCE(d5.num, 0) <= 3 * b.n_chars) AS keep
+FROM base b
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+LEFT JOIN t4 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
+"""
+
+
+def _doc_grams(base: DataFrame, n: int) -> DataFrame:
+    """Every word n-gram OCCURRENCE of every doc (duplicates kept)."""
+    pg = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+    )
+    return base.filter(F.size("t") >= n).select(
+        "doc_id", "n_chars", F.explode(pg).alias("g")
+    )
+
+
+def _top_gram_cover(base: DataFrame, n: int) -> DataFrame:
+    """(doc_id, num): characters covered by the doc's most frequent
+    n-gram (count * gram length), ties broken (count desc, length
+    desc, gram asc) identically on both engines."""
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.desc(F.length("g")), F.asc("g")
+    )
+    return (
+        _doc_grams(base, n)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", (F.col("cnt") * F.length("g")).alias("num")
+        )
+    )
+
+
+@query("text_gopher_repetition", oracle=_GOPHER_ORACLE)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-filter rules (Rae et al. 2021, table A1)
+    — the canonical pre-training quality gate this corpus' 31-word
+    vocabulary exercises hard: per document, the fraction of CHARACTERS
+    covered by the most frequent 2/3/4-gram and by all duplicated
+    5-grams, plus the keep/drop verdict at the paper's thresholds
+    (0.20/0.18/0.16/0.15).
+
+    Float discipline: every fraction is integer-count * gram-length
+    over the doc's char total — ONE double division per emitted value,
+    bit-identical across engines — and the keep verdict never touches
+    a double at all: each threshold comparison is cross-multiplied
+    into integer arithmetic (num/total <= 0.18 becomes
+    50*num <= 9*total), so boundary documents cannot flip on an ulp.
+    Ties for 'most frequent n-gram' break (count desc, length desc,
+    gram asc) identically on both engines.
+
+    100 TB posture: four scan-local explodes, each feeding a
+    (doc_id, gram)-keyed map-side-combinable aggregate; the top-1
+    selection windows partition by doc_id; everything joins back on
+    doc_id. No corpus-wide key hotter than a single document's grams."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        tf.ws_tokens(F.lower(F.col("text"))).alias("t"),
+        F.length(F.trim("text")).alias("n_chars"),
+    ).filter(F.size("t") > 0)
+    t2 = _top_gram_cover(base, 2).withColumnRenamed("num", "num2")
+    t3 = _top_gram_cover(base, 3).withColumnRenamed("num", "num3")
+    t4 = _top_gram_cover(base, 4).withColumnRenamed("num", "num4")
+    d5 = (
+        _doc_grams(base, 5)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).alias("num5"))
+    )
+    out = (
+        base.select("doc_id", "n_chars")
+        .join(t2, "doc_id", "left")
+        .join(t3, "doc_id", "left")
+        .join(t4, "doc_id", "left")
+        .join(d5, "doc_id", "left")
+        .na.fill(0, ["num2", "num3", "num4", "num5"])
+    )
+    total = F.col("n_chars").cast("double")
+    return out.select(
+        "doc_id",
+        F.round(F.col("num2") / total, 6).alias("top2gram_frac"),
+        F.round(F.col("num3") / total, 6).alias("top3gram_frac"),
+        F.round(F.col("num4") / total, 6).alias("top4gram_frac"),
+        F.round(F.col("num5") / total, 6).alias("dup5gram_frac"),
+        (
+            (5 * F.col("num2") <= 1 * F.col("n_chars"))
+            & (50 * F.col("num3") <= 9 * F.col("n_chars"))
+            & (25 * F.col("num4") <= 4 * F.col("n_chars"))
+            & (20 * F.col("num5") <= 3 * F.col("n_chars"))
+        ).alias("keep"),
+    )
+
+
+# --- n-gram LM familiarity score --------------------------------------------
+
+_FAMILIARITY_ORACLE = """
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+bg AS (
+    SELECT doc_id, UNNEST(list_transform(
+        range(1, greatest(len(t) - 1, 0) + 1),
+        i -> array_to_string(t[i:i+1], ' '))) AS g
+    FROM base
+),
+cf AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(cf.c) AS DOUBLE) / COUNT(*), 6) AS familiarity
+FROM bg JOIN cf USING (g)
+GROUP BY bg.doc_id
+"""
+
+
+@query("text_bigram_familiarity", oracle=_FAMILIARITY_ORACLE)
+def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram LM quality proxy: each document scores the
+    MEAN corpus frequency of its word bigrams (a doc of common,
+    well-attested transitions scores high; gibberish scores ~1). The
+    integer-exact stand-in for perplexity: a log-prob sum is a
+    float fold whose rounding is order-dependent across engines,
+    whereas a sum of integer corpus counts divided once is
+    bit-identical — same quality ordering, oracle-exact.
+
+    100 TB posture: the bigram 'model' is one map-side-combinable
+    groupBy (count per distinct bigram); scoring joins occurrences to
+    counts on the bigram key and aggregates per doc_id. The join's
+    build side is the distinct-bigram count table — vocabulary-sized,
+    not corpus-sized."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", tf.ws_tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
+            )
+        ).alias("g"),
+    )
+    cf = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(cf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("c").cast("double") / F.count(F.lit(1)), 6
+            ).alias("familiarity"),
+        )
+    )

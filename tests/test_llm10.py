@@ -130,3 +130,68 @@ class TestWinnowingPosture:
 
     def test_spec_constants(self):
         assert L == K + W - 1
+
+
+def _docs_dir(spark, rows):
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="llm10_")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+class TestGopherRepetition:
+    def test_repetitious_doc_dropped_clean_doc_kept(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm10 import (
+            text_gopher_repetition,
+        )
+
+        spam = " ".join(["buy now"] * 20)  # top 2-gram covers ~all chars
+        clean = _words("w", 40)  # every gram unique
+        d = _docs_dir(spark, [(1, "web", spam), (2, "web", clean)])
+        got = {r["doc_id"]: r for r in text_gopher_repetition(spark, d).collect()}
+        assert got[1]["keep"] is False
+        # "buy now" occurs 20x, len 7 -> 140 of 159 chars
+        assert got[1]["top2gram_frac"] == round(140 / 159, 6)
+        assert got[2]["keep"] is True
+        assert got[2]["dup5gram_frac"] == 0.0
+
+    def test_exact_fraction_arithmetic(self, spark):
+        """'a b a b a b' (11 chars): top 2-gram 'a b' occurs 3x, len 3
+        -> 9/11; top 3-gram 'a b a' occurs 2x, len 5 -> 10/11; dup
+        5-grams: none (len 6 tokens -> two 5-grams, distinct)."""
+        from rust_ruuvitag_etl_spark.plans.llm10 import (
+            text_gopher_repetition,
+        )
+
+        d = _docs_dir(spark, [(1, "web", "a b a b a b")])
+        r = text_gopher_repetition(spark, d).collect()[0]
+        assert r["top2gram_frac"] == round(9 / 11, 6)
+        assert r["top3gram_frac"] == round(10 / 11, 6)
+        assert r["dup5gram_frac"] == 0.0
+        assert r["keep"] is False  # 9/11 > 0.20
+
+
+class TestBigramFamiliarity:
+    def test_known_counts(self, spark):
+        """Corpus bigrams: 'x y' occurs 3x total, 'y x' 1x, 'y z' 1x.
+        doc1 = 'x y x y' -> bigrams [x y, y x, x y] -> (3+1+3)/3;
+        doc2 = 'x y z' -> [x y, y z] -> (3+1)/2."""
+        from rust_ruuvitag_etl_spark.plans.llm10 import (
+            text_bigram_familiarity,
+        )
+
+        d = _docs_dir(spark, [(1, "web", "x y x y"), (2, "web", "x y z")])
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["familiarity"])
+            for r in text_bigram_familiarity(spark, d).collect()
+        }
+        assert got == {
+            1: (3, round(7 / 3, 6)),
+            2: (2, 2.0),
+        }
