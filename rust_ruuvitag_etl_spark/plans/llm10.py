@@ -427,3 +427,77 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("familiarity"),
         )
     )
+
+
+# --- quality-weighted importance sampling -----------------------------------
+
+_IMPORTANCE_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+q AS (
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       {tf.h60_sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+FROM q
+WHERE {tf.h60_sql("CAST(doc_id AS VARCHAR)")} % 1000000
+      < (1000000 * n_distinct) // n_tokens
+"""
+
+
+@query("sample_importance_weighted", oracle=_IMPORTANCE_ORACLE)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (the DSIR idea — Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — with a transparent quality weight): each document is
+    kept with probability equal to its TYPE-TOKEN RATIO
+    (distinct/total tokens — repetitious docs get down-weighted,
+    linguistically diverse docs survive), decided by comparing a
+    deterministic per-doc hash bucket against the weight.
+
+    REPRODDUCIBLE SAMPLING, NO RNG: the accept test is
+    ``h60(doc_id) % 10^6 < floor(10^6 * w)`` and the floor of the
+    rational weight is computed as ``(10^6 * n_distinct) DIV n_tokens``
+    — pure integer arithmetic on both engines, so the sample is a pure
+    function of the corpus (re-runs, retries, and the DuckDB oracle
+    all select the identical row set; the discipline of
+    sample_hash_deterministic applied to non-uniform weights).
+
+    100 TB posture: entirely scan-local — one projection computes
+    tokens, distinct count, hash, and the accept predicate next to the
+    parquet scan; no shuffle at all, and the filter prunes before
+    anything wide happens downstream."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", tf.ws_tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") > 0)
+    q = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+    )
+    bucket = F.pmod(
+        tf.h60(F.col("doc_id").cast("string"), family="portable"),
+        F.lit(1000000),
+    )
+    thresh = F.expr("(1000000 * n_distinct) DIV n_tokens")
+    return (
+        q.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < thresh)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("n_distinct") / F.col("n_tokens").cast("double"), 6
+            ).alias("ttr"),
+            "bucket",
+        )
+    )

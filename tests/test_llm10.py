@@ -195,3 +195,38 @@ class TestBigramFamiliarity:
             1: (3, round(7 / 3, 6)),
             2: (2, 2.0),
         }
+
+
+class TestImportanceWeightedSample:
+    def test_weight_boundaries(self, spark):
+        """TTR = 1 (all tokens distinct) -> threshold 10^6 -> ALWAYS
+        kept; TTR = 1/40 -> kept only if hash bucket < 25000 (2.5%)."""
+        from rust_ruuvitag_etl_spark.plans.llm10 import (
+            sample_importance_weighted,
+        )
+
+        rows = [(i, "web", _words(f"u{i}_", 30)) for i in range(50)]
+        rows += [(100 + i, "web", " ".join(["rep"] * 40)) for i in range(50)]
+        d = _docs_dir(spark, rows)
+        got = {r["doc_id"]: r for r in
+               sample_importance_weighted(spark, d).collect()}
+        kept_unique = [i for i in range(50) if i in got]
+        kept_rep = [i for i in range(100, 150) if i in got]
+        assert len(kept_unique) == 50  # weight 1.0: all survive
+        assert len(kept_rep) <= 5      # weight 0.025: almost none
+        assert got[0]["ttr"] == 1.0
+
+    def test_deterministic_across_runs(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm10 import (
+            sample_importance_weighted,
+        )
+
+        a = sorted(
+            r["doc_id"]
+            for r in sample_importance_weighted(spark, SF_SMALL).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in sample_importance_weighted(spark, SF_SMALL).collect()
+        )
+        assert a == b and len(a) > 0
