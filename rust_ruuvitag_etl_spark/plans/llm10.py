@@ -501,3 +501,104 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
         )
     )
+
+
+# --- substring dedup, remediation stage --------------------------------------
+
+_SCRUB_ORACLE = f"""
+WITH spans AS ({_SUBSTRING_ORACLE}),
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+tok AS (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(t) + 1),
+           i -> {{'pos': i, 'w': t[i]}})) AS pw
+    FROM toks
+),
+removed AS (
+    SELECT DISTINCT id_b AS doc_id, UNNEST(range(start_b,
+           start_b + span_len)) AS pos
+    FROM spans
+)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(removed.pos) AS BIGINT) AS n_removed,
+       string_agg(CASE WHEN removed.pos IS NULL THEN tok.pw.w END,
+                  ' ' ORDER BY tok.pw.pos) AS clean_text
+FROM tok
+LEFT JOIN removed
+  ON removed.doc_id = tok.doc_id AND removed.pos = tok.pw.pos
+WHERE tok.doc_id IN (SELECT DISTINCT id_b FROM spans)
+GROUP BY tok.doc_id
+"""
+
+
+@query("dedup_substring_scrub", oracle=_SCRUB_ORACLE)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMEDIATION stage of substring dedup (Lee et al. 2022
+    actually DELETE the duplicated span, they don't just report it):
+    for every document that appears as the HIGHER doc_id of a reported
+    span (the lower id keeps the canonical occurrence — the
+    min-doc_id-wins discipline of dedup_exact_documents applied at
+    span granularity), excise the duplicated token positions and emit
+    (doc_id, n_tokens, n_removed, clean_text).
+
+    Overlapping spans need no interval-merge pass: removal positions
+    explode per span and DISTINCT on (doc_id, pos) collapses overlaps
+    exactly; the clean text reassembles from the surviving positions
+    in order. Output restricted to affected documents (the scrubbed
+    corpus is this result unioned with untouched docs — mirrored
+    semantics on both engines).
+
+    100 TB posture: spans come from the winnowing pipeline (see
+    dedup_substring_spans); removal positions are span-length-bounded;
+    the excision itself is one anti-join on (doc_id, pos) against a
+    scan-local posexplode, and the reassembly groups by doc_id —
+    everything keyed at document granularity, no corpus-wide hot key."""
+    spans = dedup_substring_spans(spark, sf_dir)
+    removed = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.col("start_b"),
+                F.col("start_b") + F.col("span_len") - 1,
+            )
+        ).alias("pos"),
+    ).distinct()
+    affected = removed.select("doc_id").distinct()
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = (
+        docs.select(
+            "doc_id", tf.ws_tokens(F.lower(F.col("text"))).alias("t")
+        )
+        .filter(F.size("t") > 0)
+        .join(affected, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.posexplode("t").alias("pos0", "w"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    kept = tok.join(removed, ["doc_id", "pos"], "left_anti")
+    total = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_rm = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("clean_text")
+    )
+    # left join: a FULLY scrubbed doc (identical twin of a lower id)
+    # has zero kept tokens and must still emit, clean_text NULL —
+    # matching SQL string_agg-over-no-rows semantics
+    return (
+        total.join(n_rm, "doc_id")
+        .join(kept_agg, "doc_id", "left")
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+    )

@@ -230,3 +230,60 @@ class TestImportanceWeightedSample:
             for r in sample_importance_weighted(spark, SF_SMALL).collect()
         )
         assert a == b and len(a) > 0
+
+
+class TestSubstringScrub:
+    def test_partial_scrub_exact_text(self, spark):
+        """The higher doc_id loses exactly the duplicated span; the
+        lower keeps the canonical occurrence and is NOT emitted."""
+        from rust_ruuvitag_etl_spark.plans.llm10 import (
+            dedup_substring_scrub,
+        )
+
+        span = _words("dup", 20)
+        head = _words("head", 10)
+        tail = _words("tail", 10)
+        d = _docs_dir(
+            spark,
+            [(1, "web", span), (2, "web", head + " " + span + " " + tail)],
+        )
+        rows = dedup_substring_scrub(spark, d).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["doc_id"] == 2
+        assert (r["n_tokens"], r["n_removed"]) == (40, 20)
+        assert r["clean_text"] == head + " " + tail
+
+    def test_identical_twin_fully_scrubbed_null_text(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm10 import (
+            dedup_substring_scrub,
+        )
+
+        txt = _words("same", 25)
+        d = _docs_dir(spark, [(1, "web", txt), (7, "books", txt)])
+        rows = dedup_substring_scrub(spark, d).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["doc_id"] == 7
+        assert (r["n_tokens"], r["n_removed"]) == (25, 25)
+        assert r["clean_text"] is None
+
+    def test_overlapping_spans_collapse(self, spark):
+        """Doc 3 shares one span with doc 1 and an OVERLAPPING span
+        with doc 2 — removal positions must union, not double-count."""
+        from rust_ruuvitag_etl_spark.plans.llm10 import (
+            dedup_substring_scrub,
+        )
+
+        w = [f"t{i}" for i in range(30)]
+        doc3 = " ".join(w)
+        doc1 = " ".join(w[0:15])   # shares positions 1..15
+        doc2 = " ".join(w[10:30])  # shares positions 11..30
+        d = _docs_dir(spark, [(1, "web", doc1), (2, "web", doc2), (3, "web", doc3)])
+        got = {r["doc_id"]: r for r in dedup_substring_scrub(spark, d).collect()}
+        # doc3 is id_b of both pairs: all 30 positions covered
+        assert (got[3]["n_tokens"], got[3]["n_removed"]) == (30, 30)
+        assert got[3]["clean_text"] is None
+        # doc2 is id_b of (1,2)? docs 1 and 2 share positions 11..15 of
+        # doc1 = positions 1..5 of doc2 — a 5-token span, below L: no row
+        assert 2 not in got

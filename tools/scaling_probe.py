@@ -71,6 +71,14 @@ CORPUS_QUERIES = [
     # approximate scan reads 8 bytes/vector).
     "dedup_ssjoin_prefix",
     "similarity_bq_topk",
+    # round-7 additions: the re-planned prefix-filtered Jaccard pairs
+    # (the axis verifies the theta-join quadratic is gone: candidate
+    # volume should track true-pair overlap, not Sigma|block|^2) and
+    # winnowing substring dedup (fingerprint join + diagonal runs —
+    # should stay near-linear; the true-span set itself grows with
+    # replica overlap like every exact dedup output).
+    "dedup_ngram_jaccard_pairs",
+    "dedup_substring_spans",
 ]
 
 # Graph axis (round-4 verdict #7): the engagement-graph algorithms read

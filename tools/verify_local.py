@@ -87,6 +87,13 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        # --json OUT: append {sf_dir: {query: {status, rows, secs}}} to
+        # OUT (merging with existing content) — the committed
+        # full-registry differential artifact (CORRECTNESS_full_rN.json)
+        json_out = args[1]
+        args = args[2:]
     headline = bool(args) and args[0] == "--headline"
     if headline:
         from bench import HEADLINE
@@ -103,6 +110,7 @@ def main() -> int:
         )
     spark = get_spark("verify-local")
     failed, passed, skipped = [], [], []
+    record: dict[str, dict] = {}
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
@@ -111,28 +119,65 @@ def main() -> int:
             sdf = q.fn(spark, sf_dir).toPandas()
         except Exception as e:
             failed.append(name)
+            record[name] = {"status": "spark_error", "err": str(e)[:120]}
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             continue
         if q.oracle is None:
             n = len(sdf)
             skipped.append(name)
+            record[name] = {
+                "status": "rows_only", "rows": n,
+                "secs": round(time.time() - t0, 1),
+            }
             print(f"ROWS  {name}: {n} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             ddf = con.execute(q.oracle).fetchdf()
         except Exception as e:
             failed.append(name)
+            record[name] = {"status": "duckdb_error", "err": str(e)[:120]}
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         problems = compare(name, sdf, ddf)
         if problems:
             failed.append(name)
+            record[name] = {
+                "status": "mismatch", "problems": problems[:3],
+                "secs": round(time.time() - t0, 1),
+            }
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
         else:
             passed.append(name)
+            record[name] = {
+                "status": "pass", "rows": len(sdf),
+                "secs": round(time.time() - t0, 1),
+            }
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+    if json_out:
+        import json
+
+        existing = {}
+        if os.path.exists(json_out):
+            with open(json_out) as f:
+                existing = json.load(f)
+        merged = existing.get(sf_dir, {}).get("queries", {})
+        merged.update(record)  # per-query merge: subset runs top up
+        by = {"pass": 0, "rows_only": 0}
+        for r in merged.values():
+            s = r["status"]
+            by[s] = by.get(s, 0) + 1
+        n_fail = sum(
+            v for k, v in by.items() if k not in ("pass", "rows_only")
+        )
+        existing[sf_dir] = {
+            "summary": f"{by['pass']} passed, {n_fail} failed, "
+                       f"{by['rows_only']} rows-only / {len(merged)} run",
+            "queries": merged,
+        }
+        with open(json_out, "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
     print(
         f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only"
         f" / {len(REGISTRY) if not only else len(only)} total"
