@@ -84,6 +84,10 @@ HEADLINE = [
     # the documented spec-level exact-recall reference for the LSH twin
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine_pairs",
+    # round 7 wave 2: iterative training + the containment pair join —
+    # both shuffle-heavy shapes that must stay measured
+    "cluster_kmeans_lloyd",
+    "dedup_containment_pairs",
 ]
 
 

@@ -31,4 +31,5 @@ from . import (  # noqa: E402, F401
     llm8,
     llm9,
     llm10,
+    llm11,
 )

@@ -1,0 +1,199 @@
+"""Tests for the round-7 llm11 additions: k-means Lloyd training, RRF
+retrieval fusion, containment dedup, and k-anonymity suppression."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rust_ruuvitag_etl_spark.plans.llm11 import (
+    K_ANON,
+    K_CLUSTERS,
+    Q_SCALE,
+    RRF_K,
+    cluster_kmeans_lloyd,
+    dedup_containment_pairs,
+    governance_k_anonymity,
+    retrieval_rrf_fusion,
+)
+
+
+def _write_docs(spark, rows):
+    d = tempfile.mkdtemp(prefix="llm11_docs_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+def _write_embeddings(spark, rows):
+    d = tempfile.mkdtemp(prefix="llm11_emb_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    return d
+
+
+def _q(x: float) -> int:
+    """The plan's quantizer, reproduced: float32 -> double -> micro
+    round (so expected centroids are computed from the same lattice)."""
+    return int(round(float(np.float32(x)) * Q_SCALE))
+
+
+class TestKMeansLloyd:
+    def test_planted_pairs_converge_to_pair_means(self, spark):
+        """16 vectors = 8 well-separated tight pairs; init picks the 8
+        'left' points (lowest vec_ids), so after one update every
+        centroid is its pair's floor-mean and iterations 2-3 are
+        stable."""
+        rows = []
+        for j in range(K_CLUSTERS):
+            center = 0.1 * j
+            left = [np.float32(center - 0.001)] + [np.float32(0.0)] * 63
+            right = [np.float32(center + 0.001)] + [np.float32(0.0)] * 63
+            rows.append((j, [float(v) for v in left], j))
+            rows.append((8 + j, [float(v) for v in right], j))
+        d = _write_embeddings(spark, rows)
+        out = cluster_kmeans_lloyd(spark, d).collect()
+        assert len(out) == K_CLUSTERS * 64
+        by_cd = {(r["cluster"], r["dim"]): r for r in out}
+        for j in range(K_CLUSTERS):
+            qa = _q(0.1 * j - 0.001)
+            qb = _q(0.1 * j + 0.001)
+            expect = int(np.floor((qa + qb) / 2.0))
+            row = by_cd[(j, 1)]
+            assert row["c"] == expect, (j, row["c"], expect)
+            assert row["n"] == 2
+            # all other dims are exactly zero
+            assert by_cd[(j, 2)]["c"] == 0
+
+    def test_fewer_vectors_than_k_still_trains(self, spark):
+        """With 5 vectors, init takes all 5 as centroids; clusters 5-7
+        never exist and the output has 5 clusters (empty clusters drop
+        out of the GROUP BY — standard Lloyd)."""
+        rows = [
+            (i, [float(np.float32(0.2 * i))] + [0.0] * 63, i)
+            for i in range(5)
+        ]
+        d = _write_embeddings(spark, rows)
+        out = cluster_kmeans_lloyd(spark, d)
+        clusters = {r["cluster"] for r in out.select("cluster").distinct().collect()}
+        assert clusters == {0, 1, 2, 3, 4}
+
+
+class TestRRFFusion:
+    def test_dominant_doc_fuses_first(self, spark):
+        """A doc that tops BOTH retrievers gets rrf = 2/(60+1) and
+        fused_rank 1; docs outside both top lists never appear."""
+        rows = [
+            # doc 1: short, stuffed with all three terms -> top of both
+            (1, "data data data join join filter", "en", "web", 30),
+            # docs 2-4: one weak term occurrence in longer filler
+            (2, "data " + " ".join(f"x{i}" for i in range(50)), "en", "web", 300),
+            (3, "join " + " ".join(f"y{i}" for i in range(50)), "en", "web", 300),
+            # doc 5: no query terms at all -> in neither list
+            (5, " ".join(f"z{i}" for i in range(40)), "en", "web", 240),
+        ]
+        d = _write_docs(spark, rows)
+        out = {r["doc_id"]: r for r in retrieval_rrf_fusion(spark, d).collect()}
+        assert 5 not in out
+        top = out[1]
+        assert top["rank_bm25"] == 1 and top["rank_tfidf"] == 1
+        assert top["fused_rank"] == 1
+        assert abs(top["rrf_score"] - round(2.0 / (RRF_K + 1), 6)) < 1e-9
+
+    def test_single_list_docs_get_partial_score(self, spark):
+        """Every emitted doc is in >= 1 list and its score equals the
+        sum of the reciprocal ranks it actually holds."""
+        rows = [
+            (1, "data join filter", "en", "web", 20),
+            (2, "data data " + " ".join(f"x{i}" for i in range(30)), "en", "web", 200),
+        ]
+        d = _write_docs(spark, rows)
+        for r in retrieval_rrf_fusion(spark, d).collect():
+            want = 0.0
+            if r["rank_bm25"] is not None:
+                want += 1.0 / (RRF_K + r["rank_bm25"])
+            if r["rank_tfidf"] is not None:
+                want += 1.0 / (RRF_K + r["rank_tfidf"])
+            assert r["rank_bm25"] is not None or r["rank_tfidf"] is not None
+            assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+class TestContainmentPairs:
+    def test_embedded_doc_detected_one_direction(self, spark):
+        """Doc 1's text is a prefix of doc 2's: containment(1→2) = 1.0,
+        emitted once in the contained→container direction only."""
+        small = _words("ca", 30)
+        rows = [
+            (1, small, "en", "web", 200),
+            (2, small + " " + _words("pad", 100), "en", "web", 900),
+            (3, _words("zz", 60), "en", "web", 400),
+        ]
+        d = _write_docs(spark, rows)
+        got = {
+            (r["contained_id"], r["container_id"]): r
+            for r in dedup_containment_pairs(spark, d).collect()
+        }
+        assert set(got) == {(1, 2)}
+        assert got[(1, 2)]["containment"] == 1.0
+        assert got[(1, 2)]["n_contained"] == 28  # 30 tokens -> 28 shingles
+
+    def test_partial_overlap_below_threshold_not_emitted(self, spark):
+        """Sharing only a 10-token prefix of a 30-token doc is 8/28
+        shingle containment — far below 0.8, no row."""
+        a = _words("ca", 30)
+        c = _words("ca", 10) + " " + _words("other", 30)
+        d = _write_docs(
+            spark, [(1, a, "en", "web", 200), (3, c, "en", "web", 260)]
+        )
+        assert dedup_containment_pairs(spark, d).count() == 0
+
+    def test_identical_docs_emit_both_directions(self, spark):
+        """Equal-size mutual containment (identical text) emits both
+        ordered rows, each with containment 1.0."""
+        t = _words("eq", 25)
+        d = _write_docs(
+            spark, [(4, t, "en", "web", 150), (5, t, "en", "web", 150)]
+        )
+        got = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in dedup_containment_pairs(spark, d).collect()
+        }
+        assert got == {(4, 5): 1.0, (5, 4): 1.0}
+
+
+class TestKAnonymity:
+    def test_small_classes_suppress_and_reaggregate(self, spark):
+        """A class of 6 survives; two singleton classes collapse into
+        the fully-generalized ('*','*',-1) row with their summed
+        count."""
+        rows = [(i, f"t{i}", "en", "web", 100) for i in range(6)]
+        rows += [(10, "a", "fr", "web", 9_999), (11, "b", "de", "cc", 50)]
+        d = _write_docs(spark, rows)
+        got = {
+            (r["lang_o"], r["source_o"], r["len_bucket_o"]): r
+            for r in governance_k_anonymity(spark, d).collect()
+        }
+        assert got[("en", "web", 0)]["n"] == 6
+        assert not got[("en", "web", 0)]["suppressed"]
+        assert got[("*", "*", -1)]["n"] == 2
+        assert got[("*", "*", -1)]["suppressed"]
+        assert len(got) == 2
+
+    def test_boundary_class_exactly_k_survives(self, spark):
+        rows = [(i, f"t{i}", "en", "web", 100) for i in range(K_ANON)]
+        d = _write_docs(spark, rows)
+        got = governance_k_anonymity(spark, d).collect()
+        assert len(got) == 1 and not got[0]["suppressed"]

@@ -319,6 +319,12 @@ class TestGlobalWindowBan:
         "funnel_view_click_purchase",
         # 20-row rank BELOW the distributed TakeOrderedAndProject
         "text_bm25_ranking",
+        # k=8-row centroid init numbering below an orderBy().limit(8)
+        # (TakeOrderedAndProject), once per plan — constant-size
+        "cluster_kmeans_lloyd",
+        # two 20-row per-retriever ranks + one ≤40-row fused rank, all
+        # below TakeOrderedAndProject / a 40-row full-outer join
+        "retrieval_rrf_fusion",
         # cumulative sum over the per-DAY delta table — |days| rows,
         # bounded by the time span, independent of fact scale (the
         # sweep-line interval-counting shape)
