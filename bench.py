@@ -88,6 +88,7 @@ HEADLINE = [
     # both shuffle-heavy shapes that must stay measured
     "cluster_kmeans_lloyd",
     "dedup_containment_pairs",
+    "embedding_pca_power_iteration",
 ]
 
 

@@ -1,6 +1,9 @@
-"""Round-7 second wave: in-engine k-means TRAINING (the piece that
-closes the IVF/SemDeDup loop — centroids so far came from deterministic
-sampling; Lloyd iterations train them ON the cluster), hybrid-retrieval
+"""Round-7 second wave: in-engine k-means TRAINING made oracle-checkable
+(the float Lloyd behind the IVF/SemDeDup codebooks —
+``operators/similarity.py:kmeans_centroids`` — can't be hash-gated
+because float means aren't engine-reproducible; this is the same fold in
+exact integer arithmetic, so the training loop itself gets a
+differential gate), hybrid-retrieval
 rank fusion (RRF, Cormack et al. 2009 — the standard way to combine a
 lexical and a second ranker in RAG data prep), asymmetric CONTAINMENT
 dedup (catches a small document embedded in a large one — the case
@@ -53,6 +56,10 @@ CONT_MIN_SHINGLES = 5  # docs with fewer capped shingles are too small
 
 K_ANON = 5
 LEN_BUCKET = 500  # chars per quasi-identifier length bucket
+
+# --- PCA power iteration --------------------------------------------------
+
+PCA_ITERS = 3
 
 
 def _kmeans_oracle() -> str:
@@ -505,6 +512,141 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("inter").cast("double") / F.col("n_contained"), 6
         ).alias("containment"),
+    )
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration over the exact integer second-moment
+    matrix: Gram sums are exact BIGINT (then cast once to DOUBLE, every
+    entry < 2^53), matrix-vector products are exact-order left folds of
+    doubles, normalization is one MAX + one division — the JL-projection
+    discipline, so every loading is bit-identical across engines."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {DIM} + 1), k -> mr[k] * v[k])), "
+        "(a, x) -> a + x)"
+    )
+    parts = [
+        f"""
+WITH q AS (
+    SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+m AS (
+    SELECT ii.i AS i, jj.j AS j, CAST(SUM(qv[ii.i] * qv[jj.j]) AS DOUBLE) AS m
+    FROM q
+    CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) ii
+    CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS j) jj
+    GROUP BY ii.i, jj.j
+),
+mrow AS (SELECT i, list(m ORDER BY j) AS mr FROM m GROUP BY i),
+v0 AS (SELECT list_transform(range(1, {DIM} + 1),
+                             x -> CAST(1.0 AS DOUBLE)) AS v)"""
+    ]
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        parts.append(
+            f""",
+w{t} AS (SELECT i, {fold} AS w FROM mrow CROSS JOIN {prev}),
+s{t} AS (SELECT MAX(abs(w)) AS s FROM w{t}),
+v{t} AS (SELECT list(w / s ORDER BY i) AS v FROM w{t} CROSS JOIN s{t})"""
+        )
+        prev = f"v{t}"
+    parts.append(
+        f"""
+SELECT i AS dim, w / s AS loading, s AS lambda_scaled
+FROM w{PCA_ITERS} CROSS JOIN s{PCA_ITERS}
+"""
+    )
+    return "".join(parts)
+
+
+@query("embedding_pca_power_iteration", oracle=_pca_oracle())
+def embedding_pca_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal direction of the embedding corpus via POWER
+    ITERATION on the second-moment (uncentered Gram) matrix — the
+    distributed linear-algebra primitive behind PCA whitening /
+    spectral embedding compression. Three unrolled iterations from the
+    all-ones start vector; output is the max-abs-normalized loading per
+    dimension plus the scale factor (→ the dominant eigenvalue as the
+    iteration converges).
+
+    Exactness: the 64×64 Gram accumulates as exact int64 sums of
+    micro-quantized components (one corpus pass), is cast once to
+    double (every entry < 2^53), and everything after — matrix-vector
+    folds, max-abs, division — is fixed-order IEEE arithmetic, so the
+    raw doubles hash-match across engines (the JL-projection
+    discipline; no rounding anywhere).
+
+    Scale posture: the ONLY corpus-scale work is the Gram pass — each
+    scan task cross-applies its rows against a broadcast 4096-entry
+    (i, j) index and partial-aggregates map-side, so the shuffle is
+    4096 constant-width groups (the ``embedding_covariance_matrix``
+    shape). Every iteration after that touches 64 rows: broadcast the
+    1-row vector, fold, 1-row max, 64-row reassembly — free at any
+    corpus size, which is exactly why power iteration suits a cluster
+    better than a full eigendecomposition."""
+    em = dd.spread(_quantized(spark, sf_dir))
+    idx = (
+        spark.range(1, DIM + 1)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(1, DIM + 1).select(F.col("id").alias("j")))
+    )
+    terms = em.crossJoin(F.broadcast(idx)).select(
+        "i",
+        "j",
+        (
+            F.element_at("qv", F.col("i").cast("int"))
+            * F.element_at("qv", F.col("j").cast("int"))
+        ).alias("t"),
+    )
+    mrow = (
+        terms.groupBy("i", "j")
+        .agg(F.sum("t").cast("double").alias("m"))
+        .groupBy("i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "m"))),
+                lambda x: x["m"],
+            ).alias("mr")
+        )
+    )
+    v = spark.range(1).select(
+        F.array(*[F.lit(1.0) for _ in range(DIM)]).alias("v")
+    )
+    w = None
+    s = None
+    for _ in range(PCA_ITERS):
+        w = mrow.crossJoin(F.broadcast(v)).select(
+            "i",
+            F.aggregate(
+                F.zip_with("mr", "v", lambda m, x: m * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("w"),
+        )
+        s = w.agg(F.max(F.abs("w")).alias("s"))
+        v = (
+            w.crossJoin(F.broadcast(s))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("i", (F.col("w") / F.col("s")).alias("x"))
+                        )
+                    ),
+                    lambda e: e["x"],
+                ).alias("v")
+            )
+        )
+    return w.crossJoin(F.broadcast(s)).select(
+        F.col("i").alias("dim"),
+        (F.col("w") / F.col("s")).alias("loading"),
+        F.col("s").alias("lambda_scaled"),
     )
 
 

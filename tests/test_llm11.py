@@ -10,12 +10,15 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from rust_ruuvitag_etl_spark.plans.llm11 import (
+    DIM,
     K_ANON,
     K_CLUSTERS,
+    PCA_ITERS,
     Q_SCALE,
     RRF_K,
     cluster_kmeans_lloyd,
     dedup_containment_pairs,
+    embedding_pca_power_iteration,
     governance_k_anonymity,
     retrieval_rrf_fusion,
 )
@@ -172,6 +175,58 @@ class TestContainmentPairs:
             for r in dedup_containment_pairs(spark, d).collect()
         }
         assert got == {(4, 5): 1.0, (5, 4): 1.0}
+
+
+class TestPCAPowerIteration:
+    def test_single_axis_corpus_recovers_that_axis(self, spark):
+        """Vectors living entirely on axis 7 make the Gram matrix a
+        single nonzero entry, so one iteration lands exactly on e_7:
+        loading[7] = 1.0, every other loading exactly 0.0, and the
+        scale factor equals the exact Gram entry Σ q²."""
+        vals = [0.25, -0.5, 0.125, 0.3]
+        rows = []
+        for i, c in enumerate(vals):
+            v = [0.0] * DIM
+            v[6] = float(np.float32(c))  # dim 7, 1-based
+            rows.append((i, v, 0))
+        d = _write_embeddings(spark, rows)
+        out = {r["dim"]: r for r in embedding_pca_power_iteration(spark, d).collect()}
+        assert out[7]["loading"] == 1.0
+        assert all(out[k]["loading"] == 0.0 for k in out if k != 7)
+        expect_lambda = float(sum(_q(c) ** 2 for c in vals))
+        assert out[7]["lambda_scaled"] == expect_lambda
+
+    def test_bit_exact_against_pure_python_fold(self, spark):
+        """The whole pipeline replicated as plain Python floats (same
+        quantization, same left-fold order, same max-abs normalization)
+        must match every emitted double BIT-FOR-BIT — the JL-projection
+        exactness discipline."""
+        rng = np.random.RandomState(7)
+        mat = rng.uniform(-0.4, 0.4, size=(12, DIM)).astype(np.float32)
+        rows = [
+            (i, [float(x) for x in mat[i]], 0) for i in range(mat.shape[0])
+        ]
+        d = _write_embeddings(spark, rows)
+        out = {r["dim"]: r for r in embedding_pca_power_iteration(spark, d).collect()}
+
+        qvs = [[_q(float(x)) for x in mat[i]] for i in range(mat.shape[0])]
+        m = [
+            [float(sum(q[i] * q[j] for q in qvs)) for j in range(DIM)]
+            for i in range(DIM)
+        ]
+        v = [1.0] * DIM
+        for _ in range(PCA_ITERS):
+            w = []
+            for i in range(DIM):
+                acc = 0.0
+                for j in range(DIM):
+                    acc = acc + m[i][j] * v[j]
+                w.append(acc)
+            s = max(abs(x) for x in w)
+            v = [x / s for x in w]
+        for i in range(DIM):
+            assert out[i + 1]["loading"] == v[i], i
+            assert out[i + 1]["lambda_scaled"] == s
 
 
 class TestKAnonymity:
