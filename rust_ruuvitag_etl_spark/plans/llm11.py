@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tf
+from ..functions import vectors as vf
 from ..operators import dedup as dd
 from ..sources import load
 from .registry import query
@@ -60,6 +61,13 @@ LEN_BUCKET = 500  # chars per quasi-identifier length bucket
 # --- PCA power iteration --------------------------------------------------
 
 PCA_ITERS = 3
+
+# --- MMR diverse re-ranking ------------------------------------------------
+
+MMR_K = 5  # greedy selections
+MMR_POOL = 20  # shortlist depth the greedy loop runs over
+MMR_QUERY_ID = 0  # the deterministic query vector
+# lambda = 0.5, written as 0.5*rel - 0.5*maxsim (0.5 scaling is exact)
 
 
 def _kmeans_oracle() -> str:
@@ -647,6 +655,175 @@ def embedding_pca_power_iteration(
         F.col("i").alias("dim"),
         (F.col("w") / F.col("s")).alias("loading"),
         F.col("s").alias("lambda_scaled"),
+    )
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    """The registry's standard rounded cosine (the _SIM_ORACLE shape)."""
+    return (
+        f"ROUND(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: shortlist by rounded relevance, then MMR_K
+    argmax steps, each over the rounded pairwise-sim table restricted to
+    the already-selected set. All comparisons run on 6-dp-rounded
+    doubles with vec_id tie-breaks — engine-stable decisions."""
+    parts = [
+        f"""
+WITH c AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+),
+qv AS (SELECT cv AS qv FROM c WHERE vec_id = {MMR_QUERY_ID}),
+rel AS (
+    SELECT c.vec_id, c.cv, {_mmr_cos_sql('qv', 'cv')} AS rel
+    FROM c, qv WHERE c.vec_id <> {MMR_QUERY_ID}
+),
+cand AS (SELECT vec_id, cv, rel FROM rel
+         ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+p AS (
+    SELECT a.vec_id AS pa, b.vec_id AS pb, {_mmr_cos_sql('a.cv', 'b.cv')} AS sim
+    FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+s1 AS (SELECT vec_id, rel, ROUND(0.5 * rel, 6) AS score, 1 AS step
+       FROM cand ORDER BY ROUND(0.5 * rel, 6) DESC, vec_id LIMIT 1),
+sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        parts.append(
+            f""",
+s{t} AS (
+    SELECT r.vec_id, r.rel, ROUND(0.5 * r.rel - 0.5 * m.ms, 6) AS score,
+           {t} AS step
+    FROM cand r
+    JOIN (SELECT pa, MAX(sim) AS ms FROM p
+          WHERE pb IN (SELECT vec_id FROM sel{t - 1}) GROUP BY pa) m
+      ON m.pa = r.vec_id
+    WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+    ORDER BY score DESC, vec_id LIMIT 1
+),
+sel{t} AS (SELECT vec_id FROM sel{t - 1} UNION ALL SELECT vec_id FROM s{t})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, rel, score, step FROM s{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    parts.append(
+        f"""
+SELECT vec_id, CAST(step AS INTEGER) AS step, rel, score FROM ({union})
+"""
+    )
+    return "".join(parts)
+
+
+@query("retrieval_mmr_rerank", oracle=_mmr_oracle())
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse re-ranking (Carbonell &
+    Goldstein 1998, λ=0.5): greedy top-{MMR_K} from the cosine
+    top-{MMR_POOL} shortlist for query vector {MMR_QUERY_ID}, each step
+    picking argmax(0.5·relevance − 0.5·max-sim-to-selected) — the
+    standard way RAG pipelines stop near-duplicate passages from
+    crowding a context window.
+
+    Exactness: every cosine rounds to 6 dp BEFORE any comparison (the
+    _SIM_ORACLE discipline) and ties break on vec_id, so the greedy
+    decisions — and therefore the whole selection — are engine-stable;
+    the unrolled DuckDB oracle replays all {MMR_K} steps.
+
+    Scale posture: the ONLY corpus-scale work is the shortlist
+    (broadcast 1-row query, scan-local cosine, distributed
+    TakeOrderedAndProject); the shortlist and its pairwise-sim table
+    are localCheckpointed constants ({MMR_POOL} and
+    {MMR_POOL}×{MMR_POOL - 1} rows), so the greedy loop's joins and
+    1-row argmaxes never touch the corpus — MMR's O(k·pool) inner loop
+    runs on constant-size data no matter how big the index is."""
+    em = dd.spread(load(spark, sf_dir, "embeddings"))
+    c = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    qv = c.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("cv").alias("qv")
+    )
+    rel = (
+        c.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(qv))  # 1-row broadcast query
+        .select(
+            "vec_id",
+            "cv",
+            F.round(vf.cosine(F.col("qv"), F.col("cv")), 6).alias("rel"),
+        )
+    )
+    # Materialize the constant-size shortlist: it feeds the pair table
+    # and every greedy step — without the checkpoint the corpus top-k
+    # subplan would re-execute per step.
+    cand = (
+        rel.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("pa"),
+            F.col("b.vec_id").alias("pb"),
+            F.round(vf.cosine(F.col("a.cv"), F.col("b.cv")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # pool*(pool-1) constant rows
+    )
+    candr = cand.select("vec_id", "rel")
+    picks = []
+    sel_ids = None
+    for t in range(1, MMR_K + 1):
+        if t == 1:
+            scores = candr.select(
+                "vec_id", "rel", F.round(0.5 * F.col("rel"), 6).alias("score")
+            )
+        else:
+            ms = (
+                pairs.join(
+                    F.broadcast(sel_ids), F.col("pb") == F.col("svec")
+                )
+                .groupBy("pa")
+                .agg(F.max("sim").alias("ms"))
+            )
+            scores = (
+                candr.join(
+                    sel_ids, F.col("vec_id") == F.col("svec"), "left_anti"
+                )
+                .join(ms, F.col("vec_id") == F.col("pa"))
+                .select(
+                    "vec_id",
+                    "rel",
+                    F.round(
+                        0.5 * F.col("rel") - 0.5 * F.col("ms"), 6
+                    ).alias("score"),
+                )
+            )
+        # Each 1-row pick checkpoints so step t+1's plan references a
+        # materialized row instead of re-deriving every earlier step —
+        # without this the unrolled lineage compiles to 100+ exchanges
+        # (constant data, but quadratic plan growth).
+        pick = (
+            scores.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .withColumn("step", F.lit(t))
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+        new_id = pick.select(F.col("vec_id").alias("svec"))
+        sel_ids = new_id if sel_ids is None else sel_ids.unionByName(new_id)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "vec_id", F.col("step").cast("int").alias("step"), "rel", "score"
     )
 
 

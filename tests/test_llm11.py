@@ -13,6 +13,7 @@ from rust_ruuvitag_etl_spark.plans.llm11 import (
     DIM,
     K_ANON,
     K_CLUSTERS,
+    MMR_K,
     PCA_ITERS,
     Q_SCALE,
     RRF_K,
@@ -20,8 +21,10 @@ from rust_ruuvitag_etl_spark.plans.llm11 import (
     dedup_containment_pairs,
     embedding_pca_power_iteration,
     governance_k_anonymity,
+    retrieval_mmr_rerank,
     retrieval_rrf_fusion,
 )
+from .conftest import SF_SMALL
 
 
 def _write_docs(spark, rows):
@@ -175,6 +178,79 @@ class TestContainmentPairs:
             for r in dedup_containment_pairs(spark, d).collect()
         }
         assert got == {(4, 5): 1.0, (5, 4): 1.0}
+
+
+class TestMMRRerank:
+    def test_near_duplicate_demoted_for_diversity(self, spark):
+        """The second-most-relevant candidate is a near-copy of the
+        first pick, so MMR's sim penalty pushes it BEHIND a less
+        relevant but diverse candidate — the behavior plain top-k
+        cannot produce."""
+
+        def vec(*pairs):
+            v = [0.0] * 64
+            for i, x in pairs:
+                v[i] = x
+            return v
+
+        rows = [
+            (0, vec((0, 1.0)), 0),                      # the query
+            (1, vec((0, 0.9), (1, 0.1)), 0),            # top relevance
+            (2, vec((0, 0.89), (1, 0.11)), 0),          # near-dup of 1
+            (3, vec((0, 0.5), (2, 0.8)), 0),            # diverse
+        ]
+        d = _write_embeddings(spark, rows)
+        got = sorted(
+            retrieval_mmr_rerank(spark, d).collect(), key=lambda r: r["step"]
+        )
+        assert [r["vec_id"] for r in got] == [1, 3, 2]
+
+    def test_numpy_greedy_replay_picks_same_sequence(self, spark):
+        """Independent replay of the whole pipeline in numpy (same
+        6-dp rounding, same tie-breaks) selects the identical id
+        sequence on real sf0.001 data — a third engine agreeing with
+        Spark and the DuckDB oracle. (Note MMR scores need NOT be
+        monotone: a NEGATIVE max-cosine to the selected set is a
+        diversity BONUS, observed on this corpus.)"""
+        import pandas as pd
+
+        emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+        vecs = {
+            int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()
+        }
+        q = vecs[0]
+
+        def cos(a, b):
+            return round(
+                float(np.dot(a, b))
+                / (float(np.sqrt(np.dot(a, a))) * float(np.sqrt(np.dot(b, b)))),
+                6,
+            )
+
+        rel = {i: cos(q, v) for i, v in vecs.items() if i != 0}
+        pool = sorted(rel, key=lambda i: (-rel[i], i))[:20]
+        sel = []
+        for _ in range(MMR_K):
+            best = None
+            for i in pool:
+                if i in sel:
+                    continue
+                pen = max(cos(vecs[i], vecs[j]) for j in sel) if sel else 0.0
+                sc = round(0.5 * rel[i], 6) if not sel else round(
+                    0.5 * rel[i] - 0.5 * pen, 6
+                )
+                key = (-sc, i)
+                if best is None or key < best[0]:
+                    best = (key, i)
+            sel.append(best[1])
+
+        got = sorted(
+            retrieval_mmr_rerank(spark, SF_SMALL).collect(),
+            key=lambda r: r["step"],
+        )
+        assert [r["step"] for r in got] == list(range(1, MMR_K + 1))
+        assert [r["vec_id"] for r in got] == sel
 
 
 class TestPCAPowerIteration:

@@ -79,6 +79,15 @@ CORPUS_QUERIES = [
     # replica overlap like every exact dedup output).
     "dedup_ngram_jaccard_pairs",
     "dedup_substring_spans",
+    # round-7 wave-2 additions: Lloyd training (per-iteration argmin +
+    # (k x dim)-group shuffles — should scale ~linearly in the corpus),
+    # the Gram-pass PCA (scan-bound: the iterations are corpus-size-
+    # free, so the exponent is the Gram accumulation alone), and the
+    # containment pair join (df-capped shingle equi-join — candidate
+    # volume tracks capped-df overlap, same discipline as CDC/ssjoin).
+    "cluster_kmeans_lloyd",
+    "embedding_pca_power_iteration",
+    "dedup_containment_pairs",
 ]
 
 # Graph axis (round-4 verdict #7): the engagement-graph algorithms read
