@@ -474,7 +474,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= CONT_DF_CAP
     )
-    capped = sh.join(ok.select("s"), "s")
+    # The capped shingle table feeds THREE consumers (per-doc sizes and
+    # both sides of the pair join) — checkpoint it once so the
+    # explode + df join doesn't re-execute per reference (the llm9
+    # signature-table discipline).
+    capped = sh.join(ok.select("s"), "s").localCheckpoint(eager=True)
     nsz = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = capped.alias("a"), capped.alias("b")
     ints = (
@@ -611,6 +615,10 @@ def embedding_pca_power_iteration(
             * F.element_at("qv", F.col("j").cast("int"))
         ).alias("t"),
     )
+    # The 64-row Gram table materializes ONCE: the three iterations each
+    # reference it, and without the checkpoint Catalyst re-plans the
+    # corpus scan per reference (observed: 14 scan nodes) instead of the
+    # single pass the algorithm needs.
     mrow = (
         terms.groupBy("i", "j")
         .agg(F.sum("t").cast("double").alias("m"))
@@ -621,6 +629,7 @@ def embedding_pca_power_iteration(
                 lambda x: x["m"],
             ).alias("mr")
         )
+        .localCheckpoint(eager=True)
     )
     v = spark.range(1).select(
         F.array(*[F.lit(1.0) for _ in range(DIM)]).alias("v")
