@@ -89,6 +89,10 @@ HEADLINE = [
     "cluster_kmeans_lloyd",
     "dedup_containment_pairs",
     "embedding_pca_power_iteration",
+    # the two retrieval compositions: each is corpus-scan + constant-
+    # size fusion/greedy stages — measured so the scan share stays honest
+    "retrieval_rrf_fusion",
+    "retrieval_mmr_rerank",
 ]
 
 

@@ -349,10 +349,14 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_tfidf = F.col("tf_raw") * F.log(
         F.col("n_docs").cast("double") / F.col("df")
     )
+    # BOTH retrievers score from this table; checkpoint so the corpus
+    # tokenize/explode/length pass runs once, not once per branch (the
+    # table itself is small: only (matched doc, query term) rows).
     base = (
         tf_t.join(F.broadcast(df_t), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))  # 1-row broadcast scalar
+        .localCheckpoint(eager=True)
     )
 
     def _top(parts: DataFrame) -> DataFrame:
@@ -664,6 +668,199 @@ def embedding_pca_power_iteration(
         F.col("i").alias("dim"),
         (F.col("w") / F.col("s")).alias("loading"),
         F.col("s").alias("lambda_scaled"),
+    )
+
+
+def _kmeans_inertia_oracle() -> str:
+    """The k-means CTE blocks again, but carrying the assignment
+    distance: inertia_t = Σ_v min_c d(v, cents_{t-1}) — the objective
+    Lloyd's descent lemma makes (near-)monotone. The monotone flag is
+    computed from IDENTICAL integers in both engines, so it is
+    hash-safe by construction; pytest asserts it is actually TRUE."""
+    parts = [
+        f"""
+WITH qvs AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+           qv AS cv
+    FROM qvs ORDER BY vec_id LIMIT {K_CLUSTERS}
+)"""
+    ]
+    prev = "c0"
+    for t in range(1, LLOYD_ITERS + 1):
+        parts.append(
+            f""",
+s{t} AS (
+    SELECT v.vec_id, v.qv, c.cluster,
+           list_sum(list_transform(range(1, {DIM} + 1),
+               i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d
+    FROM qvs v CROSS JOIN {prev} c
+),
+a{t} AS (
+    SELECT vec_id, qv, cluster, d
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM s{t})
+    WHERE rn = 1
+),
+i{t} AS (SELECT CAST(SUM(d) AS BIGINT) AS inertia FROM a{t}),
+c{t} AS (
+    SELECT cluster, list(c ORDER BY dim) AS cv
+    FROM (
+        SELECT cluster, dims.i AS dim,
+               CAST(floor(CAST(SUM(qv[dims.i]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS c
+        FROM a{t}
+        CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) dims
+        GROUP BY cluster, dims.i
+    ) GROUP BY cluster
+)"""
+        )
+        prev = f"c{t}"
+    iters = ", ".join(
+        f"({t}, i{t}.inertia)" for t in range(1, LLOYD_ITERS + 1)
+    )
+    froms = " CROSS JOIN ".join(f"i{t}" for t in range(1, LLOYD_ITERS + 1))
+    mono = " AND ".join(
+        f"i{t}.inertia >= i{t + 1}.inertia" for t in range(1, LLOYD_ITERS)
+    )
+    parts.append(
+        f"""
+SELECT CAST(u.it AS INTEGER) AS iter, u.inertia,
+       ({mono}) AS monotone_ok
+FROM {froms}, (VALUES {iters}) u(it, inertia)
+"""
+    )
+    return "".join(parts)
+
+
+@query("cluster_kmeans_inertia", oracle=_kmeans_inertia_oracle())
+def cluster_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration k-means OBJECTIVE: inertia_t = Σ_v min_c
+    ‖v − c‖² at each of the {LLOYD_ITERS} assignment steps, plus the
+    Lloyd descent invariant as an in-query ``monotone_ok`` flag — the
+    convergence evidence a training job logs. Distances are the exact
+    int64 values of ``cluster_kmeans_lloyd``, so inertia is an exact
+    integer and the flag is computed from identical numbers in both
+    engines (hash-safe); pytest asserts it is TRUE on real corpora.
+    (Floor-division centroid means sit within one micro-unit of the true
+    minimizers, so exact-arithmetic descent holds with enormous margin
+    at these magnitudes; at 100 TB the Σd accumulator becomes DECIMAL.)
+
+    Scale posture: identical to ``cluster_kmeans_lloyd`` — per
+    iteration one broadcast-k scan-local distance pass and one
+    partial-aggregated argmin shuffle; each inertia is a 1-row
+    aggregate; the three 1-row aggregates cross-join into the
+    constant-size output."""
+    vecs = dd.spread(_quantized(spark, sf_dir))
+    cents = _init_centroids(vecs)
+    inertias = []
+    for _ in range(LLOYD_ITERS):
+        d = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "qv", "cluster", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d", "cluster")).alias("m"),
+                F.first("qv").alias("qv"),
+            )
+            .select(
+                "vec_id", "qv", F.col("m.cluster").alias("cluster"),
+                F.col("m.d").alias("d"),
+            )
+        )
+        inertias.append(assigned.agg(F.sum("d").alias("inertia")))
+        g = (
+            assigned.select("cluster", F.posexplode("qv").alias("dim0", "v"))
+            .groupBy("cluster", "dim0")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster",
+                "dim0",
+                F.floor(F.col("s").cast("double") / F.col("n")).alias("c"),
+            )
+        )
+        cents = g.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "c"))),
+                lambda x: x["c"],
+            ).alias("cv")
+        )
+    joined = inertias[0].select(F.col("inertia").alias("i1"))
+    for t, df in enumerate(inertias[1:], start=2):
+        joined = joined.crossJoin(
+            F.broadcast(df.select(F.col("inertia").alias(f"i{t}")))
+        )
+    mono = None
+    for t in range(1, LLOYD_ITERS):
+        cond = F.col(f"i{t}") >= F.col(f"i{t + 1}")
+        mono = cond if mono is None else (mono & cond)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("iter"),
+                F.col(f"i{t}").alias("inertia"),
+            )
+            for t in range(1, LLOYD_ITERS + 1)
+        ]
+    )
+    return (
+        joined.select(F.explode(rows).alias("r"), mono.alias("monotone_ok"))
+        .select(
+            F.col("r.iter").alias("iter"),
+            F.col("r.inertia").alias("inertia"),
+            "monotone_ok",
+        )
+    )
+
+
+_L_DIVERSITY_ORACLE = """
+WITH cls AS (
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+    FROM events GROUP BY event_type, 2
+)
+SELECT event_type, day, n, l, (l >= 3) AS diverse_ok
+FROM cls
+"""
+
+
+@query("governance_l_diversity", oracle=_L_DIVERSITY_ORACLE)
+def governance_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007 — the k-anonymity
+    refinement): for each quasi-identifier class (event_type, day), the
+    number of DISTINCT sensitive values (user_id) it contains, flagged
+    against l = 3 — a class can be k-anonymous yet still leak if every
+    member shares the sensitive value, which is exactly what the l
+    column exposes.
+
+    Scale posture: one groupBy on the class key with COUNT(DISTINCT)
+    partial-aggregated map-side (Spark expands distinct aggregates into
+    a two-phase plan keyed by (class, user) — both phases uniform,
+    class cardinality is time-span × |types|, independent of fact
+    scale)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("l"),
+        )
+        .select(
+            "event_type", "day", "n", "l", (F.col("l") >= 3).alias("diverse_ok")
+        )
     )
 
 

@@ -17,8 +17,10 @@ from rust_ruuvitag_etl_spark.plans.llm11 import (
     PCA_ITERS,
     Q_SCALE,
     RRF_K,
+    cluster_kmeans_inertia,
     cluster_kmeans_lloyd,
     dedup_containment_pairs,
+    governance_l_diversity,
     embedding_pca_power_iteration,
     governance_k_anonymity,
     retrieval_mmr_rerank,
@@ -178,6 +180,74 @@ class TestContainmentPairs:
             for r in dedup_containment_pairs(spark, d).collect()
         }
         assert got == {(4, 5): 1.0, (5, 4): 1.0}
+
+
+class TestKMeansInertia:
+    def test_monotone_descent_on_real_corpus(self, spark):
+        got = sorted(
+            cluster_kmeans_inertia(spark, SF_SMALL).collect(),
+            key=lambda r: r["iter"],
+        )
+        assert [r["iter"] for r in got] == [1, 2, 3]
+        vals = [r["inertia"] for r in got]
+        assert vals[0] >= vals[1] >= vals[2]
+        assert all(r["monotone_ok"] for r in got)
+
+    def test_planted_pairs_converge_after_first_update(self, spark):
+        """Tight pairs: after the first centroid update every vector
+        sits delta from its pair-mean centroid, so iterations 2 and 3
+        have identical inertia (converged) and iteration 1's is
+        strictly larger (each 'right' point started 2*delta from its
+        init centroid)."""
+        rows = []
+        for j in range(K_CLUSTERS):
+            center = 0.1 * j
+            rows.append((j, [float(np.float32(center - 0.001))] + [0.0] * 63, j))
+            rows.append((8 + j, [float(np.float32(center + 0.001))] + [0.0] * 63, j))
+        d = _write_embeddings(spark, rows)
+        got = sorted(
+            cluster_kmeans_inertia(spark, d).collect(), key=lambda r: r["iter"]
+        )
+        vals = [r["inertia"] for r in got]
+        assert vals[0] > vals[1] == vals[2]
+        assert all(r["monotone_ok"] for r in got)
+
+
+class TestLDiversity:
+    def test_homogeneous_class_flagged(self, spark):
+        """A class whose rows all belong to ONE user is k-anonymous at
+        k=3 but l=1 — exactly the leak l-diversity exposes."""
+        import datetime as dt
+
+        def ts(day, h):
+            return dt.datetime(2024, 3, day, h, 0, 0)
+
+        rows = [
+            # 3 events, one user -> l=1, not diverse
+            (1, ts(1, 1), 7, "view", 1.0, "{}"),
+            (2, ts(1, 2), 7, "view", 1.0, "{}"),
+            (3, ts(1, 3), 7, "view", 1.0, "{}"),
+            # 3 events, 3 users -> l=3, diverse
+            (4, ts(2, 1), 1, "click", 1.0, "{}"),
+            (5, ts(2, 2), 2, "click", 1.0, "{}"),
+            (6, ts(2, 3), 3, "click", 1.0, "{}"),
+        ]
+        d = tempfile.mkdtemp(prefix="llm11_ev_")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        got = {
+            (r["event_type"], r["day"]): r
+            for r in governance_l_diversity(spark, d).collect()
+        }
+        assert got[("view", "2024-03-01")]["l"] == 1
+        assert not got[("view", "2024-03-01")]["diverse_ok"]
+        assert got[("click", "2024-03-02")]["l"] == 3
+        assert got[("click", "2024-03-02")]["diverse_ok"]
 
 
 class TestMMRRerank:

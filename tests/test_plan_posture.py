@@ -322,6 +322,8 @@ class TestGlobalWindowBan:
         # k=8-row centroid init numbering below an orderBy().limit(8)
         # (TakeOrderedAndProject), once per plan — constant-size
         "cluster_kmeans_lloyd",
+        # same constant-size centroid-init window (shared helper)
+        "cluster_kmeans_inertia",
         # two 20-row per-retriever ranks + one ≤40-row fused rank, all
         # below TakeOrderedAndProject / a 40-row full-outer join
         "retrieval_rrf_fusion",
