@@ -823,6 +823,125 @@ def cluster_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_assign_oracle() -> str:
+    """The training CTE blocks (c0..c{T}) plus one final assignment
+    pass: every corpus vector's nearest trained centroid under the same
+    exact integer argmin."""
+    base = _kmeans_oracle()
+    # reuse everything up to the final SELECT, then assign against c{T}
+    head = base[: base.rindex("\nSELECT")]
+    return (
+        head
+        + f""",
+sf AS (
+    SELECT v.vec_id, c.cluster,
+           list_sum(list_transform(range(1, {DIM} + 1),
+               i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d
+    FROM qvs v CROSS JOIN c{LLOYD_ITERS} c
+)
+SELECT vec_id, cluster, CAST(d AS BIGINT) AS d
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM sf)
+WHERE rn = 1
+"""
+    )
+
+
+@query("streaming_kmeans_assign", oracle=_kmeans_assign_oracle())
+def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE INFERENCE against the trained codebook: the embeddings
+    table arrives as a file STREAM and every vector is assigned to its
+    nearest ``cluster_kmeans_lloyd`` centroid by a stream-static
+    broadcast join — the deploy-side half of the train→serve loop
+    (batch trains, the stream labels new arrivals). Same exact integer
+    argmin as training, so the batch-SQL oracle pins the STREAMING
+    execution row-for-row (the registry's strongest batch↔stream
+    agreement check, applied to model serving).
+
+    Scale posture: centroids train once batch-side and materialize as a
+    k-row broadcast (localCheckpoint — the static side of a
+    stream-static join must not retrain per micro-batch); each
+    micro-batch then does a scan-local broadcast-k distance pass and a
+    keyed argmin — per-key state is one (d, cluster) struct, bounded by
+    distinct vec_ids. Registered in this module (not
+    streaming_batchck) so the driver's first-50 sample keeps its
+    composition."""
+    vecs = dd.spread(_quantized(spark, sf_dir))
+    cents = _init_centroids(vecs)
+    for _ in range(LLOYD_ITERS):
+        assigned = _assign_int(vecs, cents)
+        g = (
+            assigned.select("cluster", F.posexplode("qv").alias("dim0", "v"))
+            .groupBy("cluster", "dim0")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster",
+                "dim0",
+                F.floor(F.col("s").cast("double") / F.col("n")).alias("c"),
+            )
+        )
+        cents = g.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "c"))),
+                lambda x: x["c"],
+            ).alias("cv")
+        )
+    # the static side of the stream-static join: k rows, trained once
+    cents = cents.withColumn("jk", F.lit(1)).localCheckpoint(eager=True)
+
+    import os
+
+    sch = "vec_id long, embedding array<float>, label int"
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    if os.path.isdir(path):
+        # directory-of-part-files layout (test fixtures)
+        raw = spark.readStream.schema(sch).parquet(path)
+    else:
+        # single-file layout (driver testdata): stream the parent dir
+        # with a glob pinned to the file (the _events_stream pattern)
+        raw = (
+            spark.readStream.schema(sch)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
+    stream = (
+        raw.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * Q_SCALE).cast("long"),
+            ).alias("qv"),
+        )
+        .withColumn("jk", F.lit(1))
+    )
+    d = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned_stream = (
+        stream.join(F.broadcast(cents), "jk")  # stream-static, k rows
+        .select("vec_id", "cluster", d.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cluster")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cluster").alias("cluster"),
+            F.col("m.d").alias("d"),
+        )
+    )
+    name = "ska_streaming_kmeans_assign"  # fixed: see streaming_batchck
+    q = (
+        assigned_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _L_DIVERSITY_ORACLE = """
 WITH cls AS (
     SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

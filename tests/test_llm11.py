@@ -25,6 +25,7 @@ from rust_ruuvitag_etl_spark.plans.llm11 import (
     governance_k_anonymity,
     retrieval_mmr_rerank,
     retrieval_rrf_fusion,
+    streaming_kmeans_assign,
 )
 from .conftest import SF_SMALL
 
@@ -180,6 +181,85 @@ class TestContainmentPairs:
             for r in dedup_containment_pairs(spark, d).collect()
         }
         assert got == {(4, 5): 1.0, (5, 4): 1.0}
+
+
+class TestStreamingKMeansAssign:
+    def test_streamed_vectors_land_in_pair_clusters(self, spark):
+        """On the tight-pair corpus the stream must label BOTH members
+        of pair j with cluster j (the trained centroid sits at the pair
+        mean), with the left/right residual distances symmetric."""
+        rows = []
+        for j in range(K_CLUSTERS):
+            center = 0.1 * j
+            rows.append((j, [float(np.float32(center - 0.001))] + [0.0] * 63, j))
+            rows.append((8 + j, [float(np.float32(center + 0.001))] + [0.0] * 63, j))
+        d = _write_embeddings(spark, rows)
+        got = {r["vec_id"]: r for r in streaming_kmeans_assign(spark, d).collect()}
+        assert len(got) == 2 * K_CLUSTERS
+        for j in range(K_CLUSTERS):
+            assert got[j]["cluster"] == j
+            assert got[8 + j]["cluster"] == j
+            # centroid = floor-mean of the two quantized points, so the
+            # two residuals differ by at most the floor's one-unit bias
+            assert abs(got[j]["d"] - got[8 + j]["d"]) <= 2 * Q_SCALE
+
+    def test_stream_matches_batch_assignment(self, spark):
+        """The streaming result equals a batch recomputation of the
+        same assignment on real sf0.001 data (stream-static join and
+        keyed argmin introduce no divergence)."""
+        from rust_ruuvitag_etl_spark.plans.llm11 import (
+            _assign_int,
+            _init_centroids,
+            _quantized,
+        )
+        from rust_ruuvitag_etl_spark.plans.llm11 import LLOYD_ITERS
+        from pyspark.sql import functions as F2
+
+        got = {
+            r["vec_id"]: (r["cluster"], r["d"])
+            for r in streaming_kmeans_assign(spark, SF_SMALL).collect()
+        }
+        vecs = _quantized(spark, SF_SMALL)
+        cents = _init_centroids(vecs)
+        for _ in range(LLOYD_ITERS):
+            assigned = _assign_int(vecs, cents)
+            g = (
+                assigned.select(
+                    "cluster", F2.posexplode("qv").alias("dim0", "v")
+                )
+                .groupBy("cluster", "dim0")
+                .agg(F2.sum("v").alias("s"), F2.count(F2.lit(1)).alias("n"))
+                .select(
+                    "cluster",
+                    "dim0",
+                    F2.floor(F2.col("s").cast("double") / F2.col("n")).alias("c"),
+                )
+            )
+            cents = g.groupBy("cluster").agg(
+                F2.transform(
+                    F2.array_sort(F2.collect_list(F2.struct("dim0", "c"))),
+                    lambda x: x["c"],
+                ).alias("cv")
+            )
+        d = F2.aggregate(
+            F2.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F2.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        batch = {
+            r["vec_id"]: (r["cluster"], r["d"])
+            for r in vecs.crossJoin(F2.broadcast(cents))
+            .select("vec_id", "cluster", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(F2.min(F2.struct("d", "cluster")).alias("m"))
+            .select(
+                "vec_id",
+                F2.col("m.cluster").alias("cluster"),
+                F2.col("m.d").alias("d"),
+            )
+            .collect()
+        }
+        assert got == batch
 
 
 class TestKMeansInertia:
