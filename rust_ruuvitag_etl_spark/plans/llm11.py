@@ -29,7 +29,7 @@ from ..functions import text as tf
 from ..functions import vectors as vf
 from ..operators import dedup as dd
 from ..sources import load
-from .registry import query
+from .registry import REGISTRY, query
 
 # --- k-means Lloyd -----------------------------------------------------
 
@@ -979,6 +979,132 @@ def governance_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type", "day", "n", "l", (F.col("l") >= 3).alias("diverse_ok")
+        )
+    )
+
+
+def _langid_eval_oracle() -> str:
+    """The text_langid_trigram oracle re-used verbatim (taken from the
+    registry so the two can never drift), its final SELECT wrapped into
+    a ``pred`` CTE, with the classification-metrics CTEs on top."""
+    langid = REGISTRY["text_langid_trigram"].oracle
+    cut = langid.rindex("SELECT doc_id, lang, predicted_lang, hits,")
+    head = langid[:cut].rstrip()  # ends with the scored CTE's ')'
+    final_sel = langid[cut:].strip()
+    return (
+        head
+        + ",\npred AS (\n"
+        + final_sel
+        + """
+),
+per_true AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+    FROM pred GROUP BY lang
+),
+per_pred AS (
+    SELECT predicted_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_predicted
+    FROM pred GROUP BY predicted_lang
+),
+tot AS (
+    SELECT ROUND(CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM pred
+),
+m AS (
+    SELECT t.lang, t.n_docs, COALESCE(p.n_predicted, 0) AS n_predicted,
+           t.n_correct,
+           CASE WHEN COALESCE(p.n_predicted, 0) > 0
+                THEN ROUND(CAST(t.n_correct AS DOUBLE) / p.n_predicted, 6)
+           END AS prec,
+           ROUND(CAST(t.n_correct AS DOUBLE) / t.n_docs, 6) AS rec
+    FROM per_true t LEFT JOIN per_pred p USING (lang)
+)
+SELECT lang, n_docs, n_predicted, n_correct, prec, rec,
+       CASE WHEN prec IS NOT NULL AND prec + rec > 0
+            THEN ROUND(2 * prec * rec / (prec + rec), 6)
+       END AS f1,
+       tot.accuracy AS accuracy
+FROM m CROSS JOIN tot
+"""
+    )
+
+
+@query("eval_langid_metrics", oracle=_langid_eval_oracle())
+def eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION over the langid predictions: per-language
+    precision / recall / F1 on the held-out split, plus global
+    accuracy — the metrics table a pipeline publishes after any model
+    stage (here the trigram language-ID of ``text_langid_trigram``,
+    whose plan — and oracle, lifted verbatim from the registry — this
+    query composes rather than re-implements). Recall rows are keyed by
+    TRUE language; a language never predicted gets n_predicted = 0 with
+    NULL precision/F1 rather than a dropped row. F1 computes from the
+    6-dp-ROUNDED precision/recall so the one non-trivial float
+    expression is engine-identical.
+
+    Scale posture: inherits langid's (tiny broadcast model, uniform
+    (lang, trigram)/doc_id shuffles); the metrics themselves are two
+    |langs|-cardinality groupBys, one |langs|-row left join, and a
+    1-row accuracy broadcast — free at corpus scale."""
+    from .llm2 import text_langid_trigram
+
+    pred = text_langid_trigram(spark, sf_dir)
+    per_true = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    per_pred = pred.groupBy(
+        F.col("predicted_lang").alias("lang")
+    ).agg(F.count(F.lit(1)).alias("n_predicted"))
+    tot = pred.agg(
+        F.round(
+            F.sum(F.when(F.col("correct"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy")
+    )
+    m = (
+        per_true.join(F.broadcast(per_pred), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            "n_correct",
+        )
+        .withColumn(
+            "prec",
+            F.when(
+                F.col("n_predicted") > 0,
+                F.round(
+                    F.col("n_correct").cast("double") / F.col("n_predicted"), 6
+                ),
+            ),
+        )
+        .withColumn(
+            "rec",
+            F.round(F.col("n_correct").cast("double") / F.col("n_docs"), 6),
+        )
+    )
+    return (
+        m.withColumn(
+            "f1",
+            F.when(
+                F.col("prec").isNotNull() & (F.col("prec") + F.col("rec") > 0),
+                F.round(
+                    2 * F.col("prec") * F.col("rec")
+                    / (F.col("prec") + F.col("rec")),
+                    6,
+                ),
+            ),
+        )
+        .crossJoin(F.broadcast(tot))  # 1-row broadcast scalar
+        .select(
+            "lang", "n_docs", "n_predicted", "n_correct",
+            "prec", "rec", "f1", "accuracy",
         )
     )
 

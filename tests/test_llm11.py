@@ -20,9 +20,10 @@ from rust_ruuvitag_etl_spark.plans.llm11 import (
     cluster_kmeans_inertia,
     cluster_kmeans_lloyd,
     dedup_containment_pairs,
-    governance_l_diversity,
     embedding_pca_power_iteration,
+    eval_langid_metrics,
     governance_k_anonymity,
+    governance_l_diversity,
     retrieval_mmr_rerank,
     retrieval_rrf_fusion,
     streaming_kmeans_assign,
@@ -453,6 +454,26 @@ class TestPCAPowerIteration:
         for i in range(DIM):
             assert out[i + 1]["loading"] == v[i], i
             assert out[i + 1]["lambda_scaled"] == s
+
+
+class TestLangidEvalMetrics:
+    def test_metric_identities_on_real_corpus(self, spark):
+        """Per-class counts reconcile with the underlying predictions:
+        Σ n_docs == Σ n_predicted == |held-out set|, accuracy equals
+        Σ n_correct / Σ n_docs, and every F1 is the harmonic mean of
+        its rounded precision/recall."""
+        rows = eval_langid_metrics(spark, SF_SMALL).collect()
+        n_docs = sum(r["n_docs"] for r in rows)
+        n_pred = sum(r["n_predicted"] for r in rows)
+        n_corr = sum(r["n_correct"] for r in rows)
+        assert n_docs == n_pred > 0
+        acc = rows[0]["accuracy"]
+        assert acc == round(n_corr / n_docs, 6)
+        for r in rows:
+            assert 0 <= r["n_correct"] <= min(r["n_docs"], max(r["n_predicted"], r["n_correct"]))
+            if r["f1"] is not None:
+                p, q = r["prec"], r["rec"]
+                assert r["f1"] == round(2 * p * q / (p + q), 6)
 
 
 class TestKAnonymity:
