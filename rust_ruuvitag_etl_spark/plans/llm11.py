@@ -1278,6 +1278,121 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_ndcg_oracle() -> str:
+    """The retrieval_mmr_rerank oracle lifted verbatim from the
+    registry, its final SELECT wrapped into a ``picks`` CTE, with
+    DCG/IDCG folds on top: gains are the 6-dp relevances, the discount
+    is ln(i+1)/ln(2) written identically in both engines, and both
+    sums are exact-order list folds (never a free-order SUM of
+    doubles)."""
+    mmr = REGISTRY["retrieval_mmr_rerank"].oracle
+    cut = mmr.rindex("SELECT vec_id, CAST(step AS INTEGER)")
+    head = mmr[:cut].rstrip()  # ends with sel{K}'s ')'
+    final_sel = mmr[cut:].strip()
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(range(1, len(g) + 1), "
+        "i -> g[i] / (ln(i + 1.0) / ln(2.0)))), (a, x) -> a + x)"
+    )
+    return (
+        head
+        + ",\npicks AS (\n"
+        + final_sel
+        + f"""
+),
+dcg_t AS (
+    SELECT {fold} AS dcg
+    FROM (SELECT list(rel ORDER BY step) AS g FROM picks)
+),
+idcg_t AS (
+    SELECT {fold} AS idcg
+    FROM (SELECT list(rel ORDER BY rel DESC, vec_id) AS g
+          FROM (SELECT rel, vec_id FROM cand
+                ORDER BY rel DESC, vec_id LIMIT {MMR_K}))
+)
+SELECT {MMR_K} AS k, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+       ROUND(dcg / idcg, 6) AS ndcg,
+       ROUND(1.0 - dcg / idcg, 6) AS diversity_cost
+FROM dcg_t CROSS JOIN idcg_t
+"""
+    )
+
+
+@query("eval_mmr_ndcg", oracle=_mmr_ndcg_oracle())
+def eval_mmr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking EVALUATION of the MMR selection: NDCG@{MMR_K} of the
+    diversified list against the ideal pure-relevance ordering of the
+    same candidate pool — `diversity_cost` = 1 − NDCG is exactly what
+    the λ=0.5 diversity term trades away, the number a pipeline
+    monitors when tuning λ. Gains are the 6-dp rounded relevances; the
+    log2 discount is written as ln(i+1)/ln(2) in BOTH engines and both
+    DCG sums are exact-order folds, so every emitted double
+    hash-matches. The MMR oracle is lifted verbatim from the registry
+    (the eval_langid_metrics composition discipline).
+
+    Scale posture: inherits MMR's (one corpus shortlist scan; greedy on
+    checkpointed constants); the eval itself folds two ≤{MMR_K}-element
+    arrays — free."""
+    picks = retrieval_mmr_rerank(spark, sf_dir)  # (vec_id, step, rel, score)
+    # the candidate pool: rebuild the same shortlist for the ideal list
+    em = dd.spread(load(spark, sf_dir, "embeddings"))
+    c = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    qv = c.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("cv").alias("qv")
+    )
+    cand = (
+        c.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(vf.cosine(F.col("qv"), F.col("cv")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    ideal = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(MMR_K)
+
+    def _dcg(df: DataFrame, order_cols, out: str) -> DataFrame:
+        g = df.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(*order_cols, "rel"))),
+                lambda x: x["rel"],
+            ).alias("g")
+        )
+        fold = F.aggregate(
+            F.zip_with(
+                "g",
+                F.transform(
+                    F.sequence(F.lit(1), F.size("g")),
+                    lambda i: F.log(i.cast("double") + 1.0) / F.log(F.lit(2.0)),
+                ),
+                lambda gain, disc: gain / disc,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return g.select(fold.alias(out))
+
+    dcg_t = _dcg(picks, ["step"], "dcg")
+    # ideal order: rel DESC with vec_id tie-break — encode as a sortable
+    # struct (negated rel sorts descending under the ascending array_sort)
+    idcg_t = _dcg(
+        ideal.select((-F.col("rel")).alias("neg_rel"), "vec_id", "rel"),
+        ["neg_rel", "vec_id"],
+        "idcg",
+    )
+    return dcg_t.crossJoin(F.broadcast(idcg_t)).select(
+        F.lit(MMR_K).cast("int").alias("k"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        F.round(1.0 - F.col("dcg") / F.col("idcg"), 6).alias("diversity_cost"),
+    )
+
+
 _K_ANON_ORACLE = f"""
 WITH cls AS (
     SELECT lang, source,

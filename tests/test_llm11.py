@@ -22,6 +22,7 @@ from rust_ruuvitag_etl_spark.plans.llm11 import (
     dedup_containment_pairs,
     embedding_pca_power_iteration,
     eval_langid_metrics,
+    eval_mmr_ndcg,
     governance_k_anonymity,
     governance_l_diversity,
     retrieval_mmr_rerank,
@@ -474,6 +475,43 @@ class TestLangidEvalMetrics:
             if r["f1"] is not None:
                 p, q = r["prec"], r["rec"]
                 assert r["f1"] == round(2 * p * q / (p + q), 6)
+
+
+class TestMMRNdcg:
+    def test_ndcg_bounds_and_identity_on_real_corpus(self, spark):
+        """NDCG lies in (0, 1]; it equals dcg/idcg of the emitted
+        components; and diversity_cost is its complement. A diversified
+        list can only lose relevance vs the ideal ordering, never
+        gain."""
+        row = eval_mmr_ndcg(spark, SF_SMALL).collect()[0]
+        assert row["k"] == 5
+        assert 0 < row["ndcg"] <= 1.0
+        assert row["dcg"] <= row["idcg"]
+        assert abs(row["ndcg"] - round(row["dcg"] / row["idcg"], 6)) <= 1e-6
+        assert abs(row["diversity_cost"] - round(1 - row["dcg"] / row["idcg"], 6)) <= 1e-6
+
+    def test_ndcg_is_one_when_diversity_costs_nothing(self, spark):
+        """Mutually near-orthogonal candidates: the sim penalty never
+        reorders anything, MMR picks the pure-relevance top-5, and
+        NDCG == 1.0 exactly."""
+
+        def vec(i, x):
+            v = [0.0] * 64
+            v[i] = x
+            return v
+
+        rows = [(0, vec(0, 1.0), 0)]
+        # candidates on distinct axes: relevance 0 to the query except a
+        # small shared component; pairwise sims ~0
+        for j in range(1, 10):
+            v = [0.0] * 64
+            v[0] = float(np.float32(0.5 - 0.02 * j))  # graded relevance
+            v[j] = 1.0  # orthogonal identity component
+            rows.append((j, v, 0))
+        d = _write_embeddings(spark, rows)
+        row = eval_mmr_ndcg(spark, d).collect()[0]
+        assert row["ndcg"] == 1.0
+        assert row["diversity_cost"] == 0.0
 
 
 class TestKAnonymity:

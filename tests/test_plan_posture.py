@@ -447,6 +447,11 @@ class TestFullTableBroadcastBan:
         "similarity_bq_topk",
         "similarity_knn_join",
         "similarity_bruteforce_topk_arrow",
+        # the 1-row query vector (vec_id == MMR_QUERY_ID) rebuilt for
+        # the ideal-ordering pool — same k-query contract as the ANN
+        # probes (retrieval_mmr_rerank itself doesn't appear here only
+        # because its returned plan is already checkpoint-flattened)
+        "eval_mmr_ndcg",
         # per-event-type low-median selection: |event_types| rows (the
         # bounding node is a rank filter, which the detector can't
         # prove bounds cardinality)
