@@ -93,6 +93,13 @@ HEADLINE = [
     # size fusion/greedy stages — measured so the scan share stays honest
     "retrieval_rrf_fusion",
     "retrieval_mmr_rerank",
+    # round 8: keep the headline tracking the slowest registry entries —
+    # winnowing substring dedup (3.5 s) and the Gopher repetition gates
+    # (3.0 s) were both heavier than half the round-7 headline. Their
+    # inclusion RAISES the expected total vs r7; that's coverage, not a
+    # regression.
+    "dedup_substring_spans",
+    "text_gopher_repetition",
 ]
 
 

@@ -575,14 +575,30 @@ def jaccard_pairs_prefix(
     1. CANDIDATES — the hashed signature table (rarest-first packed
        keys) is localCheckpoint'd ONCE (the signature-table
        materialization every real SSJoin system does; ~corpus-sized,
-       linear), prefix keys explode WITHOUT the key arrays (light rows
-       — carrying skeys per prefix row would ship O(n²) bytes per
+       linear), prefix keys posexplode WITHOUT the key arrays (light
+       rows — carrying skeys per prefix row would ship O(n²) bytes per
        document), and pairs enumerate inside per-(block, prefix-key)
-       groups via collect_list + a nested-transform expansion. Group
+       groups via collect_list + a nested-transform expansion, each
+       pair carrying BOTH sides' 0-based prefix-key positions. Group
        sizes are bounded in practice by prefix-key document frequency
        — rarest-first ordering is its own skew mitigation (measured
-       max group 5 at sf0.1) — and the quadratic expansion equals the
-       true candidate output any exact algorithm must produce.
+       max group 5 at sf0.1).
+
+    1b. POSITIONAL FILTER (PPJoin, Xiao et al. 2008, §3.2) — a pair
+       generated at positions (p_a, p_b) can share at most
+       ubound = min(n_a − p_a, n_b − p_b) hashed keys (both arrays are
+       sorted by the same global order, so common keys at or after the
+       shared key number at most the shorter remaining suffix, and NO
+       common key precedes the pair's FIRST common prefix key — an
+       earlier common key would itself sit inside both prefixes). The
+       integer gate (p+q)·ubound >= p·(n_a+n_b) therefore discards a
+       candidate event only when even the optimistic overlap cannot
+       reach τ. Exactness of per-event filtering: ubound is
+       antitone in (p_a, p_b), so the first-common-key event has the
+       LARGEST bound — if any event for a true pair survives, the
+       first one does, and for a true pair the first event's bound
+       exceeds the true overlap which meets τ. Filter + distinct ≡
+       the classic first-occurrence PPJoin filter, with no min-agg.
     2. HASHED VERIFY — candidates join the checkpointed signatures
        twice (id equi-joins, volume Σ_pairs(n_a+n_b) longs — the
        inherent exact-verification term) and keep pairs with hashed
@@ -592,9 +608,15 @@ def jaccard_pairs_prefix(
        RAISE Jaccard — merge two elements and in every membership case
        I/U gains intersection or loses union — so J_hash >= J_string
        and no true pair is lost.
-    3. STRING VERIFY — only the handful of survivors join the distinct
-       STRING shingle sets, so the reported value is the true string
-       Jaccard, independent of the hash family.
+    3. STRING VERIFY — the output-bound survivor set is checkpointed
+       (≤ true-pair scale — the hashed gate is a Jaccard overestimate,
+       so few false positives survive) and its ids broadcast-SEMI-join
+       the corpus BEFORE any string shingling, so the expensive
+       shingle+distinct string work runs over |survivor docs| rows,
+       not two full corpus scans (measured: the unfiltered verify was
+       the single largest cost at sf0.1 — ~2 corpus re-shingles to
+       score a handful of pairs). The reported value is the true
+       string Jaccard, independent of the hash family.
 
     Output: (id_a, id_b, jaccard) with jaccard = |A∩B|/|A∪B| rounded
     to 4dp, threshold applied to the raw value.
@@ -610,8 +632,15 @@ def jaccard_pairs_prefix(
     ).cast("int")
     pref = arr.select(
         *([block_col] if block_col else []),
-        F.struct(id_col, "n").alias("d"),
-        F.explode(F.slice(F.col("skeys"), F.lit(1), plen)).alias("pkey"),
+        F.col(id_col),
+        F.col("n"),
+        F.posexplode(F.slice(F.col("skeys"), F.lit(1), plen)).alias(
+            "p", "pkey"
+        ),
+    ).select(
+        *([block_col] if block_col else []),
+        F.struct(id_col, "n", "p").alias("d"),
+        "pkey",
     )
     grp_keys = ([block_col] if block_col else []) + ["pkey"]
     pairs = (
@@ -624,15 +653,24 @@ def jaccard_pairs_prefix(
                     "flatten(transform(g, (x, i) -> transform("
                     " slice(g, i + 2, size(g) - i - 1),"
                     f" y -> struct(x.{id_col} AS id_a, y.{id_col} AS id_b,"
-                    " x.n AS n_a, y.n AS n_b))))"
+                    " x.n AS n_a, y.n AS n_b,"
+                    " x.p AS p_a, y.p AS p_b))))"
                 )
-            ).alias("p")
+            ).alias("pr")
         )
-        .select("p.*")
+        .select("pr.*")
         .filter(
             tau_den * F.least("n_a", "n_b")
             >= tau_num * F.greatest("n_a", "n_b")
         )
+        .filter(
+            (tau_den + tau_num)
+            * F.least(
+                F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")
+            )
+            >= tau_num * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
     xa = arr.select(
@@ -650,11 +688,20 @@ def jaccard_pairs_prefix(
             >= tau_num * (F.col("n_a") + F.col("n_b"))
         )
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
-    sh = df.select(
+    ids = survivors.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    # No size(s)>0 filter here: survivor ids come from arr, whose rows
+    # have n >= 1 hashed shingles, so their string shingle sets are
+    # non-empty by construction — and such a filter references only
+    # text_col, so Catalyst would push it below the semi-join and
+    # re-shingle the ENTIRE corpus to verify a handful of pairs.
+    sh = df.join(F.broadcast(ids), id_col, "left_semi").select(
         id_col,
         F.array_distinct(tf.shingles(F.col(text_col), shingle_n)).alias("s"),
-    ).filter(F.size("s") > 0)
+    )
     x = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     y = sh.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))

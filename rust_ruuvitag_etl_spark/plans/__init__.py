@@ -32,4 +32,5 @@ from . import (  # noqa: E402, F401
     llm9,
     llm10,
     llm11,
+    llm12,
 )

@@ -592,10 +592,20 @@ def embedding_pca_power_iteration(
 
     Exactness: the 64×64 Gram accumulates as exact int64 sums of
     micro-quantized components (one corpus pass), is cast once to
-    double (every entry < 2^53), and everything after — matrix-vector
-    folds, max-abs, division — is fixed-order IEEE arithmetic, so the
-    raw doubles hash-match across engines (the JL-projection
-    discipline; no rounding anywhere).
+    double, and everything after — matrix-vector folds, max-abs,
+    division — is fixed-order IEEE arithmetic, so the raw doubles
+    hash-match across engines (the JL-projection discipline; no
+    rounding anywhere). CORPUS-SIZE BOUND on the int64/2^53 claim:
+    each |q_i·q_j| ≤ Q_SCALE² = 10¹² for unit-magnitude components,
+    so the exact-double window (< 2^53 ≈ 9.0·10¹⁵) holds to ~9,000
+    rows per (i,j) cell of worst-case mass and the int64 window
+    (< 2^63 ≈ 9.2·10¹⁸, where Spark's SUM(BIGINT) silently wraps
+    while DuckDB widens to HUGEINT) to ~9.2 million — real corpora
+    sit far below worst case (components are ~1/√64 of the norm, a
+    4096× slack on the product), but a 100 TB deployment crossing
+    these counts must accumulate `t` as DECIMAL(38,0) (sacrificing
+    nothing but a slower aggregate) — the same escape hatch the
+    k-means inertia accumulator documents below.
 
     Scale posture: the ONLY corpus-scale work is the Gram pass — each
     scan task cross-applies its rows against a broadcast 4096-entry
@@ -891,7 +901,13 @@ def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import os
 
-    sch = "vec_id long, embedding array<float>, label int"
+    from ..sources.tables import SCHEMAS
+
+    # The declared table schema, NOT an inline DDL string: a parquet
+    # schema mismatch reads silent nulls instead of erroring, so a
+    # drifting inline copy would diverge from every batch query that
+    # picks the change up through SCHEMAS.
+    sch = SCHEMAS["embeddings"]
     path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
     if os.path.isdir(path):
         # directory-of-part-files layout (test fixtures)
@@ -1050,7 +1066,12 @@ def eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row accuracy broadcast — free at corpus scale."""
     from .llm2 import text_langid_trigram
 
-    pred = text_langid_trigram(spark, sf_dir)
+    # Three aggregations fan out from the prediction table (per-true,
+    # per-pred, total accuracy); checkpoint it so the full langid plan
+    # (training joins included) executes ONCE, not once per consumer —
+    # the multi-consumer discipline of dedup_containment_pairs /
+    # retrieval_rrf_fusion. The table is |held-out| rows.
+    pred = text_langid_trigram(spark, sf_dir).localCheckpoint(eager=True)
     per_true = pred.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("correct"), 1).otherwise(0))
@@ -1172,27 +1193,41 @@ SELECT vec_id, CAST(step AS INTEGER) AS step, rel, score FROM ({union})
     return "".join(parts)
 
 
-@query("retrieval_mmr_rerank", oracle=_mmr_oracle())
-def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-Marginal-Relevance diverse re-ranking (Carbonell &
-    Goldstein 1998, λ=0.5): greedy top-{MMR_K} from the cosine
-    top-{MMR_POOL} shortlist for query vector {MMR_QUERY_ID}, each step
-    picking argmax(0.5·relevance − 0.5·max-sim-to-selected) — the
-    standard way RAG pipelines stop near-duplicate passages from
-    crowding a context window.
+def _round6_like_spark(x: float) -> float:
+    """Driver-side replica of ``F.round(col, 6)`` on doubles: Spark
+    rounds BigDecimal.valueOf(x) — the SHORTEST decimal string that
+    round-trips, which is also what Python's repr() produces — at
+    scale 6 with HALF_UP (ties away from zero), the same mode as
+    Python's decimal.ROUND_HALF_UP. Parsing repr(x) rather than the
+    exact binary expansion Decimal(x) matters: for a value whose
+    shortest repr ends in ...5 the two disagree (2.675 reads as
+    2.67499999999999982... in exact binary)."""
+    from decimal import ROUND_HALF_UP, Decimal
 
-    Exactness: every cosine rounds to 6 dp BEFORE any comparison (the
-    _SIM_ORACLE discipline) and ties break on vec_id, so the greedy
-    decisions — and therefore the whole selection — are engine-stable;
-    the unrolled DuckDB oracle replays all {MMR_K} steps.
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    )
 
-    Scale posture: the ONLY corpus-scale work is the shortlist
-    (broadcast 1-row query, scan-local cosine, distributed
-    TakeOrderedAndProject); the shortlist and its pairwise-sim table
-    are localCheckpointed constants ({MMR_POOL} and
-    {MMR_POOL}×{MMR_POOL - 1} rows), so the greedy loop's joins and
-    1-row argmaxes never touch the corpus — MMR's O(k·pool) inner loop
-    runs on constant-size data no matter how big the index is."""
+
+def _mmr_core(spark: SparkSession, sf_dir: str):
+    """Shared MMR machinery for retrieval_mmr_rerank / eval_mmr_ndcg:
+    returns (cand, picks_df) — the checkpointed relevance shortlist and
+    the greedy λ=0.5 selection.
+
+    The ONLY corpus-scale work is the shortlist (broadcast 1-row query,
+    scan-local rounded cosine, distributed TakeOrderedAndProject). The
+    shortlist ({MMR_POOL} rows) and its pairwise-sim table
+    ({MMR_POOL}·({MMR_POOL}−1) rows) are Spark-computed constants
+    collected to the driver under the documented k-row contract
+    (operators/similarity.py:80), where the greedy argmax loop runs in
+    plain Python — replacing the former per-pick eager-localCheckpoint
+    chain (~10 sequential 1-row job barriers, a measured 15-16 s fixed
+    cost at EVERY scale factor) with one collect. Every number the
+    loop consumes (rel, sim) is produced by Spark's own 6-dp rounds,
+    and the one arithmetic step it performs (0.5·rel − 0.5·max_sim,
+    round 6dp) is IEEE-double identical to the JVM plus a bit-exact
+    F.round replica, so the selection — and the emitted doubles — are
+    unchanged (pinned old-vs-new in tests/test_llm11.py)."""
     em = dd.spread(load(spark, sf_dir, "embeddings"))
     c = em.select(
         "vec_id",
@@ -1210,72 +1245,72 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(vf.cosine(F.col("qv"), F.col("cv")), 6).alias("rel"),
         )
     )
-    # Materialize the constant-size shortlist: it feeds the pair table
-    # and every greedy step — without the checkpoint the corpus top-k
-    # subplan would re-execute per step.
+    # Materialize the constant-size shortlist once: it feeds the pair
+    # table here and the ideal list in eval_mmr_ndcg.
     cand = (
         rel.orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_POOL)
         .localCheckpoint(eager=True)
     )
     a, b = cand.alias("a"), cand.alias("b")
-    pairs = (
-        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("pa"),
-            F.col("b.vec_id").alias("pb"),
-            F.round(vf.cosine(F.col("a.cv"), F.col("b.cv")), 6).alias("sim"),
-        )
-        .localCheckpoint(eager=True)  # pool*(pool-1) constant rows
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("pa"),
+        F.col("b.vec_id").alias("pb"),
+        F.round(vf.cosine(F.col("a.cv"), F.col("b.cv")), 6).alias("sim"),
     )
-    candr = cand.select("vec_id", "rel")
+    cand_rows = cand.select("vec_id", "rel").collect()
+    sim = {(r["pa"], r["pb"]): r["sim"] for r in pairs.collect()}
+    rel_by_id = {r["vec_id"]: r["rel"] for r in cand_rows}
+    selected: list[int] = []
     picks = []
-    sel_ids = None
     for t in range(1, MMR_K + 1):
-        if t == 1:
-            scores = candr.select(
-                "vec_id", "rel", F.round(0.5 * F.col("rel"), 6).alias("score")
-            )
-        else:
-            ms = (
-                pairs.join(
-                    F.broadcast(sel_ids), F.col("pb") == F.col("svec")
-                )
-                .groupBy("pa")
-                .agg(F.max("sim").alias("ms"))
-            )
-            scores = (
-                candr.join(
-                    sel_ids, F.col("vec_id") == F.col("svec"), "left_anti"
-                )
-                .join(ms, F.col("vec_id") == F.col("pa"))
-                .select(
-                    "vec_id",
-                    "rel",
-                    F.round(
-                        0.5 * F.col("rel") - 0.5 * F.col("ms"), 6
-                    ).alias("score"),
-                )
-            )
-        # Each 1-row pick checkpoints so step t+1's plan references a
-        # materialized row instead of re-deriving every earlier step —
-        # without this the unrolled lineage compiles to 100+ exchanges
-        # (constant data, but quadratic plan growth).
-        pick = (
-            scores.orderBy(F.desc("score"), F.asc("vec_id"))
-            .limit(1)
-            .withColumn("step", F.lit(t))
-            .localCheckpoint(eager=True)
-        )
-        picks.append(pick)
-        new_id = pick.select(F.col("vec_id").alias("svec"))
-        sel_ids = new_id if sel_ids is None else sel_ids.unionByName(new_id)
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        "vec_id", F.col("step").cast("int").alias("step"), "rel", "score"
+        best = None
+        for vid, rl in rel_by_id.items():
+            if vid in selected:
+                continue
+            if t == 1:
+                score = _round6_like_spark(0.5 * rl)
+            else:
+                ms = max(sim[(vid, s)] for s in selected)
+                score = _round6_like_spark(0.5 * rl - 0.5 * ms)
+            key = (-score, vid)  # argmax score, vec_id tie-break
+            if best is None or key < best[0]:
+                best = (key, vid, rl, score)
+        if best is None:
+            # pool exhausted before MMR_K picks (tiny corpora): the
+            # remaining steps emit nothing, matching the former plan
+            # where an empty argmax produced zero rows for the step.
+            break
+        picks.append((best[1], t, best[2], best[3]))
+        selected.append(best[1])
+    picks_df = spark.createDataFrame(
+        picks, schema="vec_id long, step int, rel double, score double"
     )
+    return cand, picks_df
+
+
+@query("retrieval_mmr_rerank", oracle=_mmr_oracle())
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse re-ranking (Carbonell &
+    Goldstein 1998, λ=0.5): greedy top-{MMR_K} from the cosine
+    top-{MMR_POOL} shortlist for query vector {MMR_QUERY_ID}, each step
+    picking argmax(0.5·relevance − 0.5·max-sim-to-selected) — the
+    standard way RAG pipelines stop near-duplicate passages from
+    crowding a context window.
+
+    Exactness: every cosine rounds to 6 dp BEFORE any comparison (the
+    _SIM_ORACLE discipline) and ties break on vec_id, so the greedy
+    decisions — and therefore the whole selection — are engine-stable;
+    the unrolled DuckDB oracle replays all {MMR_K} steps.
+
+    Scale posture: see :func:`_mmr_core` — one corpus shortlist scan
+    (broadcast 1-row query, scan-local cosine, distributed
+    TakeOrderedAndProject); the greedy O(k·pool) loop runs driver-side
+    on the collected constant tables ({MMR_POOL} + {MMR_POOL}·19 rows,
+    the documented k-row contract), never touching the corpus no
+    matter how big the index is."""
+    _, picks = _mmr_core(spark, sf_dir)
+    return picks
 
 
 def _mmr_ndcg_oracle() -> str:
@@ -1330,30 +1365,17 @@ def eval_mmr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches. The MMR oracle is lifted verbatim from the registry
     (the eval_langid_metrics composition discipline).
 
-    Scale posture: inherits MMR's (one corpus shortlist scan; greedy on
-    checkpointed constants); the eval itself folds two ≤{MMR_K}-element
-    arrays — free."""
-    picks = retrieval_mmr_rerank(spark, sf_dir)  # (vec_id, step, rel, score)
-    # the candidate pool: rebuild the same shortlist for the ideal list
-    em = dd.spread(load(spark, sf_dir, "embeddings"))
-    c = em.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
-    )
-    qv = c.filter(F.col("vec_id") == MMR_QUERY_ID).select(
-        F.col("cv").alias("qv")
-    )
-    cand = (
-        c.filter(F.col("vec_id") != MMR_QUERY_ID)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "vec_id",
-            F.round(vf.cosine(F.col("qv"), F.col("cv")), 6).alias("rel"),
-        )
+    Scale posture: inherits MMR's (one corpus shortlist scan; greedy
+    driver-side on the collected constants) — and REUSES
+    :func:`_mmr_core`'s checkpointed shortlist for the ideal list
+    instead of re-scanning the corpus; the eval itself folds two
+    ≤{MMR_K}-element arrays — free."""
+    cand, picks = _mmr_core(spark, sf_dir)
+    ideal = (
+        cand.select("vec_id", "rel")
         .orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(MMR_POOL)
+        .limit(MMR_K)
     )
-    ideal = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(MMR_K)
 
     def _dcg(df: DataFrame, order_cols, out: str) -> DataFrame:
         g = df.groupBy().agg(
@@ -1457,3 +1479,49 @@ def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang_o") == "*").alias("suppressed"),
         )
     )
+
+
+def _render_docstring_constants() -> None:
+    """Docstrings above quote the module's tuning constants as {NAME}
+    placeholders but are plain (non-f) strings, so help() and the
+    registry doc would show literal braces. Render the known names once
+    at import — a blanket ``.format`` would choke on the legitimate
+    braces in quoted SQL and set-literal prose, so only these names
+    substitute — and refresh the REGISTRY copies (the decorator
+    snapshots ``fn.__doc__`` at registration)."""
+    import dataclasses
+    import sys
+    import types
+
+    consts = {
+        "K_CLUSTERS": K_CLUSTERS,
+        "LLOYD_ITERS": LLOYD_ITERS,
+        "DIM": DIM,
+        "Q_SCALE": Q_SCALE,
+        "RRF_K": RRF_K,
+        "RRF_TOP": RRF_TOP,
+        "CONT_DF_CAP": CONT_DF_CAP,
+        "CONT_MIN_SHINGLES": CONT_MIN_SHINGLES,
+        "K_ANON": K_ANON,
+        "LEN_BUCKET": LEN_BUCKET,
+        "PCA_ITERS": PCA_ITERS,
+        "MMR_K": MMR_K,
+        "MMR_POOL": MMR_POOL,
+        "MMR_QUERY_ID": MMR_QUERY_ID,
+    }
+
+    def _render(doc: str) -> str:
+        for k, v in consts.items():
+            doc = doc.replace("{" + k + "}", str(v))
+        return doc
+
+    mod = sys.modules[__name__]
+    for obj in vars(mod).values():
+        if isinstance(obj, types.FunctionType) and obj.__doc__:
+            obj.__doc__ = _render(obj.__doc__)
+    for name, q in list(REGISTRY.items()):
+        if q.fn.__module__ == __name__ and q.doc:
+            REGISTRY[name] = dataclasses.replace(q, doc=_render(q.doc))
+
+
+_render_docstring_constants()
