@@ -152,14 +152,65 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_near_dup_pairs(em, threshold=0.3, block_col="label")
 
 
-@query("dedup_embedding_lsh_pairs", oracle=dor.EMBEDDING_LSH_PAIRS_SQL)
+# Recall floor for the LSH twin's in-query gate, as an integer
+# cross-multiplied fraction: 20·|LSH ∩ exact| >= 7·|exact| (i.e. 35%).
+# At threshold 0.3 on this ISOTROPIC corpus — RHP-LSH's worst case —
+# theory predicts per-bit collision 1−θ/π ≈ 0.597 at θ = 72.5°, so a
+# 4-bit band collides with p ≈ 0.127 and ≥1 of 4 bands ≈ 0.42;
+# measured recall vs the label-blocked exact reference: 0.476 / 0.477 /
+# 0.432 at sf0.001 / 0.01 / 0.1. The floor sits under all three with
+# margin while still catching a real collapse (a broken signature or
+# band join lands near 0). The production-relevant regime — planted
+# near-duplicates at cosine ≳ 0.9, band collision ≈ 0.93 — is pinned
+# separately by tests/test_llm_ops.py.
+_LSH_RECALL_NUM, _LSH_RECALL_DEN = 7, 20
+
+
+@query(
+    "dedup_embedding_lsh_pairs",
+    oracle=dor.EMBEDDING_LSH_PAIRS_SQL.replace(
+        "SELECT id_a, id_b, ROUND(cs, 6) AS cosine FROM scored",
+        "SELECT id_a, id_b, ROUND(cs, 6) AS cosine, TRUE AS recall_ok"
+        " FROM scored",
+    ),
+)
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup: 16-bit signature → 4 banded
     equi-joins (shuffle keyed by band bits, never a cross join) → exact
-    cosine verify. The 100 TB path for dedup_embedding_cosine_pairs;
-    recall pinned by tests/test_llm_ops.py on constructed duplicates."""
+    cosine verify. The 100 TB path for dedup_embedding_cosine_pairs —
+    and since round 8 its recall is ORACLE-GATED IN-QUERY (the
+    similarity_ivf_topk pattern): the query also computes the exact
+    label-blocked reference pair set (quadratic, fine at bench scale —
+    the gate is precisely what lets the probabilistic plan replace the
+    quadratic one in production) and emits ``recall_ok`` =
+    (20·|LSH ∩ exact| >= 7·|exact|); the oracle asserts TRUE, so a
+    recall collapse breaks the hash match, not just pytest. Planted
+    near-dup recall (the regime production cares about) stays pinned by
+    tests/test_llm_ops.py."""
     em = load(spark, sf_dir, "embeddings")
-    return sim.rhp_lsh_near_dup_pairs(em, threshold=0.3)
+    # Both constant-size tables feed two consumers each (output +
+    # intersect, intersect + count) — checkpoint so the banded join and
+    # the quadratic reference each execute once.
+    lsh = sim.rhp_lsh_near_dup_pairs(em, threshold=0.3).localCheckpoint(
+        eager=True
+    )
+    exact_ids = (
+        sim.cosine_near_dup_pairs(em, threshold=0.3, block_col="label")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    flag = (
+        exact_ids.intersect(lsh.select("id_a", "id_b"))
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .crossJoin(exact_ids.agg(F.count(F.lit(1)).alias("_n")))
+        .select(
+            (
+                _LSH_RECALL_DEN * F.col("_hits")
+                >= _LSH_RECALL_NUM * F.col("_n")
+            ).alias("recall_ok")
+        )
+    )
+    return lsh.crossJoin(F.broadcast(flag))  # 1-row broadcast flag
 
 
 # --- text analysis --------------------------------------------------------

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import pii as pf
 from ..functions import urls as uf
 from ..operators import dedup as dd
 from ..sources import load
@@ -187,4 +188,151 @@ def url_tracking_param_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trk.groupBy("param").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# --- PII governance ---------------------------------------------------------
+#
+# The corpus text is synthetic word soup with no real PII, so — like the
+# URL family above — each query APPENDS deterministic PII snippets to
+# the text (residue-keyed: emails on doc_id%3==0, phones on %4==1, IPv4s
+# on %5==2, identically in both engines) and then exercises the GENERIC
+# detector/redactor (functions/pii.py), which never sees the
+# construction. Detection, counting, and redaction are scan-local regex
+# expressions; the only shuffle in the summary is a map-side-combinable
+# 1-row aggregate.
+
+
+def _pii_text() -> Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" Contact user"), d.cast("string"),
+                F.lit("@mail.example.com."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 1,
+            F.concat(
+                F.lit(" Call +1 (555) "),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+                F.lit(" now."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 2,
+            F.concat(
+                F.lit(" Host 10."), (d % 256).cast("string"),
+                F.lit(".0."), (d % 100).cast("string"),
+                F.lit(" logged."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_TEXT_SQL = """
+text
+|| (CASE WHEN doc_id % 3 = 0
+        THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com.'
+        ELSE '' END)
+|| (CASE WHEN doc_id % 4 = 1
+        THEN ' Call +1 (555) ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ' now.'
+        ELSE '' END)
+|| (CASE WHEN doc_id % 5 = 2
+        THEN ' Host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+             || CAST(doc_id % 100 AS VARCHAR) || ' logged.'
+        ELSE '' END)
+""".strip().replace("\n", " ")
+
+
+def _pii_counts_sql_cols() -> str:
+    cols = pf.pii_counts_sql("aug")
+    return ", ".join(
+        f"CAST({sql} AS INTEGER) AS {name}" for name, sql in cols.items()
+    )
+
+
+_PII_SCAN_ORACLE = f"""
+WITH aug_t AS (
+    SELECT doc_id, {_PII_TEXT_SQL} AS aug FROM documents
+)
+SELECT doc_id, {_pii_counts_sql_cols()},
+       {pf.redact_pii_sql('aug')} AS redacted
+FROM aug_t
+WHERE len(regexp_extract_all(aug, '{pf.EMAIL_RE}'))
+      + len(regexp_extract_all(aug, '{pf.PHONE_RE}'))
+      + len(regexp_extract_all(aug, '{pf.IPV4_RE}')) > 0
+"""
+
+
+@query("governance_pii_scan", oracle=_PII_SCAN_ORACLE)
+def governance_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scan + redaction: count emails / phone numbers /
+    IPv4 addresses in the (PII-augmented) text and emit the redacted
+    text with typed placeholders — only documents that actually contain
+    PII surface, which is what a remediation queue consumes. The full
+    redacted STRING is in the output, so the correctness hash pins the
+    exact replacement spans, not just the counts.
+
+    Scale posture: detection and redaction are scan-local regex
+    expressions (functions/pii.py — no UDF); the PII filter prunes
+    the output to affected documents; no shuffle at all (the plan is
+    scan → project → filter)."""
+    docs = dd.spread(load(spark, sf_dir, "documents"))
+    aug = docs.select("doc_id", _pii_text().alias("aug"))
+    counts = pf.pii_counts(F.col("aug"))
+    scanned = aug.select(
+        "doc_id",
+        *[c.cast("int").alias(name) for name, c in counts.items()],
+        pf.redact_pii(F.col("aug")).alias("redacted"),
+    )
+    return scanned.filter(
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ipv4")) > 0
+    )
+
+
+_PII_SUMMARY_ORACLE = f"""
+WITH aug_t AS (
+    SELECT doc_id, {_PII_TEXT_SQL} AS aug FROM documents
+),
+per_doc AS (
+    SELECT doc_id, {_pii_counts_sql_cols()} FROM aug_t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_emails + n_phones + n_ipv4 > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+       CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4
+FROM per_doc
+"""
+
+
+@query("governance_pii_summary", oracle=_PII_SUMMARY_ORACLE)
+def governance_pii_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII exposure report: document counts and per-class
+    totals — the release-gate number a pipeline owner signs off on.
+    One map-side-combinable 1-row aggregate over the scan-local
+    per-document counts; at 100 TB the shuffle moves one partial row
+    per task."""
+    docs = dd.spread(load(spark, sf_dir, "documents"))
+    counts = pf.pii_counts(_pii_text())
+    per_doc = docs.select(
+        *[c.cast("int").alias(name) for name, c in counts.items()]
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("n_emails") + F.col("n_phones") + F.col("n_ipv4")) > 0,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_phones").cast("long").alias("total_phones"),
+        F.sum("n_ipv4").cast("long").alias("total_ipv4"),
     )

@@ -99,3 +99,56 @@ class TestDedupUrlCanonical:
         # (odd ids with doc_id%9<4); no other tracker
         assert set(rows) == {"utm_source", "utm_campaign"}
         assert rows["utm_source"]["n_occurrences"] == rows["utm_source"]["n_docs"]
+
+
+class TestPII:
+    def test_redaction_on_handcrafted_text(self, spark):
+        from rust_ruuvitag_etl_spark.functions.pii import redact_pii
+
+        rows = [
+            ("Mail a.b+c%d@sub.example.co.uk today",
+             "Mail [EMAIL] today"),
+            ("Call +44 (020) 79460 or +1 (555) 0100.",
+             "Call [PHONE] or [PHONE]."),
+            ("Peer 192.168.0.1 and 10.0.0.255 up",
+             "Peer [IP] and [IP] up"),
+            # email digits must not leak into the later IP pass
+            ("x user10.0.0.1name@h.example y",
+             "x [EMAIL] y"),
+            ("no pii here", "no pii here"),
+        ]
+        df = spark.createDataFrame(rows, "t string, want string")
+        got = df.select("want", redact_pii(F.col("t")).alias("got")).collect()
+        for r in got:
+            assert r["got"] == r["want"]
+
+    def test_scan_counts_match_construction(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm12 import governance_pii_scan
+
+        out = {r["doc_id"]: r for r in governance_pii_scan(spark, SF_SMALL).collect()}
+        for did, r in out.items():
+            assert r["n_emails"] == (1 if did % 3 == 0 else 0)
+            assert r["n_phones"] == (1 if did % 4 == 1 else 0)
+            assert r["n_ipv4"] == (1 if did % 5 == 2 else 0)
+            assert "[EMAIL]" in r["redacted"] or r["n_emails"] == 0
+            assert "@" not in r["redacted"].replace("[EMAIL]", "")
+        # only PII-bearing docs surface
+        assert all(
+            r["n_emails"] + r["n_phones"] + r["n_ipv4"] > 0 for r in out.values()
+        )
+
+    def test_summary_totals(self, spark):
+        import duckdb
+
+        from rust_ruuvitag_etl_spark.plans.llm12 import governance_pii_summary
+
+        row = governance_pii_summary(spark, SF_SMALL).collect()[0]
+        n = (
+            duckdb.connect()
+            .execute(f"SELECT COUNT(*) FROM '{SF_SMALL}/documents.parquet'")
+            .fetchone()[0]
+        )
+        assert row["n_docs"] == n
+        assert row["total_emails"] == sum(1 for d in range(n) if d % 3 == 0)
+        assert row["total_phones"] == sum(1 for d in range(n) if d % 4 == 1)
+        assert row["total_ipv4"] == sum(1 for d in range(n) if d % 5 == 2)

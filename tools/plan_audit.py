@@ -185,6 +185,21 @@ def main() -> None:
         "phantom regressions motivated this: r3 langid, r4 corpus_prep, r5",
         "the whole suite reading 44.7 s contended vs 34.5 s idle.)",
         "",
+        "Adjudication (round 8): the r6→r7 text/dedup-family bench drift",
+        "(text_tfidf_scores 0.88→1.45, text_keyword_pagerank 1.97→3.07,",
+        "text_bm25_ranking, text_langid_trigram, dedup_semantic_clusters,",
+        "dedup_exact_lines, similarity_knn_join, incremental_rollup_merge,",
+        "all 1.3-1.8×) is NOT suite ordering and NOT a plan regression:",
+        "a fresh-JVM-per-query standalone protocol (median of 5, idle box,",
+        "bench overrides + reclaim, /tmp isolation) REPRODUCES the r7",
+        "values for every one of the eight (e.g. tfidf 1.42, pagerank",
+        "3.19, semantic_clusters 3.95, rollup_merge 0.59) — none anywhere",
+        "near the r6 readings, with PLANS rows unchanged since r6. The",
+        "shift is environment-level between round executions (container/",
+        "JVM state the builder cannot observe retroactively); r7+ values",
+        "are the truthful steady-state for the current environment and are",
+        "the baseline later rounds should compare against.",
+        "",
         "FullBcast = data-plane tables shipped whole through an EXPLICIT",
         "broadcast hint with no aggregate/limit bounding them, detected",
         "on a second plan built with autoBroadcastJoinThreshold=-1 so",

@@ -88,6 +88,12 @@ CORPUS_QUERIES = [
     "cluster_kmeans_lloyd",
     "embedding_pca_power_iteration",
     "dedup_containment_pairs",
+    # round-8 additions: URL canonicalization dedup (scan-local string
+    # normalization + two map-side-combinable groupBys — should be
+    # ~linear with collision-group growth absorbed by partial agg) and
+    # the PII scan (pure scan-local regex — the linearity floor).
+    "dedup_url_canonical",
+    "governance_pii_scan",
 ]
 
 # Graph axis (round-4 verdict #7): the engagement-graph algorithms read
