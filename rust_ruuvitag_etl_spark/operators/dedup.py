@@ -520,7 +520,15 @@ def _prefix_candidates(
     which, ordered rarest-first, are each document's globally RAREST
     shingles (prefix filtering is its own skew mitigation). The length
     filter q*min(n) >= p*max(n) is the integer-exact Jaccard length
-    bound; ``block_col`` adds an optional extra equi-key without
+    bound, and the PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2)
+    prunes further without losing recall: a pair joined at 0-based
+    prefix positions (p_a, p_b) shares at most
+    min(n_a − p_a, n_b − p_b) keys (no common key precedes the FIRST
+    common prefix key — an earlier one would itself sit in both
+    prefixes — and the bound is antitone in position, so if any join
+    event for a true pair passes, the first-key event does); the gate
+    (p+q)·ubound >= p·(n_a+n_b) is the overlap the Jaccard threshold
+    requires. ``block_col`` adds an optional extra equi-key without
     changing recall."""
     # prefix length n - ceil(p*n/q) + 1, integer-exact via
     # ceil(p*n/q) = floor((p*n + q - 1) / q)
@@ -533,7 +541,9 @@ def _prefix_candidates(
     pref = arr.select(
         *cols,
         "n",
-        F.explode(F.slice(F.col("skeys"), F.lit(1), plen)).alias("pkey"),
+        F.posexplode(F.slice(F.col("skeys"), F.lit(1), plen)).alias(
+            "p", "pkey"
+        ),
     )
     a, b = pref.alias("a"), pref.alias("b")
     cond = (
@@ -542,6 +552,13 @@ def _prefix_candidates(
         & (
             tau_den * F.least(F.col("a.n"), F.col("b.n"))
             >= tau_num * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        & (
+            (tau_den + tau_num)
+            * F.least(
+                F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")
+            )
+            >= tau_num * (F.col("a.n") + F.col("b.n"))
         )
     )
     if block_col:

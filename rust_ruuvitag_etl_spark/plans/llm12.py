@@ -336,3 +336,110 @@ def governance_pii_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phones").cast("long").alias("total_phones"),
         F.sum("n_ipv4").cast("long").alias("total_ipv4"),
     )
+
+
+# --- deterministic corpus splits --------------------------------------------
+
+from ..functions import text as tf  # noqa: E402  (portable h60 + SQL twin)
+
+_SPLIT_BUCKETS = 100
+_TRAIN_LT, _VAL_LT = 80, 90  # train < 80 <= validation < 90 <= test
+
+_SPLIT_EXPR_SQL = (
+    f"({tf.h60_sql('CAST(doc_id AS VARCHAR)')}) % {_SPLIT_BUCKETS}"
+)
+
+_SPLIT_ASSIGN_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, lang, CAST({_SPLIT_EXPR_SQL} AS INTEGER) AS bucket
+    FROM documents
+)
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < {_TRAIN_LT} THEN 'train'
+            WHEN bucket < {_VAL_LT} THEN 'validation'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def _bucket() -> Column:
+    return F.pmod(
+        tf.h60(F.col("doc_id").cast("string"), family="portable"),
+        F.lit(_SPLIT_BUCKETS),
+    ).cast("int")
+
+
+@query("corpus_split_assign", oracle=_SPLIT_ASSIGN_ORACLE)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment: bucket =
+    portable-hash(doc_id) mod 100, train < 80 <= validation < 90 <=
+    test — the content-independent split every training pipeline runs
+    last, reproducible across engines, languages, and reruns because
+    it depends only on the stable id (the md5-derived 'portable' hash
+    family both engines compute bit-identically). Scan-local: zero
+    shuffles, zero joins; adding documents never reassigns existing
+    ones."""
+    docs = dd.spread(load(spark, sf_dir, "documents"))
+    b = _bucket()
+    return docs.select(
+        "doc_id",
+        "lang",
+        b.alias("bucket"),
+        F.when(b < _TRAIN_LT, F.lit("train"))
+        .when(b < _VAL_LT, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+_SPLIT_STATS_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, lang, {_SPLIT_EXPR_SQL} AS bucket FROM documents
+),
+s AS (
+    SELECT lang,
+           CASE WHEN bucket < {_TRAIN_LT} THEN 'train'
+                WHEN bucket < {_VAL_LT} THEN 'validation'
+                ELSE 'test' END AS split
+    FROM b
+),
+g AS (
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY split, lang
+),
+t AS (SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_total FROM g GROUP BY split)
+SELECT g.split, g.lang, g.n_docs, t.split_total,
+       ROUND(CAST(g.n_docs AS DOUBLE) / t.split_total, 6) AS frac
+FROM g JOIN t ON t.split = g.split
+"""
+
+
+@query("corpus_split_stats", oracle=_SPLIT_STATS_ORACLE)
+def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-balance report a pipeline owner checks before
+    training: per-(split, lang) document counts and each language's
+    share WITHIN its split — imbalance here (a language drifting
+    between train and test) invalidates evaluation. Two map-side
+    combinable groupBys on (split, lang) / (split) partials plus one
+    broadcast join of the 3-row totals table — class-cardinality
+    shuffles only."""
+    docs = dd.spread(load(spark, sf_dir, "documents"))
+    b = _bucket()
+    s = docs.select(
+        "lang",
+        F.when(b < _TRAIN_LT, F.lit("train"))
+        .when(b < _VAL_LT, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    g = s.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = g.groupBy("split").agg(F.sum("n_docs").alias("split_total"))
+    return g.join(F.broadcast(t), "split").select(
+        "split",
+        "lang",
+        "n_docs",
+        "split_total",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("split_total"), 6
+        ).alias("frac"),
+    )

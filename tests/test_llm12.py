@@ -152,3 +152,50 @@ class TestPII:
         assert row["total_emails"] == sum(1 for d in range(n) if d % 3 == 0)
         assert row["total_phones"] == sum(1 for d in range(n) if d % 4 == 1)
         assert row["total_ipv4"] == sum(1 for d in range(n) if d % 5 == 2)
+
+
+class TestCorpusSplit:
+    def test_assignment_deterministic_and_complete(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm12 import corpus_split_assign
+
+        a = {r["doc_id"]: r for r in corpus_split_assign(spark, SF_SMALL).collect()}
+        b = {r["doc_id"]: r for r in corpus_split_assign(spark, SF_SMALL).collect()}
+        assert len(a) == len(b) > 0
+        for did in a:
+            assert a[did]["split"] == b[did]["split"]
+            assert a[did]["bucket"] == b[did]["bucket"]
+            want = (
+                "train" if a[did]["bucket"] < 80
+                else "validation" if a[did]["bucket"] < 90
+                else "test"
+            )
+            assert a[did]["split"] == want
+
+    def test_split_shares_near_nominal(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm12 import corpus_split_assign
+
+        rows = corpus_split_assign(spark, SF_SMALL).collect()
+        n = len(rows)
+        from collections import Counter
+
+        c = Counter(r["split"] for r in rows)
+        # md5 buckets: train ~80%, val ~10%, test ~10% (loose bounds)
+        assert 0.7 < c["train"] / n < 0.9
+        assert 0.04 < c["validation"] / n < 0.16
+        assert 0.04 < c["test"] / n < 0.16
+
+    def test_stats_fracs_sum_to_one_per_split(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm12 import corpus_split_stats
+
+        rows = corpus_split_stats(spark, SF_SMALL).collect()
+        from collections import defaultdict
+
+        by_split = defaultdict(float)
+        totals = {}
+        for r in rows:
+            by_split[r["split"]] += r["frac"]
+            totals[r["split"]] = r["split_total"]
+            assert r["n_docs"] <= r["split_total"]
+        for s, tot in by_split.items():
+            assert abs(tot - 1.0) < 1e-4, (s, tot)
+        assert set(totals) == {"train", "validation", "test"}
