@@ -638,7 +638,6 @@ def jaccard_pairs_prefix(
     Output: (id_a, id_b, jaccard) with jaccard = |A∩B|/|A∪B| rounded
     to 4dp, threshold applied to the raw value.
     """
-    cols = [id_col] + ([block_col] if block_col else [])
     arr = _hashed_rarest_arrays(
         df, text_col, id_col, shingle_n, hash_family, block_col
     ).localCheckpoint(eager=True)
