@@ -100,6 +100,15 @@ HEADLINE = [
     # regression.
     "dedup_substring_spans",
     "text_gopher_repetition",
+    # round 8 wave 2: a sweep of ENGINE-ONLY timings over the whole
+    # registry (oracle cost excluded) surfaced two heavy non-headline
+    # plans — the blocked edit-distance join (15 s even with the banded
+    # threshold form; the corpus's shared-prefix names defeat segment
+    # filters, see the query docstring) and degree-oriented triangle
+    # counting (7 s, dominated by co-purchase edge construction). The
+    # headline exists to keep exactly these visible.
+    "fuzzy_match_levenshtein",
+    "graph_triangle_count",
 ]
 
 

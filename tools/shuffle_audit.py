@@ -42,11 +42,16 @@ def measure(sf_dir: str, names: list[str]) -> dict[str, dict[str, int]]:
     from bench import OVERRIDES
     from rust_ruuvitag_etl_spark.plans import REGISTRY
 
+    from rust_ruuvitag_etl_spark.session import DEFAULT_DRIVER_MEM
+
     spark = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
         )
         .appName("shuffle-audit")
+        # same heap as the production session factory — the default 1g
+        # local-mode driver OOMs on the blocked edit-distance join
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(_UI_PORT))
         .config("spark.sql.shuffle.partitions", "32")
