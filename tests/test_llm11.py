@@ -537,3 +537,30 @@ class TestKAnonymity:
         d = _write_docs(spark, rows)
         got = governance_k_anonymity(spark, d).collect()
         assert len(got) == 1 and not got[0]["suppressed"]
+
+
+class TestRound6Replica:
+    def test_driver_round_matches_spark_round_on_adversarial_grid(self, spark):
+        """_round6_like_spark must be BIT-identical to F.round(x, 6) —
+        including shortest-repr ties (…5 at the 7th decimal), negatives,
+        and values whose exact binary expansion disagrees with their
+        shortest decimal repr (the 2.675-style cases)."""
+        import numpy as np
+
+        from rust_ruuvitag_etl_spark.plans.llm11 import _round6_like_spark
+
+        rng = np.random.RandomState(7)
+        vals = [float(x) for x in rng.uniform(-1, 1, 400)]
+        vals += [float(x) * 0.5 for x in rng.uniform(-1, 1, 200)]
+        # constructed half-way points at the 7th decimal, both signs
+        vals += [i * 1e-7 + 5e-8 for i in range(-20, 20)]
+        vals += [2.675e-1, -2.675e-1, 0.0, -0.0, 1.0, -1.0, 0.1234565, -0.1234565]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {
+            r["x"]: r["r"]
+            for r in df.select("x", F.round("x", 6).alias("r")).collect()
+        }
+        for v in vals:
+            assert _round6_like_spark(v) == got[v], (
+                v, repr(v), _round6_like_spark(v), got[v]
+            )

@@ -310,3 +310,61 @@ class TestJaccardPairsPrefix:
             for r in jaccard_pairs_prefix(df, tau_num=1, tau_den=5).collect()
         }
         assert unblocked == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_positional_filter_prunes_candidates(spark):
+    """The PPJoin positional filter must PRUNE: on the sf0.001 corpus
+    the post-filter candidate count is strictly below the pre-filter
+    count (both computed from the same prefix-event table), while the
+    final output stays pinned to brute force by the tests above. Guards
+    against a refactor silently dropping the bound."""
+    from pyspark.sql import functions as F
+
+    from rust_ruuvitag_etl_spark.operators.dedup import (
+        _hashed_rarest_arrays,
+        spread,
+    )
+    from rust_ruuvitag_etl_spark.sources import load
+
+    docs = spread(load(spark, SF_SMALL, "documents"))
+    arr = _hashed_rarest_arrays(docs, "text", "doc_id", 3, "fast", "source")
+    tau_num, tau_den = 1, 5
+    plen = (
+        F.col("n")
+        - F.floor((F.lit(tau_num) * F.col("n") + (tau_den - 1)) / tau_den)
+        + 1
+    ).cast("int")
+    pref = arr.select(
+        "source",
+        F.col("doc_id"),
+        F.col("n"),
+        F.posexplode(F.slice(F.col("skeys"), F.lit(1), plen)).alias(
+            "p", "pkey"
+        ),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    base = (
+        (F.col("a.pkey") == F.col("b.pkey"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            tau_den * F.least(F.col("a.n"), F.col("b.n"))
+            >= tau_num * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+    )
+    pos = (tau_den + tau_num) * F.least(
+        F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")
+    ) >= tau_num * (F.col("a.n") + F.col("b.n"))
+    pre = (
+        a.join(b, base)
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    post = (
+        a.join(b, base & pos)
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert 0 < post < pre, (pre, post)
