@@ -1,24 +1,31 @@
-"""Round-8 extension family: URL-level canonicalization + dedup — the
-first stage of every web-corpus pipeline (normalize the fetch URL,
-collapse tracking-parameter/case/port/fragment variants, keep one
-document per canonical resource) — re-expressed Spark-first.
+"""Round-8 extension families: the web-corpus front AND back doors of
+an LLM data pipeline, re-expressed Spark-first —
 
-The synthetic corpus has no URL column, so each query CONSTRUCTS a
-deterministic messy URL per document from (doc_id, source, lang) with
-the identical expression on both engines — scheme/host case flips,
-optional ``www.``, an explicit default port, a trailing slash, shuffled
-tracking parameters, and a fragment, all keyed off doc_id residues so
-every mess is reproducible — then exercises the GENERIC canonicalizer
-(``functions.urls.canonicalize_url``), which never sees how the mess
-was made. Canonical collisions are real: residue classes (lower(source), lang, doc_id%10, doc_id%5) share one canonical URL.
+* URL canonicalization + dedup (the FIRST stage of every web-corpus
+  pipeline: normalize the fetch URL, collapse
+  tracking-parameter/case/port/fragment variants, keep one document
+  per canonical resource) plus the stripped-tracker audit;
+* PII governance (email/phone/IPv4 detection and typed-placeholder
+  REDACTION — the release gate before any corpus ships);
+* deterministic train/validation/test SPLITS (portable-hash bucketing
+  that never reassigns existing docs) plus the split-balance report;
+* in-engine BPE TOKENIZER TRAINING (the first merge rules learned on
+  the word-frequency table).
 
-Scale posture (100 TB): URL construction and canonicalization are
-scan-local string expressions (no UDF, no shuffle); the dedup is two
-map-side-combinable hash groupBys — (canonical_url, url) partials, then
-canonical_url — so the only corpus-wide shuffle moves pre-aggregated
-(canonical, variant) pairs, bounded by the distinct-URL count, never
-raw documents. No join, no window, no skew exposure beyond genuinely
-hot URLs (which partial aggregation absorbs).
+The synthetic corpus has no URL or PII content, so those queries
+CONSTRUCT deterministic inputs per document from (doc_id, source,
+lang) with the identical expression on both engines — then exercise
+the GENERIC operators (``functions/urls.py``, ``functions/pii.py``),
+which never see how the mess was made. URL canonical collisions are
+real: residue classes (lower(source), lang, doc_id%10, doc_id%5)
+share one canonical URL at every scale factor.
+
+Scale posture (100 TB): construction, canonicalization, PII regexes,
+and split bucketing are scan-local expressions (no UDF); the dedups
+and reports are map-side-combinable hash groupBys whose shuffles move
+pre-aggregated class/variant rows, never documents; BPE's corpus-scale
+work is one tokenize+count pass, with merge rounds on the |vocab|-row
+frequency table.
 """
 
 from __future__ import annotations
@@ -442,4 +449,174 @@ def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_docs").cast("double") / F.col("split_total"), 6
         ).alias("frac"),
+    )
+
+
+# --- in-engine BPE tokenizer training ---------------------------------------
+
+BPE_MERGES = 3
+_SEP = chr(31)  # unit separator: joins a word's current symbols; never
+#                 appears in corpus text, so symbol boundaries are exact
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE training oracle: vocab_0 = per-word symbol strings
+    (one char per symbol, SEP-joined) weighted by word frequency; each
+    round counts adjacent symbol pairs, picks argmax (count DESC, then
+    lexicographic — engine-stable), and applies the merge via a
+    list_reduce fold whose greedy left-to-right semantics exactly match
+    the Spark aggregate-lambda fold (merging appends WITHOUT the
+    separator, so the fused symbol can immediately participate as the
+    left side of later pairs in the same word, but never re-matches the
+    just-consumed rule — classic BPE)."""
+    sep = "chr(31)"
+    parts = [
+        f"""
+WITH w AS (
+    SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS wc
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+          FROM documents WHERE trim(text) <> '')
+    WHERE t <> '' GROUP BY t
+),
+v0 AS (
+    SELECT rtrim(regexp_replace(word, '(.)', '\\1' || {sep}, 'g'), {sep})
+               AS rep,
+           wc
+    FROM w
+)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f""",
+p{i} AS (
+    SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(wc) AS BIGINT) AS cnt
+    FROM (SELECT string_split(rep, {sep}) AS s, wc FROM v{i - 1}),
+         LATERAL (SELECT unnest(range(1, len(s))) AS i)
+    GROUP BY a, b
+),
+r{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+v{i} AS (
+    SELECT list_reduce(string_split(v.rep, {sep}),
+             (acc, x) -> CASE
+                 WHEN (acc = r.a OR ends_with(acc, {sep} || r.a))
+                      AND x = r.b
+                 THEN acc || x ELSE acc || {sep} || x END) AS rep,
+           v.wc
+    FROM v{i - 1} v CROSS JOIN r{i} r
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged_sym, cnt AS pair_count FROM r{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym, right_sym,
+       merged_sym, pair_count
+FROM ({union})
+"""
+    )
+    return "".join(parts)
+
+
+@query("tokenizer_bpe_merges", oracle=_bpe_oracle())
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding TOKENIZER TRAINING, in-engine: learn the
+    first 3 (BPE_MERGES) merge rules of a BPE vocabulary (Sennrich et al.
+    2016) over the corpus — per round, the most frequent adjacent
+    symbol pair (weighted by word frequency, ties broken
+    lexicographically so the selection is engine-stable) becomes a new
+    symbol and every word re-segments. Output: (merge_rank, left_sym,
+    right_sym, merged_sym, pair_count) — the artifact a tokenizer
+    trainer persists.
+
+    Scale posture (the real reason BPE fits an engine): corpus-scale
+    work is ONE tokenize + word-count pass; every merge round runs on
+    the distinct-WORD frequency table (|vocab| rows, ≪ corpus), with
+    one map-side-combinable pair-count groupBy, a 1-row distributed
+    argmax (TakeOrderedAndProject), and a scan-local fold re-segmenting
+    each word — no corpus re-reads, no driver-side loops over data. The
+    vocab table is localCheckpointed once per round (it feeds both the
+    pair count and the re-segmentation; ~|vocab| rows).
+
+    Exactness: greedy merge application is an aggregate-lambda fold
+    over SEP-joined symbol strings — merging appends WITHOUT the
+    separator — and the DuckDB oracle replays every round with the
+    IDENTICAL list_reduce fold, so the learned rules match
+    bit-for-bit."""
+    docs = dd.spread(load(spark, sf_dir, "documents")).filter(
+        F.trim(F.col("text")) != ""
+    )
+    sep = F.lit(_SEP)
+    w = (
+        docs.select(
+            F.explode(tf.ws_tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # SEP before every char, then drop the leading SEP (equivalent to
+    # the oracle's rtrim-trailing form; avoids PySpark's two-arg rtrim
+    # signature ambiguity)
+    vocab = w.select(
+        F.substring(
+            F.regexp_replace(F.col("word"), "(.)", _SEP + "$1"),
+            2,
+            2_000_000_000,
+        ).alias("rep"),
+        "wc",
+    )
+    rules = []
+    for i in range(1, BPE_MERGES + 1):
+        vocab = vocab.localCheckpoint(eager=True)  # |vocab| rows
+        syms = F.split(F.col("rep"), _SEP)
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+                        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                        lambda a, b: F.struct(
+                            a.alias("a"), b.alias("b")
+                        ),
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        rule = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .withColumn("merge_rank", F.lit(i))
+        )
+        rules.append(rule)
+        merged = F.aggregate(
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.element_at(syms, 1),
+            lambda acc, x: F.when(
+                (
+                    (acc == F.col("a"))
+                    | acc.endswith(F.concat(sep, F.col("a")))
+                )
+                & (x == F.col("b")),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, sep, x)),
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(rule.select("a", "b")))
+            .select(merged.alias("rep"), "wc")
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        F.col("merge_rank").cast("int").alias("merge_rank"),
+        F.col("a").alias("left_sym"),
+        F.col("b").alias("right_sym"),
+        F.concat("a", "b").alias("merged_sym"),
+        F.col("cnt").alias("pair_count"),
     )

@@ -199,3 +199,61 @@ class TestCorpusSplit:
         for s, tot in by_split.items():
             assert abs(tot - 1.0) < 1e-4, (s, tot)
         assert set(totals) == {"train", "validation", "test"}
+
+
+class TestBPE:
+    def test_learned_merges_on_constructed_corpus(self, spark):
+        """Corpus engineered so the merge sequence is hand-computable:
+        'abab' x4 and 'ab' x3 make (a,b) the top pair (11 occurrences),
+        then (ab,ab) fuses the doubled word."""
+        import os
+        import tempfile
+
+        from rust_ruuvitag_etl_spark.plans.llm12 import tokenizer_bpe_merges
+
+        text = " ".join(["abab"] * 4 + ["ab"] * 3 + ["xy"] * 2)
+        d = tempfile.mkdtemp(prefix="bpe_docs_")
+        spark.createDataFrame(
+            [(0, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        rows = sorted(
+            tokenizer_bpe_merges(spark, d).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+        # rank 1: (a,b) appears 2x in 'abab' (x4) + 1x in 'ab' (x3) = 11
+        assert (rows[0]["left_sym"], rows[0]["right_sym"]) == ("a", "b")
+        assert rows[0]["pair_count"] == 11
+        assert rows[0]["merged_sym"] == "ab"
+        # rank 2: after fusing, 'abab' -> [ab, ab]: pair (ab, ab) x4
+        # beats (x,y) x2
+        assert (rows[1]["left_sym"], rows[1]["right_sym"]) == ("ab", "ab")
+        assert rows[1]["pair_count"] == 4
+
+    def test_greedy_left_to_right_on_runs(self, spark):
+        """'aaa' under rule (a,a): greedy fold yields [aa, a], so the
+        round-2 count for (aa, a) reflects non-overlapping merges."""
+        import os
+        import tempfile
+
+        from rust_ruuvitag_etl_spark.plans.llm12 import tokenizer_bpe_merges
+
+        text = " ".join(["aaa"] * 5)
+        d = tempfile.mkdtemp(prefix="bpe_runs_")
+        spark.createDataFrame(
+            [(0, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        rows = sorted(
+            tokenizer_bpe_merges(spark, d).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+        assert (rows[0]["left_sym"], rows[0]["right_sym"]) == ("a", "a")
+        assert rows[0]["pair_count"] == 10  # 2 adjacent pairs x5 words
+        # after greedy merge 'aaa' -> [aa, a]: (aa, a) x5
+        assert (rows[1]["left_sym"], rows[1]["right_sym"]) == ("aa", "a")
+        assert rows[1]["pair_count"] == 5
