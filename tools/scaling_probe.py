@@ -94,6 +94,11 @@ CORPUS_QUERIES = [
     # the PII scan (pure scan-local regex — the linearity floor).
     "dedup_url_canonical",
     "governance_pii_scan",
+    # round-8 wave 2: BPE training — the corpus axis verifies the
+    # design claim that merge rounds cost |vocab|, not |corpus|
+    # (replication grows tokens 16x but the distinct-word table and
+    # therefore the per-round work should stay ~flat).
+    "tokenizer_bpe_merges",
 ]
 
 # Graph axis (round-4 verdict #7): the engagement-graph algorithms read
