@@ -247,6 +247,34 @@ def _reclaim(spark) -> None:
     spark._jvm.System.gc()
 
 
+# The driver captures only the LAST ~2000 bytes of bench output before
+# parsing the JSON line; round 8's line (61 queries, ~2.1 KB) overflowed
+# that window, the head of the line was cut off, and BENCH_r08.json
+# recorded "parsed": null. The emitted line therefore carries only the
+# slowest queries up to a byte budget with safety margin; the COMPLETE
+# per-query map is written to BENCH_FULL.json alongside this script.
+_LINE_BUDGET_BYTES = 1700
+
+
+def _emit_line(full: dict) -> str:
+    """Render ``full`` as one JSON line guaranteed <= _LINE_BUDGET_BYTES,
+    dropping the cheapest per-query timings first (slowest entries are
+    the ones each round's regression check needs)."""
+    line_obj = dict(full)
+    line_obj["n_queries"] = len(full["queries"])
+    line_obj["queries_full"] = "BENCH_FULL.json"
+    slowest = sorted(full["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
+    kept: dict[str, float] = {}
+    for name, dt in slowest:
+        kept[name] = dt
+        line_obj["queries"] = kept
+        if len(json.dumps(line_obj, separators=(",", ":"))) > _LINE_BUDGET_BYTES:
+            del kept[name]
+            break
+    line_obj["queries"] = kept
+    return json.dumps(line_obj, separators=(",", ":"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -283,18 +311,20 @@ def main() -> None:
         total += dt
         _reclaim(spark)  # untimed: next query starts from a clean JVM
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calibration_s": calibration,
-            }
-        )
+    full = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_s": calibration,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(_emit_line(full))
     spark.stop()
 
 

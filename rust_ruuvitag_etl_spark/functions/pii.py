@@ -42,7 +42,17 @@ REDACTIONS = (
 def pii_counts(text: Column) -> dict[str, Column]:
     """Per-row match counts for each PII class (non-overlapping,
     leftmost-first — identical in RE2 and java.util.regex for these
-    unambiguous patterns)."""
+    unambiguous patterns).
+
+    Overlap semantics: each class counts INDEPENDENTLY on the RAW
+    text, while :func:`redact_pii` applies the classes in REDACTIONS
+    order — so text matching two classes (an email whose domain is a
+    dotted quad, e.g. ``a@1.2.3.4``-shaped strings that also satisfy
+    IPV4_RE) counts in BOTH classes but is redacted only under the
+    FIRST matching class. Consequence: ``n_ipv4 > 0`` does not imply
+    an ``[IP]`` token appears in the redacted string. Counts are
+    detection statistics, not placeholder-token counts — don't
+    reconcile them against the redacted output."""
     return {
         "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)),
         "n_phones": F.regexp_count(text, F.lit(PHONE_RE)),

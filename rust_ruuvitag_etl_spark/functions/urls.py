@@ -43,7 +43,17 @@ _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$"
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of ``url`` per the module rules — one scan-local
-    string expression, no UDF."""
+    string expression, no UDF.
+
+    Precondition: absolute URLs (``scheme://...``). Inputs WITHOUT a
+    ``://`` scheme separator pass through UNCHANGED (guard below) —
+    they never produce the malformed ``'://...'`` a blind rebuild
+    would. Hosts carrying userinfo (``user@host``) or IPv6 bracket
+    syntax (``[::1]:8080``) are outside the supported subset: the
+    port/host splits treat the whole authority as host[:port], so such
+    URLs canonicalize with the authority kept verbatim (lowercased)
+    rather than mis-parsing silently — acceptable for web-corpus http(s)
+    URLs, documented here for anyone pointing this at raw crawl data."""
     nofrag = F.substring_index(url, "#", 1)
     base = F.substring_index(nofrag, "?", 1)
     qs = F.regexp_extract(nofrag, r"\?(.*)$", 1)  # '' when no query
@@ -69,7 +79,7 @@ def canonicalize_url(url: Column) -> Column:
             lambda p: (p != "") & ~p.rlike(TRACKING_RE),
         )
     )
-    return F.concat(
+    rebuilt = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -80,11 +90,14 @@ def canonicalize_url(url: Column) -> Column:
             F.concat(F.lit("?"), F.array_join(params, "&")),
         ).otherwise(F.lit("")),
     )
+    # No absolute-URL scheme → not ours to rebuild; pass through.
+    return F.when(url.rlike(_SCHEME_RE), rebuilt).otherwise(url)
 
 
 def canonicalize_url_sql(expr: str) -> str:
     """DuckDB twin of :func:`canonicalize_url` over the SQL expression
-    ``expr`` — identical rule order, identical patterns. DuckDB's
+    ``expr`` — identical rule order, identical patterns (including the
+    pass-through guard for inputs without a ``scheme://``). DuckDB's
     ``regexp_replace`` replaces the FIRST match (Spark replaces all);
     every replace here is anchored, so first == all."""
     nofrag = f"split_part({expr}, '#', 1)"
@@ -109,10 +122,14 @@ def canonicalize_url_sql(expr: str) -> str:
         f"list_sort(list_filter(string_split({qs}, '&'), "
         f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_RE}')))"
     )
-    return (
+    rebuilt = (
         f"({scheme} || '://' || {host}"
         f" || (CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END)"
         f" || {path}"
         f" || (CASE WHEN len({params}) > 0"
         f" THEN '?' || array_to_string({params}, '&') ELSE '' END))"
+    )
+    return (
+        f"(CASE WHEN regexp_matches({expr}, '{_SCHEME_RE}')"
+        f" THEN {rebuilt} ELSE {expr} END)"
     )

@@ -165,11 +165,19 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # separately by tests/test_llm_ops.py.
 _LSH_RECALL_NUM, _LSH_RECALL_DEN = 7, 20
 
+# The recall_ok column is injected into the shared oracle by textual
+# replacement; if the target SELECT line ever drifts, fail HERE at
+# import time, not as a confusing column-mismatch in the differential.
+_LSH_ORACLE_TARGET = "SELECT id_a, id_b, ROUND(cs, 6) AS cosine FROM scored"
+assert _LSH_ORACLE_TARGET in dor.EMBEDDING_LSH_PAIRS_SQL, (
+    "EMBEDDING_LSH_PAIRS_SQL drifted: recall_ok injection target missing"
+)
+
 
 @query(
     "dedup_embedding_lsh_pairs",
     oracle=dor.EMBEDDING_LSH_PAIRS_SQL.replace(
-        "SELECT id_a, id_b, ROUND(cs, 6) AS cosine FROM scored",
+        _LSH_ORACLE_TARGET,
         "SELECT id_a, id_b, ROUND(cs, 6) AS cosine, TRUE AS recall_ok"
         " FROM scored",
     ),

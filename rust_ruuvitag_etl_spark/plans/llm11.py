@@ -1488,10 +1488,12 @@ def _render_docstring_constants() -> None:
     at import — a blanket ``.format`` would choke on the legitimate
     braces in quoted SQL and set-literal prose, so only these names
     substitute — and refresh the REGISTRY copies (the decorator
-    snapshots ``fn.__doc__`` at registration)."""
+    snapshots ``fn.__doc__`` at registration). Scope: ONLY this
+    module's REGISTERED query functions — private helpers keep their
+    docstrings verbatim, so a future helper docstring that legitimately
+    quotes a ``{NAME}`` token (format examples, quoted SQL) cannot be
+    silently rewritten."""
     import dataclasses
-    import sys
-    import types
 
     consts = {
         "K_CLUSTERS": K_CLUSTERS,
@@ -1515,12 +1517,12 @@ def _render_docstring_constants() -> None:
             doc = doc.replace("{" + k + "}", str(v))
         return doc
 
-    mod = sys.modules[__name__]
-    for obj in vars(mod).values():
-        if isinstance(obj, types.FunctionType) and obj.__doc__:
-            obj.__doc__ = _render(obj.__doc__)
     for name, q in list(REGISTRY.items()):
-        if q.fn.__module__ == __name__ and q.doc:
+        if q.fn.__module__ != __name__:
+            continue
+        if q.fn.__doc__:
+            q.fn.__doc__ = _render(q.fn.__doc__)
+        if q.doc:
             REGISTRY[name] = dataclasses.replace(q, doc=_render(q.doc))
 
 

@@ -459,6 +459,125 @@ _SEP = chr(31)  # unit separator: joins a word's current symbols; never
 #                 appears in corpus text, so symbol boundaries are exact
 
 
+def bpe_seed_rep(word: Column) -> Column:
+    """SEP-joined single-char symbol string for ``word``: SEP before
+    every char, then drop the leading SEP (equivalent to the oracle's
+    rtrim-trailing form; avoids PySpark's two-arg rtrim signature
+    ambiguity)."""
+    return F.substring(
+        F.regexp_replace(word, "(.)", _SEP + "$1"), 2, 2_000_000_000
+    )
+
+
+def bpe_rounds(
+    vocab: DataFrame, n_rounds: int = BPE_MERGES
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run ``n_rounds`` BPE merge rounds over ``vocab`` — columns
+    ``rep`` (SEP-joined symbol string) and ``wc`` (word frequency),
+    plus any CARRIED columns (e.g. the original ``word``, which the
+    encode/vocab queries in plans/llm13.py need to join the final
+    segmentation back to documents; carried columns pass through every
+    round untouched). Returns (one 1-row rule DataFrame per round with
+    columns (a, b, cnt, merge_rank), the re-segmented vocab after the
+    LAST round).
+
+    Per round: one scan-local pair explode into a map-side-combinable
+    (a, b) groupBy, a 1-row distributed argmax (count DESC, then
+    lexicographic — engine-stable), and a scan-local aggregate-lambda
+    fold re-segmenting each word (greedy left-to-right; merging appends
+    WITHOUT the separator so the fused symbol can immediately be the
+    LEFT side of later pairs, but never re-matches the just-consumed
+    rule). The vocab is localCheckpointed once per round (|vocab| rows
+    — it feeds both the pair count and the re-segmentation)."""
+    sep = F.lit(_SEP)
+    carry = [c for c in vocab.columns if c != "rep"]
+    rules: list[DataFrame] = []
+    for i in range(1, n_rounds + 1):
+        vocab = vocab.localCheckpoint(eager=True)  # |vocab| rows
+        syms = F.split(F.col("rep"), _SEP)
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+                        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        rule = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .withColumn("merge_rank", F.lit(i))
+        )
+        rules.append(rule)
+        merged = F.aggregate(
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.element_at(syms, 1),
+            lambda acc, x: F.when(
+                ((acc == F.col("a")) | acc.endswith(F.concat(sep, F.col("a"))))
+                & (x == F.col("b")),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, sep, x)),
+        )
+        vocab = vocab.crossJoin(F.broadcast(rule.select("a", "b"))).select(
+            merged.alias("rep"), *carry
+        )
+    return rules, vocab
+
+
+def bpe_round_ctes(carry: str = "") -> str:
+    """The p{{i}}/r{{i}}/v{{i}} CTE chain for ``BPE_MERGES`` merge
+    rounds, starting from a CALLER-supplied ``v0`` with columns
+    (rep, wc, <carried>). ``carry`` is a comma-TERMINATED projection
+    prefix (e.g. ``'v.word, '``) propagated through every ``v{{i}}`` —
+    the encode/vocab queries (plans/llm13.py) carry the original word
+    so the final segmentation can join back to documents; training
+    carries nothing."""
+    sep = "chr(31)"
+    parts = []
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f""",
+p{i} AS (
+    SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(wc) AS BIGINT) AS cnt
+    FROM (SELECT string_split(rep, {sep}) AS s, wc FROM v{i - 1}),
+         LATERAL (SELECT unnest(range(1, len(s))) AS i)
+    GROUP BY a, b
+),
+r{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+v{i} AS (
+    SELECT {carry}list_reduce(string_split(v.rep, {sep}),
+             (acc, x) -> CASE
+                 WHEN (acc = r.a OR ends_with(acc, {sep} || r.a))
+                      AND x = r.b
+                 THEN acc || x ELSE acc || {sep} || x END) AS rep,
+           v.wc
+    FROM v{i - 1} v CROSS JOIN r{i} r
+)"""
+        )
+    return "".join(parts)
+
+
+# Shared corpus-word CTEs: dw = (doc_id, word) exploded from the
+# lowercased whitespace tokenization (exactly functions.text.ws_tokens);
+# w = the distinct-word frequency table all BPE work runs on.
+BPE_WORDS_CTES = """
+dw AS (
+    SELECT doc_id, t AS word
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+          FROM documents WHERE trim(text) <> '')
+    WHERE t <> ''
+),
+w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM dw GROUP BY word)
+""".strip()
+
+
 def _bpe_oracle() -> str:
     """Unrolled BPE training oracle: vocab_0 = per-word symbol strings
     (one char per symbol, SEP-joined) weighted by word frequency; each
@@ -472,12 +591,7 @@ def _bpe_oracle() -> str:
     sep = "chr(31)"
     parts = [
         f"""
-WITH w AS (
-    SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS wc
-    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
-          FROM documents WHERE trim(text) <> '')
-    WHERE t <> '' GROUP BY t
-),
+WITH {BPE_WORDS_CTES},
 v0 AS (
     SELECT rtrim(regexp_replace(word, '(.)', '\\1' || {sep}, 'g'), {sep})
                AS rep,
@@ -485,26 +599,7 @@ v0 AS (
     FROM w
 )"""
     ]
-    for i in range(1, BPE_MERGES + 1):
-        parts.append(
-            f""",
-p{i} AS (
-    SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(wc) AS BIGINT) AS cnt
-    FROM (SELECT string_split(rep, {sep}) AS s, wc FROM v{i - 1}),
-         LATERAL (SELECT unnest(range(1, len(s))) AS i)
-    GROUP BY a, b
-),
-r{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
-v{i} AS (
-    SELECT list_reduce(string_split(v.rep, {sep}),
-             (acc, x) -> CASE
-                 WHEN (acc = r.a OR ends_with(acc, {sep} || r.a))
-                      AND x = r.b
-                 THEN acc || x ELSE acc || {sep} || x END) AS rep,
-           v.wc
-    FROM v{i - 1} v CROSS JOIN r{i} r
-)"""
-        )
+    parts.append(bpe_round_ctes())
     union = " UNION ALL ".join(
         f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym,"
         f" a || b AS merged_sym, cnt AS pair_count FROM r{i}"
@@ -548,7 +643,6 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = dd.spread(load(spark, sf_dir, "documents")).filter(
         F.trim(F.col("text")) != ""
     )
-    sep = F.lit(_SEP)
     w = (
         docs.select(
             F.explode(tf.ws_tokens(F.lower(F.col("text")))).alias("word")
@@ -557,59 +651,8 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    # SEP before every char, then drop the leading SEP (equivalent to
-    # the oracle's rtrim-trailing form; avoids PySpark's two-arg rtrim
-    # signature ambiguity)
-    vocab = w.select(
-        F.substring(
-            F.regexp_replace(F.col("word"), "(.)", _SEP + "$1"),
-            2,
-            2_000_000_000,
-        ).alias("rep"),
-        "wc",
-    )
-    rules = []
-    for i in range(1, BPE_MERGES + 1):
-        vocab = vocab.localCheckpoint(eager=True)  # |vocab| rows
-        syms = F.split(F.col("rep"), _SEP)
-        pairs = (
-            vocab.select(
-                F.explode(
-                    F.zip_with(
-                        F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
-                        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-                        lambda a, b: F.struct(
-                            a.alias("a"), b.alias("b")
-                        ),
-                    )
-                ).alias("p"),
-                "wc",
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("wc").alias("cnt"))
-        )
-        rule = (
-            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .withColumn("merge_rank", F.lit(i))
-        )
-        rules.append(rule)
-        merged = F.aggregate(
-            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-            F.element_at(syms, 1),
-            lambda acc, x: F.when(
-                (
-                    (acc == F.col("a"))
-                    | acc.endswith(F.concat(sep, F.col("a")))
-                )
-                & (x == F.col("b")),
-                F.concat(acc, x),
-            ).otherwise(F.concat(acc, sep, x)),
-        )
-        vocab = (
-            vocab.crossJoin(F.broadcast(rule.select("a", "b")))
-            .select(merged.alias("rep"), "wc")
-        )
+    vocab = w.select(bpe_seed_rep(F.col("word")).alias("rep"), "wc")
+    rules, _ = bpe_rounds(vocab)
     out = rules[0]
     for r in rules[1:]:
         out = out.unionByName(r)

@@ -202,17 +202,16 @@ class TestCorpusSplit:
 
 
 class TestBPE:
-    def test_learned_merges_on_constructed_corpus(self, spark):
+    def test_learned_merges_on_constructed_corpus(self, spark, tmp_path):
         """Corpus engineered so the merge sequence is hand-computable:
         'abab' x4 and 'ab' x3 make (a,b) the top pair (11 occurrences),
         then (ab,ab) fuses the doubled word."""
         import os
-        import tempfile
 
         from rust_ruuvitag_etl_spark.plans.llm12 import tokenizer_bpe_merges
 
         text = " ".join(["abab"] * 4 + ["ab"] * 3 + ["xy"] * 2)
-        d = tempfile.mkdtemp(prefix="bpe_docs_")
+        d = str(tmp_path)
         spark.createDataFrame(
             [(0, text, "en", "s", len(text))],
             "doc_id long, text string, lang string, source string, n_chars long",
@@ -232,16 +231,15 @@ class TestBPE:
         assert (rows[1]["left_sym"], rows[1]["right_sym"]) == ("ab", "ab")
         assert rows[1]["pair_count"] == 4
 
-    def test_greedy_left_to_right_on_runs(self, spark):
+    def test_greedy_left_to_right_on_runs(self, spark, tmp_path):
         """'aaa' under rule (a,a): greedy fold yields [aa, a], so the
         round-2 count for (aa, a) reflects non-overlapping merges."""
         import os
-        import tempfile
 
         from rust_ruuvitag_etl_spark.plans.llm12 import tokenizer_bpe_merges
 
         text = " ".join(["aaa"] * 5)
-        d = tempfile.mkdtemp(prefix="bpe_runs_")
+        d = str(tmp_path)
         spark.createDataFrame(
             [(0, text, "en", "s", len(text))],
             "doc_id long, text string, lang string, source string, n_chars long",
