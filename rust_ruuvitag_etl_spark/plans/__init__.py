@@ -33,4 +33,5 @@ from . import (  # noqa: E402, F401
     llm10,
     llm11,
     llm12,
+    llm13,
 )

@@ -524,9 +524,16 @@ def bpe_rounds(
                 F.concat(acc, x),
             ).otherwise(F.concat(acc, sep, x)),
         )
-        vocab = vocab.crossJoin(F.broadcast(rule.select("a", "b"))).select(
-            merged.alias("rep"), *carry
-        )
+        # LEFT join on TRUE, not crossJoin: when a round finds NO pairs
+        # (every word already fused to one symbol — legal on tiny
+        # vocabularies), the 1-row rule side is EMPTY; a cross join
+        # would annihilate the vocab, while the left join keeps every
+        # word and the fold's null a/b sends each symbol down the
+        # no-merge branch, leaving rep unchanged. The oracle twin uses
+        # the same LEFT JOIN ON TRUE.
+        vocab = vocab.join(
+            F.broadcast(rule.select("a", "b")), F.lit(True), "left"
+        ).select(merged.alias("rep"), *carry)
     return rules, vocab
 
 
@@ -557,7 +564,7 @@ v{i} AS (
                       AND x = r.b
                  THEN acc || x ELSE acc || {sep} || x END) AS rep,
            v.wc
-    FROM v{i - 1} v CROSS JOIN r{i} r
+    FROM v{i - 1} v LEFT JOIN r{i} r ON TRUE
 )"""
         )
     return "".join(parts)

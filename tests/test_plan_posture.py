@@ -334,6 +334,14 @@ class TestGlobalWindowBan:
         # descending running sum over the |distinct recencies| table —
         # bounded by the time span in days (same audited class)
         "user_churn_survival",
+        # cumulative token sum over the |distinct quality scores| table
+        # (4-dp score classes — class cardinality, never documents; the
+        # per-DOC window in the same query is PARTITIONED to the one
+        # boundary class and does not trip this ban)
+        "corpus_token_budget_select",
+        # Mann-Whitney cumulative negatives over the same
+        # |distinct quality scores| class table
+        "eval_quality_auc",
     }
 
     def test_no_registry_query_has_global_window_over_data(self, spark):
