@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..functions import text as tf
 from ..operators import dedup as dd
 from ..sources import load
-from ._dedup_oracles import _QUALITY_SQL
+from ._dedup_oracles import _JACCARD_CTES, _MINHASH_CAND_CTES, _QUALITY_SQL, N_HASHES
 from .llm12 import (
     _SEP,
     BPE_MERGES,
@@ -296,6 +296,100 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "n_tokens", F.lit("boundary").alias("stage"))
     )
     return full_docs.unionByName(bd)
+
+
+# --- MinHash estimator calibration --------------------------------------------
+
+_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+
+_MINHASH_ESTIMATE_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES},
+{_JACCARD_CTES},
+est AS (
+    SELECT c.id_a, c.id_b, CAST({_MATCHES_SQL} AS INTEGER) AS matches
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.id_a
+    JOIN sig b ON b.doc_id = c.id_b
+)
+SELECT j.id_a, j.id_b, j.jaccard,
+       e.matches,
+       ROUND(e.matches / {N_HASHES}.0, 4) AS minhash_estimate,
+       ROUND(ABS(j.jaccard - e.matches / {N_HASHES}.0), 4) AS abs_error
+FROM jac j JOIN est e ON e.id_a = j.id_a AND e.id_b = j.id_b
+"""
+
+
+@query("eval_minhash_estimate", oracle=_MINHASH_ESTIMATE_ORACLE)
+def eval_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration — per LSH candidate pair, the
+    signature-match estimate (matching positions / 16) next to the
+    exact 3-gram Jaccard and the absolute error. This is the audit a
+    pipeline owner runs before trusting banded MinHash at a new
+    threshold: E[matches/k] = J is the MinHash identity (Broder 1997),
+    and a systematic bias here means broken shingling or a bad hash
+    family long before the dedup output looks wrong. Portable hash
+    family so the DuckDB oracle replays signatures bit-for-bit.
+
+    Scale posture: candidate pairs come from the banded equi-join
+    (never all-pairs); the candidate set is checkpointed once and
+    prunes BOTH expensive sides — the exact-verify shingle scan
+    (operators/dedup.jaccard_pairs) and the signature table (semi-join
+    before the per-pair match count) — so every per-pair stage runs at
+    candidate scale, not corpus scale."""
+    docs = dd.spread(load(spark, sf_dir, "documents"))
+    cands = dd.minhash_lsh_candidates(
+        docs, hash_family="portable"
+    ).localCheckpoint(eager=True)
+    jac = dd.jaccard_pairs(docs, cands)  # threshold 0: every candidate
+    ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sigs = dd.minhash_signatures(
+        docs.join(ids, "doc_id", "left_semi"), hash_family="portable"
+    )
+    est = (
+        cands.join(
+            sigs.select(
+                F.col("doc_id").alias("id_a"), F.col("minhash").alias("mh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id_b"), F.col("minhash").alias("mh_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    "mh_a",
+                    "mh_b",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            .cast("int")
+            .alias("matches"),
+        )
+    )
+    return jac.join(est, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        "matches",
+        F.round(F.col("matches") / N_HASHES, 4).alias("minhash_estimate"),
+        F.round(
+            F.abs(F.col("jaccard") - F.col("matches") / N_HASHES), 4
+        ).alias("abs_error"),
+    )
 
 
 # --- quality-score AUC evaluation --------------------------------------------

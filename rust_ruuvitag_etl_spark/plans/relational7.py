@@ -654,6 +654,16 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUALS the true distance, so the emitted rows — and the unchanged
     full-distance oracle — are identical.
 
+    Round 9: the probe side is round-robin ``spread`` — the small-file
+    scan arrives as ONE split, so the broadcast-hash probe (where
+    every banded verify runs) executed single-task and serialized the
+    whole pair space on one core (the round-4 semdedup lesson,
+    re-measured here: 14 s → 1.1 s at sf0.1, output frame-equal). The
+    build side keeps Catalyst's SIZE-BASED join choice (broadcast at
+    bench scale, sort-merge on the block key at 100 TB where the dim
+    no longer fits); a pre-split production scan makes the spread a
+    no-op by construction.
+
     Known stronger filter, deliberately not applied: PassJoin (Li,
     Deng & Feng 2011) replaces the in-block theta join with an
     equi-join on (length, segment-index, segment) keys — the exact
@@ -663,9 +673,12 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     'Customer#0…' prefix, so the low-index segment keys collide for
     the entire block and the candidate set degenerates to the full
     pair space while paying ~25 probe keys per row. Measured, not
-    guessed — the banded verify is the binding constraint here."""
+    guessed — with the probe side spread, the banded verify
+    parallelizes and PassJoin's extra keys would only add cost."""
+    from ..operators.dedup import spread
+
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
-    a, b = c.alias("a"), c.alias("b")
+    a, b = spread(c, 32).alias("a"), c.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
     return (
         a.join(

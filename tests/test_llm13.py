@@ -144,6 +144,27 @@ class TestBudgetSelect:
         assert sel_tokens <= budget
 
 
+class TestMinhashEstimate:
+    def test_identity_and_error_bounds(self, spark):
+        """MinHash identity pins: estimate and error stay in [0,1],
+        matches is consistent with the displayed estimate, exact-equal
+        signatures imply jaccard near 1, and the estimator is
+        CALIBRATED on the planted near-dups (E[matches/k]=J — with 28
+        pairs at j≈0.97 the mean |err| sits ~0.03; 0.15 is a collapse
+        detector, not a tight bound)."""
+        from rust_ruuvitag_etl_spark.plans.llm13 import eval_minhash_estimate
+
+        rows = eval_minhash_estimate(spark, SF_SMALL).collect()
+        assert rows, "LSH found no candidate pairs at sf0.001"
+        for r in rows:
+            assert 0 <= r["matches"] <= 16
+            assert abs(r["minhash_estimate"] - round(r["matches"] / 16, 4)) < 1e-9
+            assert 0.0 <= r["abs_error"] <= 1.0
+        # the corpus plants shingle-level near-dups (j ~ 0.9+)
+        assert any(r["jaccard"] >= 0.9 for r in rows)
+        assert sum(r["abs_error"] for r in rows) / len(rows) < 0.15
+
+
 class TestQualityAUC:
     def test_matches_brute_force_pairwise(self, spark):
         """Exact pairwise Mann-Whitney over the 500-doc corpus: every

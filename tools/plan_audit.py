@@ -200,6 +200,17 @@ def main() -> None:
         "are the truthful steady-state for the current environment and are",
         "the baseline later rounds should compare against.",
         "",
+        "Adjudication (round 9): graph_triangle_count's join-based wedge",
+        "enumeration was A/B'd against a collect_set-adjacency + nested-",
+        "transform pair-explosion rewrite (one fewer self-join): identical",
+        "output (1,884,488 triangles at sf0.1) but 4× SLOWER (43 s vs",
+        "9.8 s medians, idle box) — the co-purchase graph is dense (20k",
+        "nodes / 1.2M edges, mean degree ~120), and exploding the ~36M",
+        "wedge structs through higher-order transform() runs in",
+        "CodegenFallback while the self-join wedges stay inside",
+        "whole-stage codegen. The join-based plan stands; revisit only",
+        "if the edge density profile changes.",
+        "",
         "FullBcast = data-plane tables shipped whole through an EXPLICIT",
         "broadcast hint with no aggregate/limit bounding them, detected",
         "on a second plan built with autoBroadcastJoinThreshold=-1 so",
