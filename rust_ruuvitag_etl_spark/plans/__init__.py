@@ -34,4 +34,5 @@ from . import (  # noqa: E402, F401
     llm11,
     llm12,
     llm13,
+    llm14,
 )

@@ -342,6 +342,9 @@ class TestGlobalWindowBan:
         # Mann-Whitney cumulative negatives over the same
         # |distinct quality scores| class table
         "eval_quality_auc",
+        # 65-row rank over the checkpointed top-(k+1) head BELOW the
+        # distributed TakeOrderedAndProject — constant-size
+        "sample_priority_weighted",
     }
 
     def test_no_registry_query_has_global_window_over_data(self, spark):
