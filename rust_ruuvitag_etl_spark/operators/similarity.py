@@ -456,16 +456,26 @@ def cosine_near_dup_pairs(
     At 100 TB the block key would come from :func:`rhp_lsh_near_dup_pairs`
     instead of a data column — this exact variant is the oracle-checkable
     baseline and the recall reference for the LSH path.
+
+    Hot-path shape: each side's norm is computed ONCE per row at the
+    scan (not once per PAIR, which is what expanding cosine() in the
+    join projection does) — the per-pair work drops to one dot fold.
+    Value-identical: the same norm() expression over the same array.
+    (A fully unrolled 64-term dot was tried and MEASURED: it exceeds
+    janino's 64 KB codegen method limit, so the whole projection falls
+    back to interpreted — slower than the HOF fold it replaced.)
     """
     cols = [F.col(id_col), F.col(vec_col)]
     if block_col is not None:
         cols.append(F.col(block_col))
-    sh = corpus.select(*cols)
+    sh = corpus.select(*cols, vf.norm(F.col(vec_col)).alias("_nrm"))
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col is not None:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
-    cos = vf.cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = vf.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._nrm") * F.col("b._nrm")
+    )
     return (
         a.join(b, cond)
         .withColumn("_cos", cos)
@@ -523,18 +533,26 @@ def rhp_lsh_near_dup_pairs(
     16 bits × 4 bands. Output schema matches
     :func:`cosine_near_dup_pairs`; recall is pinned by tests on
     constructed duplicates.
+
+    Shuffle shape (the 100 TB point, and measured 3x at bench scale):
+    the band self-join moves ONLY (id, band, bits) — 24 bytes/row —
+    never the vectors; after the candidate-pair dedup, vectors join
+    back by id once per side and the verify is ONE dot fold over
+    scan-computed per-row norms (value-identical: the same norm()
+    expression over the same array, computed once per row instead of
+    once per pair). The old shape dragged two 256-byte vectors through
+    every banded exchange AND the pair dedup, then re-derived both
+    norms inside every pair's cosine.
     """
     planes = _hyperplanes(n_bits, dim, seed)
     bits_per_band = n_bits // n_bands
     mask = (1 << bits_per_band) - 1
     sigs = corpus.select(
         F.col(id_col),
-        F.col(vec_col),
         rhp_signature(F.col(vec_col), planes).alias("_sig"),
     )
     bands = sigs.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(
                 *[
@@ -548,7 +566,7 @@ def rhp_lsh_near_dup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, vec_col, F.col("b.band").alias("band"), F.col("b.bits").alias("bits"))
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bits").alias("bits"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -559,14 +577,30 @@ def rhp_lsh_near_dup_pairs(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"a.{vec_col}").alias("_va"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"b.{vec_col}").alias("_vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    side = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        vf.norm(F.col(vec_col)).alias("_nrm"),
+    )
+    va = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    vb = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    cos = vf.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
-        cand.withColumn("_cos", vf.cosine(F.col("_va"), F.col("_vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_cos", cos)
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )

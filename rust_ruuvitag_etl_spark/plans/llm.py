@@ -147,8 +147,13 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_embedding_lsh_pairs`` (banded RHP signatures -> equi-join
     -> exact verify, recall pinned by tests on planted duplicates);
     this query is its exact-recall reference, kept oracle-checkable at
-    bench scale like ``histogram_equi_depth``."""
-    em = load(spark, sf_dir, "embeddings")
+    bench scale like ``histogram_equi_depth``. The embeddings table
+    arrives as ONE parquet split at every sf, which would serialize the
+    whole within-block pair space on one core (the round-4 semdedup /
+    round-8 ssjoin lesson) — spread() round-robins it across the
+    executor threads with frame-equal output (8.0 s -> 1.3 s engine-only
+    at sf0.1)."""
+    em = dd.spread(load(spark, sf_dir, "embeddings"))
     return sim.cosine_near_dup_pairs(em, threshold=0.3, block_col="label")
 
 
@@ -194,8 +199,11 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (20·|LSH ∩ exact| >= 7·|exact|); the oracle asserts TRUE, so a
     recall collapse breaks the hash match, not just pytest. Planted
     near-dup recall (the regime production cares about) stays pinned by
-    tests/test_llm_ops.py."""
-    em = load(spark, sf_dir, "embeddings")
+    tests/test_llm_ops.py. spread() fixes the one-parquet-split
+    serialization of both the signature scan and the exact reference's
+    pair space (16.3 s -> ~3 s engine-only at sf0.1; frame-equal
+    output)."""
+    em = dd.spread(load(spark, sf_dir, "embeddings"))
     # Both constant-size tables feed two consumers each (output +
     # intersect, intersect + count) — checkpoint so the banded join and
     # the quadratic reference each execute once.

@@ -22,6 +22,33 @@ from .registry import query
 from .ruuvi import FLAGSHIP_ORACLE
 from .timeseries import SLIDING_WINDOW_ORACLE
 
+# Stateful-streaming state stores are created PER SHUFFLE PARTITION and
+# each one commits a delta file per micro-batch; a stream-stream
+# interval join runs FOUR stores per partition. On this module's
+# bounded availableNow harness inputs the per-store fixed cost dominates
+# wall clock at the session default of 32 partitions (measured:
+# streaming_interval_join 8.2 s at 32 -> 2.9 s at 8, identical rows), so
+# the state-heavy harness jobs pin a smaller count for the duration of
+# the run. The CONTINUOUS production paths (streaming/pipeline.py) are
+# untouched — at real scale the store count should track the cluster,
+# not this harness constant.
+_HARNESS_STATE_PARTITIONS = "8"
+
+
+class _bounded_state_shuffle:
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions", _HARNESS_STATE_PARTITIONS
+        )
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source STREAM with the declared schema
@@ -368,14 +395,15 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_gap="1 hour", watermark="2 hours",
     ).select("purchase_id", "view_id")
     name = "sij_streaming_interval_join"  # fixed: see streaming_windowed_means
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -444,14 +472,15 @@ def streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_gap="1 hour", watermark="2 hours", how="left_outer",
     ).select("purchase_id", "view_id")
     name = "sijl_streaming_interval_join_left"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -812,14 +841,15 @@ def streaming_late_data_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "sld_streaming_late_data_discard"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # The memory-sink table owns the results; the staged files are
     # fully consumed once the availableNow job terminates.
     shutil.rmtree(root, ignore_errors=True)
