@@ -400,18 +400,33 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-invariant, so the DuckDB oracle counts the same
     triangles with the simpler id-ordered 3-way self-join. Two
     equi-join shuffles over the edge list; edges localCheckpointed so
-    the wedge join never replays the lineitem scan."""
+    the wedge join never replays the lineitem scan.
+
+    Edge build: one groupBy(order) into a sorted per-order part array,
+    then an in-row pair explosion — per-order fan-out is bounded by
+    order size (<= 7 lineitems), so the HOF cost is constant per group
+    and ONE shuffle of lineitem replaces the self-join's two (measured
+    2.2 s -> 1.4 s, identical edge set). This does NOT contradict the
+    adjudicated wedge-join decision above: WEDGE explosion is quadratic
+    in oriented out-degree (~36M structs, CodegenFallback loses), while
+    edge explosion is quadratic only in order size (a constant)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    grp = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        grp.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ps, (x, i) -> transform("
+                        "slice(ps, i + 2, size(ps) - i - 1),"
+                        " y -> struct(x as u, y as v)))"
+                    )
+                )
+            ).alias("e")
         )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint(eager=True)
     )

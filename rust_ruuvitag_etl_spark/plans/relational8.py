@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import dedup as dd
 from ..sources import load
 from .registry import query
 
@@ -254,7 +255,13 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     locality), not |O| × |L|: the plan that survives a 100× scale-up
     where the naive theta join is a cartesian disaster. Semantics:
     per order, how many heavy shipments (l_quantity > 47) from ANY
-    order were in their 7-day transit window on its order date."""
+    order were in their 7-day transit window on its order date.
+
+    The exploded interval side broadcasts, so the ORDERS side is the
+    broadcast-hash PROBE and runs at scan parallelism — one parquet
+    split at harness scale would serialize the join+partial-agg on one
+    core (the round-8 ssjoin lesson); spread() round-robins it
+    (identical output)."""
     epoch = F.lit("1970-01-01")
     li = (
         load(spark, sf_dir, "lineitem")
@@ -272,7 +279,7 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     o = (
-        load(spark, sf_dir, "orders")
+        dd.spread(load(spark, sf_dir, "orders"))
         .select("o_orderkey", "o_orderdate")
         .withColumn(
             "bin", F.floor(F.datediff(F.col("o_orderdate"), epoch) / 7)
