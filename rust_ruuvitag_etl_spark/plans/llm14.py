@@ -900,8 +900,8 @@ FROM m WHERE gap >= {_MS_MIN_GAP} AND gap = lmax
 @query("timeseries_mean_shift_detect", oracle=_MEAN_SHIFT_ORACLE)
 def timeseries_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-shift changepoint detection per event-type series: at each
-    point, compare the mean of the {_MS_W} samples before against the
-    {_MS_W} starting at it; flag points where the shift exceeds 30
+    point, compare the mean of the 16 samples before against the 16
+    starting at it; flag points where the shift exceeds 30
     value units AND the gap is the local maximum within +-8 samples
     (two-sample scan statistic — the non-recursive, window-expressible
     form of CUSUM-style monitoring; the sequential-reset CUSUM
