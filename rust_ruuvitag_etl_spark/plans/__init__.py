@@ -35,4 +35,5 @@ from . import (  # noqa: E402, F401
     llm12,
     llm13,
     llm14,
+    llm15,
 )

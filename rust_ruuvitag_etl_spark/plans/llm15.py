@@ -1,0 +1,235 @@
+"""Round-9 wave 4 — distribution-drift detection and decayed feature
+engineering:
+
+* two-sample Kolmogorov-Smirnov drift audit (`stat_ks_two_sample`):
+  per SOURCE, the KS distance between that source's quality-score
+  distribution and the rest of the corpus — the per-feed drift gate a
+  pipeline owner runs before admitting a crawl batch (KL divergence is
+  already covered corpus-wide by `corpus_drift_kl`; KS is the
+  classical distribution-free two-sample test with a critical value);
+* time-decayed user value (`user_time_decayed_value`): the classic
+  feature-store aggregate sum(value * 0.9^age_days) — recency-weighted
+  engagement — computed in EXACT integer arithmetic via a plan-time
+  literal decay table (no pow() in either engine).
+
+Float discipline (same contract as llm14): both statistics are
+integer-exact up to one final division; the only doubles are embedded
+literals and single correctly-rounded ops identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as tf
+from ..operators import dedup as dd
+from ..sources import load
+from ._dedup_oracles import _QUALITY_SQL
+from .registry import query
+
+# --- two-sample KS drift -----------------------------------------------------
+
+# Asymptotic critical coefficient at alpha = 0.05 (Smirnov):
+# D_crit = 1.358 * sqrt((n + m) / (n * m)).
+_KS_C_ALPHA = "1.358"
+
+_KS_ORACLE = f"""
+WITH {_QUALITY_SQL},
+d AS (SELECT source, CAST(ROUND(q * 10000) AS BIGINT) AS s4 FROM qscore),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY source),
+cls AS (SELECT DISTINCT s4 FROM d),
+sc AS (
+    SELECT source, s4, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+),
+gc AS (SELECT s4, CAST(COUNT(*) AS BIGINT) AS g FROM d GROUP BY 1),
+spine AS (SELECT src.source, src.n_s, cls.s4 FROM src CROSS JOIN cls),
+cum AS (
+    SELECT sp.source, sp.n_s, sp.s4,
+           CAST(SUM(COALESCE(sc.c, 0)) OVER (
+               PARTITION BY sp.source ORDER BY sp.s4) AS BIGINT) AS cum_s,
+           CAST(SUM(COALESCE(gc.g, 0)) OVER (
+               PARTITION BY sp.source ORDER BY sp.s4) AS BIGINT) AS cum_all
+    FROM spine sp
+    LEFT JOIN sc ON sc.source = sp.source AND sc.s4 = sp.s4
+    LEFT JOIN gc ON gc.s4 = sp.s4
+),
+ks AS (
+    SELECT cum.source, cum.n_s, tot.n - cum.n_s AS n_r,
+           CAST(MAX(ABS((tot.n - cum.n_s) * cum_s
+                        - cum.n_s * (cum_all - cum_s))) AS BIGINT) AS ks_num
+    FROM cum, tot
+    GROUP BY cum.source, cum.n_s, tot.n
+)
+SELECT source, n_s, n_r,
+       ROUND(CAST(ks_num AS DOUBLE) / (n_s * n_r), 6) AS ks,
+       ROUND(CAST({_KS_C_ALPHA} AS DOUBLE)
+             * sqrt(CAST(n_s + n_r AS DOUBLE) / CAST(n_s * n_r AS DOUBLE)),
+             6) AS ks_critical,
+       (CAST(ks_num AS DOUBLE) / (n_s * n_r))
+           > (CAST({_KS_C_ALPHA} AS DOUBLE)
+              * sqrt(CAST(n_s + n_r AS DOUBLE)
+                     / CAST(n_s * n_r AS DOUBLE))) AS drifted
+FROM ks
+"""
+
+
+@query("stat_ks_two_sample", oracle=_KS_ORACLE)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift audit per SOURCE: the KS
+    distance between each source's quality-score distribution and the
+    REST of the corpus, with the alpha=0.05 Smirnov critical value
+    1.358*sqrt((n+m)/nm) and a drifted flag — the distribution-free
+    per-feed gate run before admitting a crawl batch into the mix
+    (`corpus_drift_kl` is the corpus-wide KL complement).
+
+    Exactness: scores become integer ten-thousandths; both empirical
+    CDFs stay integer COUNTS on a shared score-class spine, and the KS
+    numerator cross-multiplies to the exact integer
+    max_j |n_rest*C_s(j) - n_s*C_rest(j)| (C_rest = C_all - C_s, so one
+    global CDF serves every source). One final division per source;
+    sqrt is a single correctly-rounded op on identical operands.
+
+    Scale posture: one scan-local score projection into two map-side
+    combinable groupBys ((source, score-class) and score-class); the
+    spine, cumulative windows (PARTITIONED by source, |classes| rows
+    each), and the max-fold all run at |sources| x |score classes|
+    cardinality; the global CDF and 1-row total broadcast."""
+    docs = dd.spread(load(spark, sf_dir, "documents"))
+    d = docs.select(
+        "source",
+        F.round(tf.quality_score(F.col("text")) * 10000)
+        .cast("long")
+        .alias("s4"),
+    )
+    sc = d.groupBy("source", "s4").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # class cardinality; feeds 4 consumers
+    src = sc.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    gc = sc.groupBy("s4").agg(F.sum("c").cast("long").alias("g"))
+    cls = sc.select("s4").distinct()
+    tot = sc.agg(F.sum("c").cast("long").alias("n"))
+    spine = src.crossJoin(F.broadcast(cls))
+    w = Window.partitionBy("source").orderBy("s4")
+    cum = (
+        spine.join(sc, ["source", "s4"], "left")
+        .join(F.broadcast(gc), "s4", "left")
+        .select(
+            "source",
+            "n_s",
+            "s4",
+            F.sum(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+            .over(w)
+            .cast("long")
+            .alias("cum_s"),
+            F.sum(F.coalesce(F.col("g"), F.lit(0).cast("long")))
+            .over(w)
+            .cast("long")
+            .alias("cum_all"),
+        )
+    )
+    gap = F.abs(
+        (F.col("n") - F.col("n_s")) * F.col("cum_s")
+        - F.col("n_s") * (F.col("cum_all") - F.col("cum_s"))
+    )
+    ks = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n")
+        .agg(F.max(gap).cast("long").alias("ks_num"))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n") - F.col("n_s")).alias("n_r"),
+            "ks_num",
+        )
+    )
+    ks_val = F.col("ks_num").cast("double") / (F.col("n_s") * F.col("n_r"))
+    crit = F.lit(float(_KS_C_ALPHA)) * F.sqrt(
+        (F.col("n_s") + F.col("n_r")).cast("double")
+        / (F.col("n_s") * F.col("n_r")).cast("double")
+    )
+    return ks.select(
+        "source",
+        "n_s",
+        "n_r",
+        F.round(ks_val, 6).alias("ks"),
+        F.round(crit, 6).alias("ks_critical"),
+        (ks_val > crit).alias("drifted"),
+    )
+
+
+# --- time-decayed user value ---------------------------------------------------
+
+# 0.9^age for age 0..30 days as plan-time integer literals scaled by
+# 1e9 (ages past the horizon decay to the age-30 weight): the decay
+# product value_cents * decay_e9 and its per-user sum stay EXACT int64
+# (max ~5e13 per event), with one final division back to value units.
+_DECAY_HORIZON = 30
+_DECAY_E9 = [round(0.9**a * 1_000_000_000) for a in range(_DECAY_HORIZON + 1)]
+
+_DECAY_CASE_SQL = (
+    "CASE LEAST(age, 30) "
+    + " ".join(f"WHEN {a} THEN {w}" for a, w in enumerate(_DECAY_E9))
+    + " END"
+)
+
+_DECAY_ORACLE = f"""
+WITH anchor AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+e AS (
+    SELECT user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS v100,
+           datediff('day', CAST(ts AS DATE), CAST(anchor.mx AS DATE)) AS age
+    FROM events, anchor
+),
+wgt AS (
+    SELECT user_id, v100 * ({_DECAY_CASE_SQL}) AS wv FROM e
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(wv) AS BIGINT) AS decayed_num,
+       ROUND(CAST(SUM(wv) AS DOUBLE) / 100000000000.0, 6) AS decayed_value
+FROM wgt GROUP BY user_id
+"""
+
+
+@query("user_time_decayed_value", oracle=_DECAY_ORACLE)
+def user_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user engagement — the feature-store classic
+    sum(value * 0.9^age_days) per user, anchored at the corpus's max
+    event time, with ages past 30 days pinned to the 30-day weight
+    (a decay floor; beyond it the signal is noise anyway).
+
+    No pow() anywhere: the 31 decay weights are PLAN-TIME integer
+    literals (0.9^a scaled by 1e9, precomputed in Python and rendered
+    identically into the oracle SQL), so every weighted value and each
+    user's sum is EXACT int64 arithmetic with one final division —
+    float-summation order cannot matter.
+
+    Scale posture: the anchor is a 1-row max broadcast; weighting is
+    scan-local (a 31-arm integer CASE inside codegen); the single
+    corpus-scale shuffle is the map-side-combinable groupBy(user_id)."""
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("timestamp")).alias("mx"))
+    decay = F.element_at(
+        F.array(*[F.lit(w).cast("long") for w in _DECAY_E9]),
+        (F.least(F.col("age"), F.lit(_DECAY_HORIZON)) + 1).cast("int"),
+    )
+    e = (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("v100"),
+            F.datediff(
+                F.col("mx").cast("date"), F.col("ts").cast("date")
+            ).alias("age"),
+        )
+        .select("user_id", (F.col("v100") * decay).alias("wv"))
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("wv").cast("long").alias("decayed_num"),
+        F.round(F.sum("wv").cast("double") / 100000000000.0, 6).alias(
+            "decayed_value"
+        ),
+    )

@@ -1,0 +1,91 @@
+"""Tests for the round-9 llm15 additions: two-sample KS drift and
+time-decayed user value."""
+
+from __future__ import annotations
+
+import datetime
+
+from rust_ruuvitag_etl_spark.plans.llm15 import (
+    _DECAY_E9,
+    stat_ks_two_sample,
+    user_time_decayed_value,
+)
+
+from .conftest import SF_SMALL
+from .test_llm14 import _DOC_SCHEMA, _EV_SCHEMA, _write
+
+
+class TestKSTwoSample:
+    def test_identical_distributions_read_zero(self, spark, tmp_path):
+        """Two sources with the same text mix -> every CDF cut agrees
+        -> KS 0, not drifted."""
+        hi, lo = "the the the the", "zzzzzzzzzzzzzzzz!!!"
+        rows = []
+        for i in range(8):
+            rows.append((i, hi if i % 2 else lo, "en", "src_a", 0))
+            rows.append((100 + i, hi if i % 2 else lo, "en", "src_b", 0))
+        d = _write(spark, tmp_path, "documents", _DOC_SCHEMA, rows)
+        got = {r["source"]: r for r in stat_ks_two_sample(spark, d).collect()}
+        assert set(got) == {"src_a", "src_b"}
+        for r in got.values():
+            assert r["ks"] == 0.0
+            assert r["drifted"] is False
+
+    def test_disjoint_distributions_read_one(self, spark, tmp_path):
+        """One source all high-quality, the other all low -> the CDFs
+        separate completely at the low class -> KS = 1, drifted."""
+        hi, lo = "the the the the", "zzzzzzzzzzzzzzzz!!!"
+        rows = [(i, hi, "en", "src_a", 0) for i in range(20)] + [
+            (100 + i, lo, "en", "src_b", 0) for i in range(20)
+        ]
+        d = _write(spark, tmp_path, "documents", _DOC_SCHEMA, rows)
+        got = {r["source"]: r for r in stat_ks_two_sample(spark, d).collect()}
+        for r in got.values():
+            assert r["ks"] == 1.0
+            assert r["drifted"] is True
+            assert (r["n_s"], r["n_r"]) == (20, 20)
+
+    def test_real_corpus_bounds(self, spark):
+        rows = stat_ks_two_sample(spark, SF_SMALL).collect()
+        assert len(rows) == 20  # one row per source
+        for r in rows:
+            assert 0.0 <= r["ks"] <= 1.0
+            assert r["ks_critical"] > 0.0
+            assert r["drifted"] == (r["ks"] > r["ks_critical"])
+
+
+class TestTimeDecayedValue:
+    def test_decay_table_is_exact(self):
+        assert _DECAY_E9[0] == 1_000_000_000
+        assert _DECAY_E9[1] == 900_000_000
+        assert len(_DECAY_E9) == 31
+        assert all(b < a for a, b in zip(_DECAY_E9, _DECAY_E9[1:]))
+
+    def test_constructed_series(self, spark, tmp_path):
+        """Three events at ages 0/1/31 days with value 10: the anchor
+        is the newest event; weights 1.0, 0.9, and the 30-day floor."""
+        base = datetime.datetime(2024, 2, 1)
+        rows = [
+            (0, base, 7, "view", 10.0, "{}"),
+            (1, base - datetime.timedelta(days=1), 7, "view", 10.0, "{}"),
+            (2, base - datetime.timedelta(days=31), 7, "view", 10.0, "{}"),
+        ]
+        d = _write(spark, tmp_path, "events", _EV_SCHEMA, rows)
+        got = user_time_decayed_value(spark, d).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["n_events"] == 3
+        expected_num = 1000 * (_DECAY_E9[0] + _DECAY_E9[1] + _DECAY_E9[30])
+        assert r["decayed_num"] == expected_num
+        assert r["decayed_value"] == round(expected_num / 1e11, 6)
+
+    def test_real_corpus_invariants(self, spark):
+        rows = user_time_decayed_value(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            # decayed value can't exceed the undecayed sum and is
+            # non-negative for non-negative event values
+            assert r["decayed_value"] >= 0.0
+            assert r["decayed_num"] == round(r["decayed_value"] * 1e11) or (
+                abs(r["decayed_num"] - r["decayed_value"] * 1e11) < 1e5
+            )
