@@ -233,3 +233,215 @@ def user_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed_value"
         ),
     )
+
+
+# --- inter-rater agreement (Cohen's kappa) ---------------------------------------
+
+# Two independent in-engine language classifiers over the SAME held-out
+# split: rater A = the character-trigram model (text_langid_trigram's
+# plan, lifted verbatim), rater B = a word-unigram twin (top-50 words
+# per language from the same train split). kappa reduces to exact
+# integers: with N rated docs, agree = #(A=B), and the chance-agreement
+# numerator pe_num = sum_k a_k*b_k over label marginals,
+# kappa = (N*agree - pe_num) / (N^2 - pe_num) — one final division.
+_KAPPA_ORACLE = """
+WITH d AS (
+    SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+),
+tri AS (
+    SELECT doc_id, lang,
+           CASE WHEN length(t) >= 3
+                THEN list_transform(range(1, length(t) - 1),
+                                    i -> substr(t, i, 3))
+                ELSE CAST([] AS VARCHAR[]) END AS tris,
+           CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(t), '\\s+') END AS toks
+    FROM d
+),
+train_a AS (
+    SELECT lang, unnest(tris) AS f FROM tri WHERE doc_id % 5 <> 0
+),
+counts_a AS (SELECT lang, f, COUNT(*) AS n FROM train_a GROUP BY lang, f),
+top_a AS (
+    SELECT lang AS model_lang, f FROM (
+        SELECT lang, f,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, f) AS rn
+        FROM counts_a) WHERE rn <= 50
+),
+train_b AS (
+    SELECT lang, unnest(toks) AS f FROM tri WHERE doc_id % 5 <> 0
+),
+counts_b AS (
+    SELECT lang, f, COUNT(*) AS n FROM train_b WHERE f <> '' GROUP BY lang, f
+),
+top_b AS (
+    SELECT lang AS model_lang, f FROM (
+        SELECT lang, f,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, f) AS rn
+        FROM counts_b) WHERE rn <= 50
+),
+test_a AS (
+    SELECT doc_id, unnest(list_distinct(tris)) AS f
+    FROM tri WHERE doc_id % 5 = 0
+),
+test_b AS (
+    SELECT doc_id, unnest(list_distinct(toks)) AS f
+    FROM tri WHERE doc_id % 5 = 0
+),
+pred_a AS (
+    SELECT doc_id, model_lang AS pa FROM (
+        SELECT te.doc_id, top_a.model_lang,
+               row_number() OVER (PARTITION BY te.doc_id
+                   ORDER BY COUNT(*) DESC, top_a.model_lang) AS rn
+        FROM test_a te JOIN top_a ON te.f = top_a.f
+        GROUP BY te.doc_id, top_a.model_lang) WHERE rn = 1
+),
+pred_b AS (
+    SELECT doc_id, model_lang AS pb FROM (
+        SELECT te.doc_id, top_b.model_lang,
+               row_number() OVER (PARTITION BY te.doc_id
+                   ORDER BY COUNT(*) DESC, top_b.model_lang) AS rn
+        FROM test_b te JOIN top_b ON te.f = top_b.f
+        GROUP BY te.doc_id, top_b.model_lang) WHERE rn = 1
+),
+j AS (
+    SELECT a.doc_id, a.pa, b.pb FROM pred_a a JOIN pred_b b USING (doc_id)
+),
+tots AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+    FROM j
+),
+ma AS (SELECT pa AS lab, CAST(COUNT(*) AS BIGINT) AS a_k FROM j GROUP BY pa),
+mb AS (SELECT pb AS lab, CAST(COUNT(*) AS BIGINT) AS b_k FROM j GROUP BY pb),
+pe AS (
+    SELECT CAST(SUM(ma.a_k * mb.b_k) AS BIGINT) AS pe_num
+    FROM ma JOIN mb ON ma.lab = mb.lab
+)
+SELECT tots.n, tots.agree,
+       ROUND(CAST(tots.agree AS DOUBLE) / tots.n, 6) AS p_observed,
+       ROUND(CAST(pe.pe_num AS DOUBLE) / (tots.n * tots.n), 6) AS p_expected,
+       CASE WHEN tots.n * tots.n = pe.pe_num THEN NULL
+            ELSE ROUND(CAST(tots.n * tots.agree - pe.pe_num AS DOUBLE)
+                       / CAST(tots.n * tots.n - pe.pe_num AS DOUBLE), 6)
+            END AS kappa
+FROM tots, pe
+"""
+
+
+def _langid_predictions(
+    feats: DataFrame, feat_col: str, out_col: str
+) -> DataFrame:
+    """Shared train->predict shape of text_langid_trigram over an
+    arbitrary feature-array column: learn each language's top-50
+    features from the 80% train split, predict held-out docs by
+    distinct-feature hits, argmax with (hits DESC, lang ASC) ties."""
+    train = feats.filter(F.col("doc_id") % 5 != 0).select(
+        "lang", F.explode(feat_col).alias("f")
+    ).filter(F.col("f") != "")
+    counts = train.groupBy("lang", "f").agg(F.count(F.lit(1)).alias("n"))
+    w_model = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("f"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w_model))
+        .filter(F.col("rn") <= 50)
+        .select(F.col("lang").alias("model_lang"), "f")
+    )
+    test = feats.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.explode(F.array_distinct(feat_col)).alias("f")
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("model_lang")
+    )
+    return (
+        test.join(F.broadcast(top), "f")
+        .groupBy("doc_id", "model_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("model_lang").alias(out_col))
+    )
+
+
+_TRIGRAMS_EXPR = (
+    "CASE WHEN length(t) >= 3 "
+    "THEN transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
+    "ELSE array() END"
+)
+
+
+@query("eval_cohens_kappa", oracle=_KAPPA_ORACLE)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen, 1960) between TWO independent
+    in-engine language classifiers on the same held-out split: rater A
+    is the character-trigram model (text_langid_trigram's exact plan
+    shape), rater B a word-unigram twin trained on the same 80% split.
+    kappa = (p_o - p_e)/(1 - p_e) corrects raw agreement for chance —
+    the audit run before treating two cheap classifiers as redundant
+    signals in an ensemble gate (high kappa = the second model adds
+    little; near zero = genuinely independent evidence).
+
+    Exactness: with N co-rated docs, agreement and both label marginals
+    stay integer counts, and kappa cross-multiplies to
+    (N*agree - sum_k a_k*b_k) / (N^2 - sum_k a_k*b_k) — exact int64
+    numerator/denominator, ONE final division (NULL when the
+    denominator is zero, i.e. chance agreement is total). The oracle
+    lifts the trigram plan verbatim and replays the unigram twin and
+    the kappa algebra.
+
+    Scale posture: both classifiers are the audited langid shape —
+    corpus-scale work is explode -> map-side-combinable (lang, feature)
+    groupBys; models are |langs| x 50 broadcasts; per-doc argmax
+    windows are PARTITIONED by doc_id; everything after the doc-level
+    join is label-cardinality arithmetic on 1-row broadcasts."""
+    d = dd.spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.lower(F.trim("text")).alias("t")
+    )
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.expr(_TRIGRAMS_EXPR).alias("tris"),
+        tf.ws_tokens(F.col("t")).alias("toks"),
+    ).localCheckpoint(eager=True)  # feeds both raters' train AND test
+    pa = _langid_predictions(feats, "tris", "pa")
+    pb = _langid_predictions(feats, "toks", "pb")
+    j = pa.join(pb, "doc_id").localCheckpoint(eager=True)
+    tots = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pa") == F.col("pb"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = j.groupBy(F.col("pa").alias("lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("a_k")
+    )
+    mb = j.groupBy(F.col("pb").alias("lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("b_k")
+    )
+    pe = ma.join(mb, "lab").agg(
+        F.sum(F.col("a_k") * F.col("b_k")).cast("long").alias("pe_num")
+    )
+    return tots.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "agree",
+        F.round(F.col("agree").cast("double") / F.col("n"), 6).alias(
+            "p_observed"
+        ),
+        F.round(
+            F.col("pe_num").cast("double") / (F.col("n") * F.col("n")), 6
+        ).alias("p_expected"),
+        F.when(
+            F.col("n") * F.col("n") == F.col("pe_num"), F.lit(None)
+        )
+        .otherwise(
+            F.round(
+                (F.col("n") * F.col("agree") - F.col("pe_num")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("n") - F.col("pe_num")).cast(
+                    "double"
+                ),
+                6,
+            )
+        )
+        .alias("kappa"),
+    )

@@ -89,3 +89,45 @@ class TestTimeDecayedValue:
             assert r["decayed_num"] == round(r["decayed_value"] * 1e11) or (
                 abs(r["decayed_num"] - r["decayed_value"] * 1e11) < 1e5
             )
+
+
+class TestCohensKappa:
+    def test_identical_raters_read_one(self, spark, tmp_path):
+        """A corpus whose trigram and word evidence point the same way
+        for every held-out doc: distinctive repeated words per lang ->
+        both raters learn and predict identically -> kappa 1.0."""
+        from rust_ruuvitag_etl_spark.plans.llm15 import eval_cohens_kappa
+
+        rows = []
+        for i in range(20):
+            # doc_id % 5 == 0 rows form the held-out split
+            lang = "en" if i % 2 == 0 else "fr"
+            text = ("england english engine " if lang == "en"
+                    else "france francais fracas ")
+            rows.append((i, text * 3, lang, "s", 0))
+        d = _write(spark, tmp_path, "documents", _DOC_SCHEMA, rows)
+        got = eval_cohens_kappa(spark, d).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["n"] == 4  # doc_ids 0,5,10,15
+        assert r["agree"] == r["n"]
+        assert r["p_observed"] == 1.0
+        if r["p_expected"] < 1.0:
+            assert r["kappa"] == 1.0
+        else:
+            assert r["kappa"] is None  # constant raters: undefined
+
+    def test_real_corpus_identities(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm15 import eval_cohens_kappa
+
+        r = eval_cohens_kappa(spark, SF_SMALL).collect()[0]
+        assert 0 < r["n"] <= 100  # held-out split of 500 docs
+        assert 0 <= r["agree"] <= r["n"]
+        assert abs(r["p_observed"] - r["agree"] / r["n"]) < 1e-6
+        if r["kappa"] is not None:
+            # kappa = (po - pe) / (1 - pe) up to the roundings
+            recon = (r["p_observed"] - r["p_expected"]) / (
+                1 - r["p_expected"]
+            )
+            assert abs(r["kappa"] - recon) < 1e-4
+            assert -1.0 <= r["kappa"] <= 1.0
