@@ -50,6 +50,27 @@ class _bounded_state_shuffle:
         return False
 
 
+def _run_memory_sink(
+    spark: SparkSession, df: DataFrame, name: str, mode: str
+) -> DataFrame:
+    """Run ``df`` as an availableNow job into a memory sink named
+    ``name`` and return the result table. All harness jobs run under
+    _bounded_state_shuffle: every stateful operator (windowed agg,
+    dedup, session merge, stream-stream join) creates state stores per
+    shuffle partition, and at the bounded harness sizes the per-store
+    commit cost dominates (see the constant above)."""
+    with _bounded_state_shuffle(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source STREAM with the declared schema
     (streams never infer — same stance as the batch loaders)."""
@@ -110,15 +131,7 @@ def streaming_windowed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "samples",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, agg, name, "complete")
 
 
 @query(
@@ -143,15 +156,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
     )
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, dedup, name, "complete")
 
 
 @query(
@@ -211,17 +216,10 @@ def streaming_stateful_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     monitored = sensor_monitor_stream(readings)
     name = "ssm_streaming_stateful_monitor"  # fixed: see streaming_windowed_means
-    q = (
-        monitored.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    t = _run_memory_sink(spark, monitored, name, "update")
     w = Window.partitionBy("sensor_mac").orderBy(F.desc("total_readings"))
     return (
-        spark.table(name)
+        t
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
@@ -281,15 +279,7 @@ def streaming_ruuvi_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("_nm", F.lit("Unknown")).alias("name"),
     )
     name = "srf_streaming_ruuvi_flagship"  # fixed: see streaming_windowed_means
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, enriched, name, "complete")
 
 
 @query(
@@ -345,15 +335,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, agg, name, "complete")
 
 
 @query(
@@ -395,16 +377,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_gap="1 hour", watermark="2 hours",
     ).select("purchase_id", "view_id")
     name = "sij_streaming_interval_join"  # fixed: see streaming_windowed_means
-    with _bounded_state_shuffle(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, joined, name, "append")
 
 
 @query(
@@ -472,16 +445,7 @@ def streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_gap="1 hour", watermark="2 hours", how="left_outer",
     ).select("purchase_id", "view_id")
     name = "sijl_streaming_interval_join_left"
-    with _bounded_state_shuffle(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, joined, name, "append")
 
 
 @query("streaming_sliding_window", oracle=SLIDING_WINDOW_ORACLE)
@@ -509,15 +473,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("w.start").alias("window_start"), "n", "sum_value"
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, agg, name, "complete")
 
 
 @query(
@@ -552,15 +508,7 @@ def streaming_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value"), F.asc("user_id"))
         .limit(10)
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, agg, name, "complete")
 
 
 @query(
@@ -625,15 +573,7 @@ def streaming_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, agg, name, "complete")
 
 
 _EWMA_LAGS = ", ".join(
@@ -684,16 +624,7 @@ def streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "ts", "value"
     )
     name = "sem_streaming_ewma_monitor"
-    q = (
-        ewma_stream(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, ewma_stream(ev), name, "append")
 
 
 _LATE_DELAY_MIN = 10
@@ -841,19 +772,11 @@ def streaming_late_data_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "sld_streaming_late_data_discard"
-    with _bounded_state_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    t = _run_memory_sink(spark, agg, name, "append")
     # The memory-sink table owns the results; the staged files are
     # fully consumed once the availableNow job terminates.
     shutil.rmtree(root, ignore_errors=True)
-    return spark.table(name)
+    return t
 
 
 @query(
@@ -890,15 +813,7 @@ def streaming_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day_bitmap")
     )
     name = "sbr_streaming_bitmap_rollup"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_memory_sink(spark, agg, name, "complete").select(
         "user_id",
         "month",
         "day_bitmap",
@@ -941,18 +856,10 @@ def streaming_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id", "value"
     )
     name = "ssm_streaming_stateful_topk"  # fixed: see streaming_windowed_means
-    q = (
-        topk_stream(readings)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    t = _run_memory_sink(spark, topk_stream(readings), name, "update")
     w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
     return (
-        spark.table(name)
+        t
         .withColumn("_mx", F.max("n_seen").over(w))
         .filter(F.col("n_seen") == F.col("_mx"))
         .select("event_type", "rank", "event_id", "value")
@@ -1023,13 +930,4 @@ def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
     )
     name = "shw_streaming_holt_winters"  # fixed: see streaming_windowed_means
-    q = (
-        hw_stream(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_sink(spark, hw_stream(ev), name, "append")
