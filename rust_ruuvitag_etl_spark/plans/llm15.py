@@ -445,3 +445,129 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("kappa"),
     )
+
+
+# --- two-proportion A/B z-test ---------------------------------------------------
+
+# z_alpha/2 at 95% two-sided, embedded as the exact double literal.
+_AB_Z_CRIT = "1.959963984540054"
+
+_AB_ZTEST_ORACLE = f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(user_id % 2 AS INTEGER) AS variant,
+           MAX(CASE WHEN event_type = 'purchase' AND value > 450.0
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id
+),
+g AS (
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(converted) AS BIGINT) AS conv
+    FROM u GROUP BY variant
+),
+w AS (
+    SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+    FROM g a, g b WHERE a.variant = 0 AND b.variant = 1
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN NULL
+            ELSE ROUND((CAST(conv_a AS DOUBLE) / n_a
+                        - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(n_a + n_b AS DOUBLE)
+                       / CAST(n_a * n_b AS DOUBLE))), 6) END AS z,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN FALSE
+            ELSE ABS((CAST(conv_a AS DOUBLE) / n_a
+                      - CAST(conv_b AS DOUBLE) / n_b)
+           / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (CAST(n_a + n_b AS DOUBLE)
+                     / CAST(n_a * n_b AS DOUBLE))))
+           > CAST({_AB_Z_CRIT} AS DOUBLE) END AS significant
+FROM w
+"""
+
+
+@query("stat_ab_conversion_ztest", oracle=_AB_ZTEST_ORACLE)
+def stat_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic A/B split: users are
+    assigned by id parity (the hash-bucket assignment every experiment
+    platform uses, reproducible across engines and reruns), conversion
+    is "ever made a high-value (> 450) purchase", and the pooled-variance z statistic with the
+    95% two-sided critical value flags significance — the readout of
+    an experiment framework, here as one exact relational plan over the
+    events stream (an A/A-shaped split on this corpus, so the expected
+    verdict is NOT significant — the framework's null calibration).
+
+    Exactness: per-variant user and conversion counts are exact
+    integers; every ratio in z is a single division of identically
+    derived doubles, the pooled term 1/n_a + 1/n_b is algebraically
+    rewritten to (n_a+n_b)/(n_a*n_b) so it too is ONE division of exact
+    int64 operands, and sqrt is one correctly-rounded op — z matches
+    bit-for-bit before the final 6-dp round. The critical value is an
+    embedded double literal, identical in both engines.
+
+    Scale posture: one map-side-combinable groupBy(user_id) collapses
+    the event stream to per-user conversion flags, one groupBy(variant)
+    collapses users to TWO rows; the join of the two variant rows is
+    trivially broadcast."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 450.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    a = g.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = g.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        )
+    )
+    degenerate = (
+        (F.col("conv_a") + F.col("conv_b") == 0)
+        | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b"))
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6))
+        .alias("z"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(F.abs(z) > F.lit(float(_AB_Z_CRIT)))
+        .alias("significant"),
+    )

@@ -131,3 +131,76 @@ class TestCohensKappa:
             )
             assert abs(r["kappa"] - recon) < 1e-4
             assert -1.0 <= r["kappa"] <= 1.0
+
+
+class TestABZTest:
+    def test_constructed_split(self, spark, tmp_path):
+        """Users 0..19: evens = variant A. High-value purchases planted
+        so A converts 8/10 and B 2/10 -> z = 6/sqrt(.5*.5*.2) ~ 2.68,
+        significant at 95%."""
+        import datetime
+
+        base = datetime.datetime(2024, 3, 1)
+        rows = []
+        eid = 0
+        for uid in range(20):
+            converted = (uid % 2 == 0 and uid < 16) or (
+                uid % 2 == 1 and uid < 4
+            )
+            val = 460.0 if converted else 10.0
+            rows.append(
+                (eid, base + datetime.timedelta(seconds=eid), uid,
+                 "purchase", val, "{}")
+            )
+            eid += 1
+            rows.append(
+                (eid, base + datetime.timedelta(seconds=eid), uid,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+        d = _write(spark, tmp_path, "events", _EV_SCHEMA, rows)
+        from rust_ruuvitag_etl_spark.plans.llm15 import (
+            stat_ab_conversion_ztest,
+        )
+
+        r = stat_ab_conversion_ztest(spark, d).collect()[0]
+        assert (r["n_a"], r["n_b"]) == (10, 10)
+        assert (r["conv_a"], r["conv_b"]) == (8, 2)
+        assert abs(r["z"] - 0.6 / (0.5 * 0.5 * 0.2) ** 0.5) < 1e-6
+        assert r["significant"] is True
+
+    def test_degenerate_pool_yields_null(self, spark, tmp_path):
+        """Nobody converts -> z undefined (NULL), not significant."""
+        import datetime
+
+        base = datetime.datetime(2024, 3, 1)
+        rows = [
+            (i, base + datetime.timedelta(seconds=i), i % 6, "view",
+             1.0, "{}")
+            for i in range(12)
+        ]
+        d = _write(spark, tmp_path, "events", _EV_SCHEMA, rows)
+        from rust_ruuvitag_etl_spark.plans.llm15 import (
+            stat_ab_conversion_ztest,
+        )
+
+        r = stat_ab_conversion_ztest(spark, d).collect()[0]
+        assert r["z"] is None
+        assert r["significant"] is False
+
+    def test_real_corpus_is_aa_calibrated(self, spark):
+        """The id-parity split is an A/A test on this corpus: the
+        expected readout is NOT significant (null calibration)."""
+        from rust_ruuvitag_etl_spark.plans.llm15 import (
+            stat_ab_conversion_ztest,
+        )
+
+        from rust_ruuvitag_etl_spark.sources import load
+
+        n_users = (
+            load(spark, SF_SMALL, "events").select("user_id").distinct().count()
+        )
+        r = stat_ab_conversion_ztest(spark, SF_SMALL).collect()[0]
+        assert r["n_a"] + r["n_b"] == n_users
+        if r["z"] is not None:
+            assert abs(r["z"]) < 4.0  # sanity: a genuine A/A split
