@@ -532,7 +532,7 @@ def stat_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = u.groupBy("variant").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("converted").cast("long").alias("conv"),
-    )
+    ).localCheckpoint(eager=True)  # 2 rows; feeds both variant branches
     a = g.filter(F.col("variant") == 0).select(
         F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
     )
