@@ -663,9 +663,12 @@ dense AS (
 ),
 contrib AS (
     SELECT CAST(ROUND(
-        CAST(o * tot.n - r * c AS DOUBLE)
-        * CAST(o * tot.n - r * c AS DOUBLE)
-        / CAST(tot.n * r * c AS DOUBLE), 6) AS DECIMAL(28,6)) AS cc
+        (CAST(o AS DOUBLE) * CAST(tot.n AS DOUBLE)
+         - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        * (CAST(o AS DOUBLE) * CAST(tot.n AS DOUBLE)
+           - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        / (CAST(tot.n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)),
+        6) AS DECIMAL(28,6)) AS cc
     FROM dense, tot
 ),
 chi AS (SELECT CAST(SUM(cc) AS DOUBLE) AS chi2d FROM contrib)
@@ -688,13 +691,16 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a large chi2 means the filter systematically prefers some
     languages; `corpus_domain_mixture` then quantifies the skew).
 
-    Exactness: each cell's (O*N - R*C) stays exact int64 (cross-
-    multiplied expected counts — no E = R*C/N float); the squared term
-    and single division are correctly-rounded IEEE ops on identical
-    operands, each cell's contribution rounds to 6 dp and sums as
-    DECIMAL (exact, order-free), so chi2 is bit-identical on both
-    engines. Zero-count cells of the dense lang x bucket spine
-    contribute E exactly like the textbook statistic requires.
+    Exactness: every cross-product (O*N, R*C, N*R*C) casts its int64
+    operands to double BEFORE multiplying — n*r*c in int64 would
+    overflow past n ~ 2M documents and o*n past ~3e9, where Spark
+    wraps silently while DuckDB raises. The double products are
+    correctly-rounded IEEE ops on identical exact-integer operands
+    (counts are exact in double up to 2^53), so both engines compute
+    bit-identical cell contributions at any corpus size; each rounds
+    to 6 dp and sums as DECIMAL (exact, order-free). Zero-count cells
+    of the dense lang x bucket spine contribute E exactly like the
+    textbook statistic requires.
 
     Scale posture: one scan-local projection into a map-side
     combinable groupBy((lang, bucket)); marginals, the dense spine
@@ -730,12 +736,19 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r", "c", F.coalesce(F.col("o"), F.lit(0).cast("long")).alias("o")
         )
     )
-    d = (
-        F.col("o") * F.col("n") - F.col("r") * F.col("c")
-    ).cast("double")
+    d = F.col("o").cast("double") * F.col("n").cast("double") - F.col(
+        "r"
+    ).cast("double") * F.col("c").cast("double")
     contrib = dense.crossJoin(F.broadcast(tot)).select(
         F.round(
-            d * d / (F.col("n") * F.col("r") * F.col("c")).cast("double"), 6
+            d
+            * d
+            / (
+                F.col("n").cast("double")
+                * F.col("r").cast("double")
+                * F.col("c").cast("double")
+            ),
+            6,
         )
         .cast("decimal(28,6)")
         .alias("cc")

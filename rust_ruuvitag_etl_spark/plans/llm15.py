@@ -162,15 +162,21 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- time-decayed user value ---------------------------------------------------
 
 # 0.9^age for age 0..30 days as plan-time integer literals scaled by
-# 1e9 (ages past the horizon decay to the age-30 weight): the decay
-# product value_cents * decay_e9 and its per-user sum stay EXACT int64
-# (max ~5e13 per event), with one final division back to value units.
+# 1e6 (ages past the horizon decay to the age-30 weight): the decay
+# product value_cents * decay_e6 and its per-user sum stay EXACT int64,
+# with one final division back to value units. Headroom: at value <=
+# $10k (v100 <= 1e6) each term is <= 1e12, so the per-user int64 sum is
+# exact up to ~9e6 events per user — far past any real per-user event
+# count; the previous 1e9 scale overflowed at ~9e4 events, tighter than
+# the "EXACT int64" claim implied. Both engines share these integer
+# weights, so the ~5e-7 relative quantization of 0.9^a is part of the
+# operator's defined semantics, not an engine divergence.
 _DECAY_HORIZON = 30
-_DECAY_E9 = [round(0.9**a * 1_000_000_000) for a in range(_DECAY_HORIZON + 1)]
+_DECAY_E6 = [round(0.9**a * 1_000_000) for a in range(_DECAY_HORIZON + 1)]
 
 _DECAY_CASE_SQL = (
     "CASE LEAST(age, 30) "
-    + " ".join(f"WHEN {a} THEN {w}" for a, w in enumerate(_DECAY_E9))
+    + " ".join(f"WHEN {a} THEN {w}" for a, w in enumerate(_DECAY_E6))
     + " END"
 )
 
@@ -188,7 +194,9 @@ wgt AS (
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(wv) AS BIGINT) AS decayed_num,
-       ROUND(CAST(SUM(wv) AS DOUBLE) / 100000000000.0, 6) AS decayed_value
+       CAST(CASE WHEN SUM(wv) < 0 THEN -((-SUM(wv) + 50) // 100)
+                 ELSE (SUM(wv) + 50) // 100 END AS DOUBLE)
+           / 1000000.0 AS decayed_value
 FROM wgt GROUP BY user_id
 """
 
@@ -201,10 +209,12 @@ def user_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a decay floor; beyond it the signal is noise anyway).
 
     No pow() anywhere: the 31 decay weights are PLAN-TIME integer
-    literals (0.9^a scaled by 1e9, precomputed in Python and rendered
+    literals (0.9^a scaled by 1e6, precomputed in Python and rendered
     identically into the oracle SQL), so every weighted value and each
-    user's sum is EXACT int64 arithmetic with one final division —
-    float-summation order cannot matter.
+    user's sum is EXACT int64 arithmetic; the report value rounds
+    HALF-UP to 6 dp in integer micro-units before the single final
+    division — float-summation order cannot matter and no double is
+    ever ROUNDed (tie-safe on both engines).
 
     Scale posture: the anchor is a 1-row max broadcast; weighting is
     scan-local (a 31-arm integer CASE inside codegen); the single
@@ -212,7 +222,7 @@ def user_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     anchor = ev.agg(F.max(F.col("ts").cast("timestamp")).alias("mx"))
     decay = F.element_at(
-        F.array(*[F.lit(w).cast("long") for w in _DECAY_E9]),
+        F.array(*[F.lit(w).cast("long") for w in _DECAY_E6]),
         (F.least(F.col("age"), F.lit(_DECAY_HORIZON)) + 1).cast("int"),
     )
     e = (
@@ -226,12 +236,23 @@ def user_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", (F.col("v100") * decay).alias("wv"))
     )
-    return e.groupBy("user_id").agg(
+    agg = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("wv").cast("long").alias("decayed_num"),
-        F.round(F.sum("wv").cast("double") / 100000000000.0, 6).alias(
-            "decayed_value"
-        ),
+    )
+    # HALF-UP to 6 dp in integer arithmetic (micro-units), THEN one
+    # correctly-rounded division: a double ROUND(sum/1e8, 6) diverges
+    # between engines when the quotient lands on a 7th-digit tie (Spark
+    # rounds the shortest decimal repr, DuckDB the raw binary).
+    micro = F.when(
+        F.col("decayed_num") < 0,
+        -F.expr("(-decayed_num + 50) DIV 100"),
+    ).otherwise(F.expr("(decayed_num + 50) DIV 100"))
+    return agg.select(
+        "user_id",
+        "n_events",
+        "decayed_num",
+        (micro.cast("double") / F.lit(1000000.0)).alias("decayed_value"),
     )
 
 

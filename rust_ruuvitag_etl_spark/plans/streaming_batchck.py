@@ -13,6 +13,8 @@ trailing windows since the watermark never passes the last event).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -34,12 +36,26 @@ from .timeseries import SLIDING_WINDOW_ORACLE
 # not this harness constant.
 _HARNESS_STATE_PARTITIONS = "8"
 
+# The override below mutates the SESSION-global shuffle-partition conf,
+# so any query planned concurrently in the same session would silently
+# inherit the harness value. The harness contract is sequential
+# execution; this lock turns that contract into an assertion — a second
+# concurrent entry fails loudly instead of cross-contaminating plans.
+_SEQUENTIAL_HARNESS_LOCK = threading.Lock()
+
 
 class _bounded_state_shuffle:
     def __init__(self, spark: SparkSession):
         self._spark = spark
 
     def __enter__(self):
+        if not _SEQUENTIAL_HARNESS_LOCK.acquire(blocking=False):
+            raise RuntimeError(
+                "concurrent _bounded_state_shuffle: the streaming "
+                "harness mutates session-global shuffle partitions and "
+                "requires sequential execution (use a dedicated "
+                "SparkSession.newSession() per thread to parallelize)"
+            )
         self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
         self._spark.conf.set(
             "spark.sql.shuffle.partitions", _HARNESS_STATE_PARTITIONS
@@ -47,6 +63,7 @@ class _bounded_state_shuffle:
 
     def __exit__(self, *exc):
         self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        _SEQUENTIAL_HARNESS_LOCK.release()
         return False
 
 
