@@ -6,7 +6,7 @@ from __future__ import annotations
 import datetime
 
 from rust_ruuvitag_etl_spark.plans.llm15 import (
-    _DECAY_E9,
+    _DECAY_E6,
     stat_ks_two_sample,
     user_time_decayed_value,
 )
@@ -56,10 +56,10 @@ class TestKSTwoSample:
 
 class TestTimeDecayedValue:
     def test_decay_table_is_exact(self):
-        assert _DECAY_E9[0] == 1_000_000_000
-        assert _DECAY_E9[1] == 900_000_000
-        assert len(_DECAY_E9) == 31
-        assert all(b < a for a, b in zip(_DECAY_E9, _DECAY_E9[1:]))
+        assert _DECAY_E6[0] == 1_000_000
+        assert _DECAY_E6[1] == 900_000
+        assert len(_DECAY_E6) == 31
+        assert all(b < a for a, b in zip(_DECAY_E6, _DECAY_E6[1:]))
 
     def test_constructed_series(self, spark, tmp_path):
         """Three events at ages 0/1/31 days with value 10: the anchor
@@ -75,9 +75,9 @@ class TestTimeDecayedValue:
         assert len(got) == 1
         r = got[0]
         assert r["n_events"] == 3
-        expected_num = 1000 * (_DECAY_E9[0] + _DECAY_E9[1] + _DECAY_E9[30])
+        expected_num = 1000 * (_DECAY_E6[0] + _DECAY_E6[1] + _DECAY_E6[30])
         assert r["decayed_num"] == expected_num
-        assert r["decayed_value"] == round(expected_num / 1e11, 6)
+        assert r["decayed_value"] == round(expected_num / 1e8, 6)
 
     def test_real_corpus_invariants(self, spark):
         rows = user_time_decayed_value(spark, SF_SMALL).collect()
@@ -86,8 +86,8 @@ class TestTimeDecayedValue:
             # decayed value can't exceed the undecayed sum and is
             # non-negative for non-negative event values
             assert r["decayed_value"] >= 0.0
-            assert r["decayed_num"] == round(r["decayed_value"] * 1e11) or (
-                abs(r["decayed_num"] - r["decayed_value"] * 1e11) < 1e5
+            assert r["decayed_num"] == round(r["decayed_value"] * 1e8) or (
+                abs(r["decayed_num"] - r["decayed_value"] * 1e8) < 1e2
             )
 
 
