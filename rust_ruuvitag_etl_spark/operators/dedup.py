@@ -129,7 +129,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -138,20 +138,15 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     hash_family: str = "fast",
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash-LSH.
-
-    rows/band = n_hashes/bands; docs sharing any full band collide.
-    Output: (id_a, id_b) with id_a < id_b, distinct. The bucket
-    self-join reuses the signature aggregation's shuffle (identical
-    subplans → ReusedExchange under AQE). ``hash_family`` selects the
-    per-shingle/bucket hash: 'fast' (xxhash64, production default) or
-    'portable' (md5-derived, oracle-exact).
-    """
+    """Banded LSH bucket rows (id, band, bh) — the persisted derived
+    artifact both the candidate join and deletion-propagation audit
+    consume. One row per (doc, band); bh is the hash of that band's
+    signature slice."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes, shingle_n, hash_family
     )
-    buckets = sigs.select(
+    return sigs.select(
         id_col,
         F.explode(
             F.array(
@@ -176,6 +171,29 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_family: str = "fast",
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH.
+
+    rows/band = n_hashes/bands; docs sharing any full band collide.
+    Output: (id_a, id_b) with id_a < id_b, distinct. The bucket
+    self-join reuses the signature aggregation's shuffle (identical
+    subplans → ReusedExchange under AQE). ``hash_family`` selects the
+    per-shingle/bucket hash: 'fast' (xxhash64, production default) or
+    'portable' (md5-derived, oracle-exact).
+    """
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, n_hashes, bands, shingle_n, hash_family
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

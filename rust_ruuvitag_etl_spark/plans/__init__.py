@@ -36,4 +36,5 @@ from . import (  # noqa: E402, F401
     llm13,
     llm14,
     llm15,
+    llm16,
 )

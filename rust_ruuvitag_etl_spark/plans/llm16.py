@@ -1,0 +1,269 @@
+"""Round-10 wave 1 — deletion propagation (right-to-be-forgotten).
+
+The governance operation every production training-data pipeline ships
+and the round-9 verdict named as the registry's one missing
+commonly-hit family: given a takedown manifest of doc_ids, purge the
+corpus AND every derived artifact, then PROVE in-engine that no
+derived row still references a deleted document. The artifacts audited
+here are the pipeline's own derived tables — exact-dedup fingerprints,
+MinHash-LSH band buckets, inverted-index postings, and packed training
+sequences — each derived in-plan from the documents table with the
+SAME stage-for-stage definitions their source queries use (so the
+DuckDB oracle replicates every row count exactly).
+
+Deletion semantics per artifact:
+
+* row-keyed artifacts (fingerprints, band buckets, postings): one
+  broadcast anti-join on doc_id removes every row the deleted doc
+  contributed;
+* packed sequences: a pack mixes MULTIPLE documents, so the provable
+  semantics is to drop every pack CONTAINING a deleted doc (repacking
+  the survivors is a separate rebuild); the purge anti-joins on the
+  pack key against the |manifest|-bounded set of contaminated packs.
+
+The ``residue`` column is counted over the PURGED relation itself
+(semi-join back against the manifest), so ``residue_free`` is a
+measured fact, not an assumption — and the oracle asserts it TRUE.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as tf
+from ..operators import dedup as dd
+from ..sources import load
+from ._dedup_oracles import _BAND_SELECTS, _MINS
+from .registry import query
+
+# Deterministic takedown manifest: every 97th doc_id (~1% of the
+# corpus). Production passes a real manifest table; the modulus stands
+# in so the oracle can derive the identical set.
+_TAKEDOWN_MOD = 97
+
+_DELPROP_ORACLE = f"""
+WITH man AS (SELECT doc_id FROM documents WHERE doc_id % {_TAKEDOWN_MOD} = 0),
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM toks
+),
+h AS (SELECT doc_id, {tf.h60_sql('s')} AS h FROM sh),
+sig AS (SELECT doc_id, {_MINS} FROM h GROUP BY doc_id),
+buckets AS (
+    {_BAND_SELECTS}
+),
+post AS (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+),
+pt AS (
+    SELECT doc_id, lang, doc_id % 64 AS shard,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents WHERE trim(text) <> ''
+),
+packs AS (
+    SELECT doc_id, lang, shard,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard
+                ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / 512.0) AS BIGINT) AS pack_id
+    FROM pt
+),
+delpk AS (
+    SELECT DISTINCT lang, shard, pack_id FROM packs JOIN man USING (doc_id)
+),
+corpus_p AS (SELECT doc_id FROM documents
+             WHERE doc_id NOT IN (SELECT doc_id FROM man)),
+bk_p AS (SELECT doc_id FROM buckets
+         WHERE doc_id NOT IN (SELECT doc_id FROM man)),
+post_p AS (SELECT doc_id FROM post
+           WHERE doc_id NOT IN (SELECT doc_id FROM man)),
+packs_p AS (
+    SELECT p.doc_id, p.lang, p.shard, p.pack_id FROM packs p
+    LEFT JOIN delpk d ON p.lang = d.lang AND p.shard = d.shard
+                     AND p.pack_id = d.pack_id
+    WHERE d.pack_id IS NULL
+)
+SELECT 'corpus' AS artifact,
+       (SELECT COUNT(*) FROM documents) AS rows_before,
+       (SELECT COUNT(*) FROM documents)
+           - (SELECT COUNT(*) FROM corpus_p) AS rows_purged,
+       (SELECT COUNT(*) FROM corpus_p) AS rows_after,
+       (SELECT COUNT(*) FROM corpus_p JOIN man USING (doc_id)) AS residue,
+       (SELECT COUNT(*) FROM corpus_p JOIN man USING (doc_id)) = 0
+           AS residue_free
+UNION ALL
+SELECT 'fingerprints',
+       (SELECT COUNT(*) FROM documents),
+       (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM corpus_p),
+       (SELECT COUNT(*) FROM corpus_p),
+       (SELECT COUNT(*) FROM corpus_p JOIN man USING (doc_id)),
+       (SELECT COUNT(*) FROM corpus_p JOIN man USING (doc_id)) = 0
+UNION ALL
+SELECT 'minhash_bands',
+       (SELECT COUNT(*) FROM buckets),
+       (SELECT COUNT(*) FROM buckets) - (SELECT COUNT(*) FROM bk_p),
+       (SELECT COUNT(*) FROM bk_p),
+       (SELECT COUNT(*) FROM bk_p JOIN man USING (doc_id)),
+       (SELECT COUNT(*) FROM bk_p JOIN man USING (doc_id)) = 0
+UNION ALL
+SELECT 'postings',
+       (SELECT COUNT(*) FROM post),
+       (SELECT COUNT(*) FROM post) - (SELECT COUNT(*) FROM post_p),
+       (SELECT COUNT(*) FROM post_p),
+       (SELECT COUNT(*) FROM post_p JOIN man USING (doc_id)),
+       (SELECT COUNT(*) FROM post_p JOIN man USING (doc_id)) = 0
+UNION ALL
+SELECT 'packed_sequences',
+       (SELECT COUNT(*) FROM packs),
+       (SELECT COUNT(*) FROM packs) - (SELECT COUNT(*) FROM packs_p),
+       (SELECT COUNT(*) FROM packs_p),
+       (SELECT COUNT(*) FROM packs_p
+        JOIN delpk USING (lang, shard, pack_id)),
+       (SELECT COUNT(*) FROM packs_p
+        JOIN delpk USING (lang, shard, pack_id)) = 0
+"""
+
+
+def _audit(name: str, art: DataFrame, man: DataFrame) -> DataFrame:
+    """Purge a doc_id-keyed artifact and report (before, purged, after,
+    residue): one broadcast anti-join purges, a semi-join back against
+    the manifest over the PURGED relation measures the residue."""
+    before = art.agg(F.count(F.lit(1)).alias("rows_before"))
+    purged = art.join(F.broadcast(man), "doc_id", "left_anti")
+    after = purged.agg(F.count(F.lit(1)).alias("rows_after"))
+    residue = purged.join(F.broadcast(man), "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("residue")
+    )
+    return (
+        before.crossJoin(F.broadcast(after))
+        .crossJoin(F.broadcast(residue))
+        .select(
+            F.lit(name).alias("artifact"),
+            "rows_before",
+            (F.col("rows_before") - F.col("rows_after")).alias(
+                "rows_purged"
+            ),
+            "rows_after",
+            "residue",
+            (F.col("residue") == 0).alias("residue_free"),
+        )
+    )
+
+
+@query("governance_deletion_propagate", oracle=_DELPROP_ORACLE)
+def governance_deletion_propagate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-be-forgotten across the derived-artifact graph: purge a
+    takedown manifest from the corpus, the exact-dedup fingerprint
+    table, the MinHash-LSH band buckets, the inverted-index postings,
+    and the packed training sequences, and emit a per-artifact audit
+    row proving zero residue (see the module docstring for semantics).
+
+    Scale posture: the manifest broadcasts (takedown lists are
+    thousands of rows, never corpus-sized), so every purge is a
+    broadcast anti-join with no corpus shuffle; each artifact is
+    derived once and localCheckpointed where it feeds multiple
+    consumers (in production the artifacts are persisted tables and
+    the derivation stages disappear — the audit itself reads each
+    artifact twice: one count, one purge+residue pass). The
+    contaminated-pack key set is |manifest|-bounded and broadcasts.
+    All outputs are exact integer counts and a boolean — no floats
+    anywhere."""
+    docs = dd.spread(load(spark, sf_dir, "documents"))
+    man = (
+        docs.filter(F.col("doc_id") % _TAKEDOWN_MOD == 0)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+
+    corpus = docs.select("doc_id")
+    fps = docs.select("doc_id", tf.fingerprint(F.col("text")).alias("f"))
+    bands = dd.minhash_band_buckets(
+        docs, hash_family="portable"
+    ).localCheckpoint(eager=True)
+    nonempty = docs.filter(F.trim(F.col("text")) != "")
+    postings = (
+        nonempty.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    packs = (
+        nonempty.select(
+            "doc_id",
+            "lang",
+            F.pmod(F.col("doc_id"), F.lit(64)).alias("shard"),
+            tf.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "shard",
+            F.floor(
+                (
+                    F.sum("n_tokens").over(
+                        Window.partitionBy("lang", "shard")
+                        .orderBy("doc_id")
+                        .rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
+                    )
+                    - F.col("n_tokens")
+                )
+                / F.lit(512)
+            ).alias("pack_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    rows = [
+        _audit("corpus", corpus, man),
+        _audit("fingerprints", fps, man),
+        _audit("minhash_bands", bands, man),
+        _audit("postings", postings, man),
+    ]
+
+    # Packed sequences purge at PACK granularity: any pack containing a
+    # deleted doc is dropped whole.
+    pack_key = ["lang", "shard", "pack_id"]
+    delpk = (
+        packs.join(F.broadcast(man), "doc_id", "left_semi")
+        .select(*pack_key)
+        .distinct()
+    )
+    p_before = packs.agg(F.count(F.lit(1)).alias("rows_before"))
+    p_purged = packs.join(F.broadcast(delpk), pack_key, "left_anti")
+    p_after = p_purged.agg(F.count(F.lit(1)).alias("rows_after"))
+    p_residue = p_purged.join(
+        F.broadcast(delpk), pack_key, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("residue"))
+    rows.append(
+        p_before.crossJoin(F.broadcast(p_after))
+        .crossJoin(F.broadcast(p_residue))
+        .select(
+            F.lit("packed_sequences").alias("artifact"),
+            "rows_before",
+            (F.col("rows_before") - F.col("rows_after")).alias(
+                "rows_purged"
+            ),
+            "rows_after",
+            "residue",
+            (F.col("residue") == 0).alias("residue_free"),
+        )
+    )
+    return reduce(DataFrame.unionAll, rows)
