@@ -124,6 +124,17 @@ HEADLINE = [
     "dedup_bloom_delta",
     "dedup_keep_best_canonical",
     "graph_connected_components",
+    # round 10: per the round-9 verdict's task 7, the fresh-JVM
+    # engine-only re-rank admitted every remaining plan >1.5 s at
+    # sf0.1 — the two-rater kappa (2.9 s), the winnowing scrub twin
+    # (3.2 s), and the new five-artifact deletion-propagation audit
+    # (5.0 s). timeseries_gap_fill was triaged as requested and stays
+    # OUT: its engine share is 1.1 s; the 44 s full-artifact row is
+    # DuckDB-oracle cost (dense-grid reconstruction), noted in
+    # PLANS.md.
+    "eval_cohens_kappa",
+    "dedup_substring_scrub",
+    "governance_deletion_propagate",
 ]
 
 

@@ -37,4 +37,5 @@ from . import (  # noqa: E402, F401
     llm14,
     llm15,
     llm16,
+    llm17,
 )
