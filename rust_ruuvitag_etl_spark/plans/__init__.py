@@ -38,4 +38,5 @@ from . import (  # noqa: E402, F401
     llm15,
     llm16,
     llm17,
+    llm18,
 )
