@@ -39,4 +39,5 @@ from . import (  # noqa: E402, F401
     llm16,
     llm17,
     llm18,
+    llm19,
 )
