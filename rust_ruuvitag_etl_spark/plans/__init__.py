@@ -40,4 +40,5 @@ from . import (  # noqa: E402, F401
     llm17,
     llm18,
     llm19,
+    llm20,
 )

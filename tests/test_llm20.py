@@ -1,0 +1,48 @@
+"""Round-10 wave 5: lexical diversity, Spearman, assortativity."""
+
+from rust_ruuvitag_etl_spark.plans.llm20 import (
+    graph_degree_assortativity,
+    stat_spearman_rank_corr,
+    text_lexical_diversity,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+class TestLexicalDiversity:
+    def test_bounds(self, spark):
+        rows = text_lexical_diversity(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert 2 <= r["n_types"] or r["n_types"] >= 1
+            assert r["n_types"] <= r["n_tokens"]
+            assert 0.0 < r["ttr"] <= 1.0
+            assert 0.0 <= r["simpson"] <= 1.0
+
+    def test_all_distinct_doc_scores_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en", "src", "alpha beta gamma delta")],
+            "doc_id long, lang string, source string, text string",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            got = text_lexical_diversity(spark, d).collect()[0]
+        assert got["ttr"] == 1.0
+        assert got["simpson"] == 1.0  # no repeated token pair
+
+
+class TestSpearman:
+    def test_rho_in_range(self, spark):
+        r = stat_spearman_rank_corr(spark, SF_SMALL).collect()[0]
+        assert r["n"] > 0
+        assert -1.0 <= r["spearman_rho"] <= 1.0
+
+
+class TestAssortativity:
+    def test_r_in_range_and_counts(self, spark):
+        r = graph_degree_assortativity(spark, SF_SMALL).collect()[0]
+        assert r["n_nodes"] > 0
+        assert r["n_edges"] > 0
+        assert -1.0 <= r["assortativity"] <= 1.0
