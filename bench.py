@@ -135,6 +135,24 @@ HEADLINE = [
     "eval_cohens_kappa",
     "dedup_substring_scrub",
     "governance_deletion_propagate",
+    # round 10 wave 2: the post-wave full-registry engine sweep +
+    # fresh-JVM confirmation admitted every remaining plan >=2.5 s at
+    # sf0.1, closing the "top-N with no gaps" criterion: the streaming
+    # k-means scorer (5.7 s), the Arrow applyInPandas movement-delta
+    # twin (4.2 s), the MinHash-vs-exact estimator audit (3.0 s), the
+    # salted skew join (3.0 s), the k-means inertia descent gate
+    # (3.1 s), and four 2.5-3.0 s entries including two round-10
+    # additions (assortativity, Bradley-Terry).
+    "streaming_kmeans_assign",
+    "ruuvi_movement_delta_pandas",
+    "eval_minhash_estimate",
+    "skew_salted_join",
+    "cluster_kmeans_inertia",
+    "graph_degree_assortativity",
+    "eval_bradley_terry_strength",
+    "streaming_interval_join_left",
+    "streaming_late_data_discard",
+    "dedup_simhash_candidates",
 ]
 
 
