@@ -342,3 +342,82 @@ def graph_degree_assortativity(
         F.expr("m2 DIV 2").alias("n_edges"),
         r.alias("assortativity"),
     )
+
+
+# --- hard-negative mining (contrastive training data) ---------------------------
+
+_HARDNEG_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, label AS query_label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+c AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+),
+scored AS (
+    SELECT q.query_id, q.query_label, c.vec_id, c.label AS neg_label,
+           ROUND(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> qv[i] * cv[i]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6)
+               AS cosine
+    FROM q, c WHERE c.label <> q.query_label
+),
+ranked AS (
+    SELECT query_id, query_label, vec_id, neg_label, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, query_label, vec_id, neg_label, cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("similarity_hard_negatives", oracle=_HARDNEG_ORACLE)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 MOST similar corpus vectors with a DIFFERENT
+    label — the negatives that actually teach an embedding model,
+    sampled by every retrieval/rerank training pipeline. Same
+    brute-force shape as similarity_bruteforce_topk (queries
+    broadcast, corpus streams, per-partition partial top-k) with the
+    label-mismatch predicate applied BEFORE ranking so positives never
+    occupy shortlist slots; the production scale path swaps the scan
+    for the persisted IVF index probe with the same filter, exactly as
+    the ANN family documents."""
+    em = dd.spread(load(spark, sf_dir, "embeddings"))
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("_qvec"),
+    )
+    from ..functions import vectors as vf
+
+    scored = (
+        em.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(
+                vf.cosine(F.col("embedding"), F.col("_qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "query_label", "vec_id", "neg_label", "cosine",
+            "rank",
+        )
+    )

@@ -46,3 +46,23 @@ class TestAssortativity:
         assert r["n_nodes"] > 0
         assert r["n_edges"] > 0
         assert -1.0 <= r["assortativity"] <= 1.0
+
+
+class TestHardNegatives:
+    def test_negatives_exclude_query_label(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm20 import (
+            similarity_hard_negatives,
+        )
+
+        rows = similarity_hard_negatives(spark, SF_SMALL).collect()
+        assert len(rows) == 25  # 5 queries x top-5
+        for r in rows:
+            assert r["neg_label"] != r["query_label"]
+            assert 1 <= r["rank"] <= 5
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for rs in by_q.values():
+            rs.sort(key=lambda r: r["rank"])
+            cosines = [r["cosine"] for r in rs]
+            assert cosines == sorted(cosines, reverse=True)
