@@ -345,6 +345,20 @@ class TestGlobalWindowBan:
         # 65-row rank over the checkpointed top-(k+1) head BELOW the
         # distributed TakeOrderedAndProject — constant-size
         "sample_priority_weighted",
+        # round 10: |train-vocab|-row top-V rank over the aggregated
+        # token counts (Heaps-law sublinear; shard-and-merge at true
+        # 100 TB — documented in the query)
+        "tokenizer_vocab_coverage",
+        # same |vocab|-row rarity rank; the per-DOC phase window is
+        # partitioned by language and does not trip this ban
+        "curriculum_difficulty_order",
+        # Mann-Whitney global-CDF prefix sum over the |score classes|
+        # table (10^4 quantum bound — same audited class as
+        # eval_quality_auc)
+        "stat_mann_whitney_u",
+        # two |value classes| doubled-rank prefix sums (length and
+        # score classes — both quantum-bounded, never per-document)
+        "stat_spearman_rank_corr",
     }
 
     def test_no_registry_query_has_global_window_over_data(self, spark):
@@ -458,6 +472,9 @@ class TestFullTableBroadcastBan:
         "similarity_bq_topk",
         "similarity_knn_join",
         "similarity_bruteforce_topk_arrow",
+        # same k-query contract (vec_id < 5) with a label-mismatch
+        # residual filter — the hard-negative miner's probe side
+        "similarity_hard_negatives",
         # the 1-row query vector (vec_id == MMR_QUERY_ID) rebuilt for
         # the ideal-ordering pool — same k-query contract as the ANN
         # probes (retrieval_mmr_rerank itself doesn't appear here only

@@ -211,6 +211,29 @@ def main() -> None:
         "whole-stage codegen. The join-based plan stands; revisit only",
         "if the edge density profile changes.",
         "",
+        "Adjudication (round 10, per the r9 verdict's tasks 2-4): the",
+        "dedup_semantic_clusters 1.52× suite reading (3.52→5.33 s) and",
+        "the dedup_embedding_lsh_pairs 5.66-vs-4.1 s sweep delta were",
+        "re-measured fresh-JVM (median of 3, idle box, bench reclaim",
+        "discipline): semantic_clusters 4.37 s, lsh_pairs 5.02 s — both",
+        "between their suite and sweep readings, i.e. the r9 deltas were",
+        "suite-context/JVM state, not plan regressions. semantic_clusters",
+        "was then REPLANNED anyway (r9 task 1): the exact all-pairs",
+        "crossJoin recall reference is replaced by the deterministic",
+        "planted-pair stratum (scan-local, zero joins) — no unbounded",
+        "crossJoin remains in any registered plan. timeseries_gap_fill",
+        "(44.3 s in CORRECTNESS_full at sf0.1; r9 task 4) is ORACLE-side",
+        "cost: engine-only fresh-JVM median 1.09 s — DuckDB's dense-grid",
+        "reconstruction dominates that artifact row; not a headline",
+        "candidate. dedup_bloom_delta's 5.3 s 'flat fixed cost for zero",
+        "shuffled bytes' was plan-BUILD time: composing the 64-word ×",
+        "3-hash bloom through the Python Column API costs ~2000 py4j",
+        "round-trips (~4.8 s/call); generating the same expressions as",
+        "SQL text parsed JVM-side cut the query to 1.6 s with an",
+        "identical physical plan. Lesson: any operator composing O(100+)",
+        "expression nodes per call through the Python Column API pays",
+        "seconds of driver-side build tax — generate SQL text instead.",
+        "",
         "FullBcast = data-plane tables shipped whole through an EXPLICIT",
         "broadcast hint with no aggregate/limit bounding them, detected",
         "on a second plan built with autoBroadcastJoinThreshold=-1 so",
