@@ -41,4 +41,5 @@ from . import (  # noqa: E402, F401
     llm18,
     llm19,
     llm20,
+    llm21,
 )

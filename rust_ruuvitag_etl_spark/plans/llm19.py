@@ -66,8 +66,8 @@ q AS (
 ),
 c AS (
     SELECT event_type, n, s, rn,
-           qv - MIN(qv) OVER (PARTITION BY event_type ORDER BY rn
-                              ROWS UNBOUNDED PRECEDING) AS cusum
+           qv - LEAST(0, MIN(qv) OVER (PARTITION BY event_type ORDER BY rn
+                                       ROWS UNBOUNDED PRECEDING)) AS cusum
     FROM q
 )
 SELECT event_type, n AS n_events, s AS total_cents,
@@ -134,12 +134,18 @@ def timeseries_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmin = Window.partitionBy("event_type").orderBy("rn").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # The running min must include the EMPTY prefix (Q_0 = 0), or the
+    # closed form diverges from the clamped recurrence whenever the
+    # series starts above the allowance (all-positive Q prefix).
     c = q.select(
         "event_type",
         "n",
         "s",
         "rn",
-        (F.col("qv") - F.min("qv").over(wmin)).alias("cusum"),
+        (
+            F.col("qv")
+            - F.least(F.lit(0).cast("long"), F.min("qv").over(wmin))
+        ).alias("cusum"),
     )
     alarm = (
         F.col("cusum").cast("decimal(38,0)") * 5

@@ -948,3 +948,74 @@ def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "shw_streaming_holt_winters"  # fixed: see streaming_windowed_means
     return _run_memory_sink(spark, hw_stream(ev), name, "append")
+
+
+from ..streaming.stateful import (  # noqa: E402  (module tail: keeps the
+    CUSUM_H_CENTS,                  # streaming-cusum block self-contained)
+    CUSUM_TARGET_CENTS,
+)
+
+
+@query(
+    "streaming_cusum_alarm",
+    oracle=f"""
+WITH e AS (
+    SELECT event_type, ts, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS v100
+    FROM events WHERE value IS NOT NULL
+),
+w AS (
+    SELECT event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY ts, event_id) AS BIGINT) AS rn,
+           CAST(SUM(v100) OVER (PARTITION BY event_type
+                ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+    FROM e
+),
+q AS (
+    SELECT event_type, rn, p - rn * {CUSUM_TARGET_CENTS} AS qv FROM w
+),
+c AS (
+    SELECT event_type, rn,
+           qv - LEAST(0, MIN(qv) OVER (PARTITION BY event_type
+                ORDER BY rn ROWS UNBOUNDED PRECEDING)) AS cusum
+    FROM q
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(arg_max(cusum, rn) AS BIGINT) AS cusum,
+       CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+       CAST(SUM(CASE WHEN cusum > {CUSUM_H_CENTS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms,
+       MIN(CASE WHEN cusum > {CUSUM_H_CENTS} THEN rn END)
+           AS first_alarm_rn
+FROM c GROUP BY event_type
+""",
+)
+def streaming_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM control chart: the known-target twin of the
+    batch timeseries_cusum_alarm (which self-calibrates its allowance
+    to the series mean — a two-pass statistic no stream can know), run
+    as a real applyInPandasWithState job folding the exact clamped
+    recurrence S <- max(0, S + x - target) in integer cents across
+    micro-batches, then diffed against the batch closed-form oracle
+    (prefix-sum minus running-min INCLUDING the empty prefix — the
+    recurrence's exact closed form). Update mode emits one refreshed
+    summary per series per batch; the max-n_events row per series is
+    the end-of-stream answer. State per key is five integers + the
+    ordering high-water mark (streaming/stateful.py cusum_stream)."""
+    ev = _events_stream(spark, sf_dir)
+    events = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    from ..streaming.stateful import cusum_stream
+
+    name = "sca_streaming_cusum_alarm"  # fixed: see streaming_windowed_means
+    t = _run_memory_sink(spark, cusum_stream(events), name, "update")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -525,3 +525,116 @@ def hw_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming CUSUM control chart -------------------------------------------
+# The batch twin (plans/llm19.py timeseries_cusum_alarm) self-calibrates
+# its allowance to the series MEAN — a two-pass statistic a stream can't
+# know upfront. The streaming chart therefore runs the textbook form:
+# a KNOWN process target (allowance) and decision interval, folded by
+# the exact clamped recurrence S <- max(0, S + x - k) in integer cents,
+# one state tuple per series key, emitted per micro-batch in update
+# mode. Constants chosen against the events corpus (mean value ~ $50):
+# k = $40.00 keeps a persistent positive drift, H = $2000 of cumulated
+# excess trips mid-series.
+CUSUM_TARGET_CENTS = 4000
+CUSUM_H_CENTS = 200_000
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("cusum", LongType()),
+        StructField("max_cusum", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("first_alarm_rn", LongType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = (
+    "n LONG, s LONG, mx LONG, alarms LONG, first_rn LONG,"
+    " hwm_ts LONG, hwm_id LONG"
+)
+
+
+def _cusum_fold(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Exact integer CUSUM fold with the ewma_stream ordering sentinel:
+    rows sort (ts, event_id) within the batch; the state carries the
+    high-water mark of the last folded row and raises on any batch that
+    would fold at or before it (loud failure over silent divergence
+    from the batch-window oracle)."""
+    if state.exists:
+        n, s, mx, alarms, first_rn, hts, hid = state.get
+        hwm = (hts, hid) if hts is not None else None
+    else:
+        n = s = mx = alarms = 0
+        first_rn = None
+        hwm = None
+    chunks = list(pdfs)
+    if not chunks:
+        if n:
+            state.update(
+                (n, s, mx, alarms, first_rn,
+                 hwm[0] if hwm else None, hwm[1] if hwm else None)
+            )
+        return
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    batch_min = (int(pd.Timestamp(pdf.iloc[0]["ts"]).value),
+                 int(pdf.iloc[0]["event_id"]))
+    if hwm is not None and batch_min <= hwm:
+        raise ValueError(
+            "cusum_stream ordering contract violated: micro-batch "
+            f"starts at (ts_ns, event_id)={batch_min} but a prior batch "
+            f"already folded through {hwm}; feed batches in (ts, "
+            "event_id) order (see cusum_stream docstring)"
+        )
+    hwm = (int(pd.Timestamp(pdf.iloc[-1]["ts"]).value),
+           int(pdf.iloc[-1]["event_id"]))
+    for v in pdf["value"]:
+        n += 1
+        s = max(0, s + int(round(float(v) * 100)) - CUSUM_TARGET_CENTS)
+        if s > mx:
+            mx = s
+        if s > CUSUM_H_CENTS:
+            alarms += 1
+            if first_rn is None:
+                first_rn = n
+    state.update((n, s, mx, alarms, first_rn, hwm[0], hwm[1]))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "cusum": [s],
+            "max_cusum": [mx],
+            "n_alarms": [alarms],
+            "first_alarm_rn": [first_rn],
+        }
+    )
+
+
+def cusum_stream(events: DataFrame) -> DataFrame:
+    """Streaming CUSUM control chart per event_type: ``events`` needs
+    (event_type, ts, event_id, value). Update mode — one refreshed
+    summary row per series per micro-batch; the end-of-stream row (max
+    n_events) is the chart's final answer, diffed against the batch
+    closed-form oracle (prefix-sum minus running-min including the
+    empty prefix) in plans/streaming_batchck.py.
+
+    ORDERING CONTRACT (enforced, the ewma_stream discipline): rows sort
+    (ts, event_id) within each micro-batch and the state carries the
+    folded high-water mark — an out-of-order or replayed batch raises
+    instead of silently diverging. State is five integers + the mark
+    per key: O(|event types|) total, constant per key at any corpus
+    size."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _cusum_fold,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
