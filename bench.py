@@ -153,6 +153,10 @@ HEADLINE = [
     "streaming_interval_join_left",
     "streaming_late_data_discard",
     "dedup_simhash_candidates",
+    # round 10 wave 8: image near-dup with the real BMP codec in the
+    # loop (3.7 s engine-only at sf0.1) joins the headline under the
+    # same >=2.5 s gap-free rule.
+    "dedup_image_bands",
 ]
 
 

@@ -2213,3 +2213,30 @@ def flac_audio_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=FLAC_STATS_SCHEMA)
+
+
+def bmp_pixel_channels(media: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction for the image-dedup family: each
+    BMP payload decodes with the stdlib BI_RGB parser
+    (:func:`decode_bmp_array`) and emits its flattened channel vector
+    (row-major top-to-bottom, RGB per pixel) as ``array<int>`` — the
+    raw representation the quantization-band blocker and the exact L1
+    verifier consume. Same Arrow mapInPandas scale posture as
+    :func:`bmp_image_stats`: streaming record batches, one decode per
+    blob, constant memory per task."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mids, chans = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_bmp_array(bytes(content))
+                mids.append(mid)
+                chans.append([int(x) for x in d["rgb"].reshape(-1)])
+            yield pd.DataFrame({"media_id": mids, "channels": chans})
+
+    return media.mapInPandas(
+        batches, schema="media_id long, channels array<int>"
+    )

@@ -42,4 +42,5 @@ from . import (  # noqa: E402, F401
     llm19,
     llm20,
     llm21,
+    llm22,
 )

@@ -399,29 +399,49 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work to one core; at scale the input has enough splits and this
     # is a no-op.
     ev = spread(load(spark, sf_dir, "events").select("event_id"))
+    media = ev.select(
+        F.col("event_id").alias("media_id"),
+        F.unhex(bmp_payload_hex(F.col("event_id"))).alias("content"),
+    )
+    return mm.bmp_image_stats(media)
+
+
+def bmp_payload_hex(e):
+    """Hex of a genuine 78-byte 3x2 24-bit BI_RGB BMP whose 18 channel
+    values derive from the id column ``e`` via the co-prime multipliers
+    (pixel p uses primes[3p..3p+2] for R,G,B)."""
+
+    def pixel_chans(p: int):
+        r, g, b = (_BMP_PRIMES[3 * p], _BMP_PRIMES[3 * p + 1], _BMP_PRIMES[3 * p + 2])
+        return (e * r, e * g, e * b)
+
+    return bmp_payload_hex_from_channels(
+        [pixel_chans(p) for p in range(6)]
+    )
+
+
+def bmp_payload_hex_from_channels(pixels):
+    """Assemble the 78-byte 3x2 24-bit BI_RGB BMP hex from six (r, g, b)
+    Column triples (values taken mod 256): the two headers, per-pixel
+    BGR byte order, 4-byte row stride padding, bottom-up row order.
+    Shared by multimodal_image_stats and dedup_image_bands so the
+    packer can never drift between consumers."""
 
     def u8_hex(raw):
         return F.lpad(F.hex(F.pmod(raw, F.lit(256))), 2, "0")
 
-    e = F.col("event_id")
-
     def pixel_bgr_hex(p: int):
-        r, g, b = (_BMP_PRIMES[3 * p], _BMP_PRIMES[3 * p + 1], _BMP_PRIMES[3 * p + 2])
-        return F.concat(u8_hex(e * b), u8_hex(e * g), u8_hex(e * r))
+        r, g, b = pixels[p]
+        return F.concat(u8_hex(b), u8_hex(g), u8_hex(r))
 
     pad = F.lit("000000")  # 3 stride-pad bytes per 9-byte pixel row
-    payload_hex = F.concat(
+    return F.concat(
         F.lit(_BMP_HEADER_HEX),
         # file row 0 = image bottom row (y=1): pixels 3,4,5
         pixel_bgr_hex(3), pixel_bgr_hex(4), pixel_bgr_hex(5), pad,
         # file row 1 = image top row (y=0): pixels 0,1,2
         pixel_bgr_hex(0), pixel_bgr_hex(1), pixel_bgr_hex(2), pad,
     )
-    media = ev.select(
-        F.col("event_id").alias("media_id"),
-        F.unhex(payload_hex).alias("content"),
-    )
-    return mm.bmp_image_stats(media)
 
 
 # --- real compressed codec: PNG ------------------------------------------

@@ -66,3 +66,30 @@ class TestHardNegatives:
             rs.sort(key=lambda r: r["rank"])
             cosines = [r["cosine"] for r in rs]
             assert cosines == sorted(cosines, reverse=True)
+
+
+class TestImageDedupBands:
+    def test_planted_pairs_found_exactly(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm22 import (
+            _IMG_COPY_MOD,
+            _IMG_COPY_OFFSET,
+            dedup_image_bands,
+        )
+        from rust_ruuvitag_etl_spark.sources import load
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        rows = dedup_image_bands(spark, sf).collect()
+        planted = (
+            load(spark, sf, "events")
+            .filter(F.col("event_id") % _IMG_COPY_MOD == 0)
+            .select("event_id")
+            .distinct()
+            .count()
+        )
+        # every planted copy pairs with its original (wrap case aside,
+        # which would reduce the count; none at this sf)
+        assert len(rows) == planted
+        for r in rows:
+            assert r["id_b"] == r["id_a"] + _IMG_COPY_OFFSET
+            assert 0 < r["l1"] <= 3
