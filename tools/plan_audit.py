@@ -234,6 +234,17 @@ def main() -> None:
         "expression nodes per call through the Python Column API pays",
         "seconds of driver-side build tax — generate SQL text instead.",
         "",
+        "Bench-suite reading discipline (round 10): the headline now times",
+        "80 queries in one JVM (warm pass + 3 timed reps each, ~320",
+        "executions); back-to-back suite runs on an idle box showed the",
+        "TAIL of the suite reading 20-30% above fresh-JVM medians and one",
+        "run mispricing mid-suite entries 3x (text_keyword_pagerank 10.9 s",
+        "suite vs 2.76 s re-probed after an identical 80-query warm pass —",
+        "a lingering JVM from a killed prior run, not plan state). Suite",
+        "numbers BOUND the cost; any apparent regression must be",
+        "adjudicated with the fresh-JVM-per-query median protocol (the",
+        "round-8 discipline) before being believed.",
+        "",
         "FullBcast = data-plane tables shipped whole through an EXPLICIT",
         "broadcast hint with no aggregate/limit bounding them, detected",
         "on a second plan built with autoBroadcastJoinThreshold=-1 so",
