@@ -136,27 +136,25 @@ SELECT 'packed_sequences',
 
 def _audit(name: str, art: DataFrame, man: DataFrame) -> DataFrame:
     """Purge a doc_id-keyed artifact and report (before, purged, after,
-    residue): one broadcast anti-join purges, a semi-join back against
-    the manifest over the PURGED relation measures the residue."""
+    residue): one broadcast anti-join purges; ONE pass over the purged
+    relation (broadcast left join against a marked manifest) measures
+    rows_after and residue together — residue stays a fact counted over
+    the purged rows, not an assumption, at two aggregate passes per
+    artifact instead of three."""
     before = art.agg(F.count(F.lit(1)).alias("rows_before"))
     purged = art.join(F.broadcast(man), "doc_id", "left_anti")
-    after = purged.agg(F.count(F.lit(1)).alias("rows_after"))
-    residue = purged.join(F.broadcast(man), "doc_id", "left_semi").agg(
-        F.count(F.lit(1)).alias("residue")
+    hit = man.select("doc_id", F.lit(1).alias("_hit"))
+    after = purged.join(F.broadcast(hit), "doc_id", "left").agg(
+        F.count(F.lit(1)).alias("rows_after"),
+        F.count("_hit").alias("residue"),
     )
-    return (
-        before.crossJoin(F.broadcast(after))
-        .crossJoin(F.broadcast(residue))
-        .select(
-            F.lit(name).alias("artifact"),
-            "rows_before",
-            (F.col("rows_before") - F.col("rows_after")).alias(
-                "rows_purged"
-            ),
-            "rows_after",
-            "residue",
-            (F.col("residue") == 0).alias("residue_free"),
-        )
+    return before.crossJoin(F.broadcast(after)).select(
+        F.lit(name).alias("artifact"),
+        "rows_before",
+        (F.col("rows_before") - F.col("rows_after")).alias("rows_purged"),
+        "rows_after",
+        "residue",
+        (F.col("residue") == 0).alias("residue_free"),
     )
 
 
@@ -180,11 +178,18 @@ def governance_deletion_propagate(
     contaminated-pack key set is |manifest|-bounded and broadcasts.
     All outputs are exact integer counts and a boolean — no floats
     anywhere."""
-    docs = dd.spread(load(spark, sf_dir, "documents"))
-    man = (
-        docs.filter(F.col("doc_id") % _TAKEDOWN_MOD == 0)
-        .select("doc_id")
+    # ONE checkpointed corpus projection feeds the manifest and all
+    # five artifact derivations: without it every artifact checkpoint
+    # (and the un-checkpointed corpus/fingerprint audits) re-ran its
+    # own parquet scan + spread — 12 scans / 52 exchanges in the r10
+    # plan audit for what is one corpus read's worth of input.
+    docs = (
+        dd.spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", "text")
         .localCheckpoint(eager=True)
+    )
+    man = docs.filter(F.col("doc_id") % _TAKEDOWN_MOD == 0).select(
+        "doc_id"
     )
 
     corpus = docs.select("doc_id")
@@ -248,13 +253,13 @@ def governance_deletion_propagate(
     )
     p_before = packs.agg(F.count(F.lit(1)).alias("rows_before"))
     p_purged = packs.join(F.broadcast(delpk), pack_key, "left_anti")
-    p_after = p_purged.agg(F.count(F.lit(1)).alias("rows_after"))
-    p_residue = p_purged.join(
-        F.broadcast(delpk), pack_key, "left_semi"
-    ).agg(F.count(F.lit(1)).alias("residue"))
+    p_hit = delpk.select(*pack_key, F.lit(1).alias("_hit"))
+    p_after = p_purged.join(F.broadcast(p_hit), pack_key, "left").agg(
+        F.count(F.lit(1)).alias("rows_after"),
+        F.count("_hit").alias("residue"),
+    )
     rows.append(
         p_before.crossJoin(F.broadcast(p_after))
-        .crossJoin(F.broadcast(p_residue))
         .select(
             F.lit("packed_sequences").alias("artifact"),
             "rows_before",

@@ -47,41 +47,34 @@ from .registry import query
 _BT_ITERS = 2
 
 
-def _bt_oracle() -> str:
+def _bt_core_sql(m_rel: str) -> str:
+    """CTE chain from the matches relation ``m_rel(w, l)`` to the final
+    strengths — TEXT SHARED VERBATIM between the DuckDB oracle and the
+    Spark engine plan (one JVM-side parse replaces the ~100 py4j Column
+    round-trips the unrolled-iteration Column build cost: the
+    dedup_bloom_delta expression-build lesson applied here).
+
+    Accepted tie exposure (documented per round-10 advice): each MM
+    summand ROUNDs a computed double quotient to 12 dp before the
+    order-free DECIMAL sum. Spark rounds the quotient's shortest
+    decimal repr, DuckDB the raw binary — they can split only when a
+    quotient of these integer-derived abilities lands within ~1e-16 of
+    an exact 12-dp tie, which no input at any tested scale factor
+    produces; the alternative (quantizing s itself) just moves the
+    same double→decimal cast divergence one step earlier."""
     core = f"""
-WITH {_QUALITY_SQL},
-d AS (
-    SELECT doc_id, source, CAST(ROUND(q * 10000) AS BIGINT) AS s4
-    FROM qscore
-),
-pr AS (
-    SELECT doc_id // 2 AS pk,
-           MAX(CASE WHEN doc_id % 2 = 0 THEN s4 END) AS qa,
-           MAX(CASE WHEN doc_id % 2 = 1 THEN s4 END) AS qb,
-           MAX(CASE WHEN doc_id % 2 = 0 THEN source END) AS sa,
-           MAX(CASE WHEN doc_id % 2 = 1 THEN source END) AS sb,
-           COUNT(*) AS c
-    FROM d GROUP BY doc_id // 2
-),
-m AS (
-    SELECT CASE WHEN qa > qb THEN sa WHEN qa < qb THEN sb
-                ELSE LEAST(sa, sb) END AS w,
-           CASE WHEN qa > qb THEN sb WHEN qa < qb THEN sa
-                ELSE GREATEST(sa, sb) END AS l
-    FROM pr WHERE c = 2 AND sa <> sb
-),
 nd AS (
     SELECT i, j, CAST(COUNT(*) AS BIGINT) AS nij FROM (
-        SELECT w AS i, l AS j FROM m
-        UNION ALL SELECT l AS i, w AS j FROM m
-    ) GROUP BY i, j
+        SELECT w AS i, l AS j FROM {m_rel}
+        UNION ALL SELECT l AS i, w AS j FROM {m_rel}
+    ) t GROUP BY i, j
 ),
 items AS (SELECT DISTINCT i AS src FROM nd),
 wt AS (
     SELECT items.src,
            CAST(COALESCE(wc.wins, 0) AS BIGINT) AS wins
     FROM items LEFT JOIN (
-        SELECT w AS src, COUNT(*) AS wins FROM m GROUP BY w
+        SELECT w AS src, COUNT(*) AS wins FROM {m_rel} GROUP BY w
     ) wc USING (src)
 ),
 nm AS (SELECT i AS src, CAST(SUM(nij) AS BIGINT) AS n_matches
@@ -119,6 +112,32 @@ SELECT wt.src AS source, wt.wins, nm.n_matches, {prev}.s AS strength
 FROM wt JOIN nm USING (src) JOIN {prev} USING (src)
 """
     return core
+
+
+def _bt_oracle() -> str:
+    return f"""
+WITH {_QUALITY_SQL},
+d AS (
+    SELECT doc_id, source, CAST(ROUND(q * 10000) AS BIGINT) AS s4
+    FROM qscore
+),
+pr AS (
+    SELECT doc_id // 2 AS pk,
+           MAX(CASE WHEN doc_id % 2 = 0 THEN s4 END) AS qa,
+           MAX(CASE WHEN doc_id % 2 = 1 THEN s4 END) AS qb,
+           MAX(CASE WHEN doc_id % 2 = 0 THEN source END) AS sa,
+           MAX(CASE WHEN doc_id % 2 = 1 THEN source END) AS sb,
+           COUNT(*) AS c
+    FROM d GROUP BY doc_id // 2
+),
+m AS (
+    SELECT CASE WHEN qa > qb THEN sa WHEN qa < qb THEN sb
+                ELSE LEAST(sa, sb) END AS w,
+           CASE WHEN qa > qb THEN sb WHEN qa < qb THEN sa
+                ELSE GREATEST(sa, sb) END AS l
+    FROM pr WHERE c = 2 AND sa <> sb
+),
+{_bt_core_sql("m")}"""
 
 
 @query("eval_bradley_terry_strength", oracle=_bt_oracle())
@@ -168,80 +187,15 @@ def eval_bradley_terry_strength(
         .otherwise(F.greatest("sa", "sb"))
         .alias("l"),
     ).localCheckpoint(eager=True)  # |matches| rows; feeds nd + wins
-    nd = (
-        m.select(F.col("w").alias("i"), F.col("l").alias("j"))
-        .unionAll(m.select(F.col("l").alias("i"), F.col("w").alias("j")))
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
-        .localCheckpoint(eager=True)  # |source pairs| rows; reused per iter
-    )
-    items = nd.select(F.col("i").alias("src")).distinct()
-    wc = m.groupBy(F.col("w").alias("src")).agg(
-        F.count(F.lit(1)).alias("wins")
-    )
-    wt = (
-        items.join(F.broadcast(wc), "src", "left")
-        .select(
-            "src",
-            F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    nm = nd.groupBy(F.col("i").alias("src")).agg(
-        F.sum("nij").cast("long").alias("n_matches")
-    )
-    ni = items.agg(F.count(F.lit(1)).alias("n_items"))
-    s = items.select("src", F.lit(1.0).alias("s"))
-    for _ in range(_BT_ITERS):
-        si = s.select(F.col("src").alias("i"), F.col("s").alias("s_i"))
-        sj = s.select(F.col("src").alias("j"), F.col("s").alias("s_j"))
-        den = (
-            nd.join(F.broadcast(si), "i")
-            .join(F.broadcast(sj), "j")
-            .groupBy(F.col("i").alias("src"))
-            .agg(
-                F.sum(
-                    F.round(
-                        F.col("nij").cast("double")
-                        / (F.col("s_i") + F.col("s_j")),
-                        12,
-                    ).cast("decimal(38,12)")
-                ).alias("den")
-            )
-        )
-        raw = wt.join(F.broadcast(den), "src").select(
-            "src",
-            (
-                F.col("wins").cast("double") / F.col("den").cast("double")
-            ).alias("r"),
-        )
-        tot = raw.agg(
-            F.sum(F.round(F.col("r"), 12).cast("decimal(38,12)")).alias(
-                "s_sum"
-            )
-        )
-        s = (
-            raw.crossJoin(F.broadcast(tot))
-            .crossJoin(F.broadcast(ni))
-            .select(
-                "src",
-                (
-                    F.col("r")
-                    * F.col("n_items").cast("double")
-                    / F.col("s_sum").cast("double")
-                ).alias("s"),
-            )
-        )
-    return (
-        wt.join(F.broadcast(nm), "src")
-        .join(F.broadcast(s), "src")
-        .select(
-            F.col("src").alias("source"),
-            "wins",
-            "n_matches",
-            F.col("s").alias("strength"),
-        )
-    )
+    # Everything downstream runs at |sources| (~20 rows) / |source-
+    # pairs| (~400 rows) cardinality: hand the WHOLE iteration chain to
+    # the JVM as one SQL parse of the SAME text the oracle runs (see
+    # _bt_core_sql) instead of composing ~100 Column objects per MM
+    # iteration through py4j. Measured on dedup_bloom_delta: the
+    # driver-side expression build, not execution, was ~seconds of the
+    # suite reading; AQE broadcasts every join here at these sizes.
+    m.createOrReplaceTempView("bt_matches")
+    return spark.sql("WITH " + _bt_core_sql("bt_matches"))
 
 
 # --- deterministic permutation test -------------------------------------------

@@ -37,8 +37,11 @@ from .registry import query
 # value-cents, S = series total, n = series length) and the clamped
 # CUSUM is n*S_t = Q_t - min_{j<=t} Q_j >= 0. Alarm when the cumulated
 # excess over the mean exceeds 20% of the series' total value:
-# 5 * cusum > n * S, compared in DECIMAL(38,0) so the n^2-scaled
-# products can never wrap int64 past ~3e9 events.
+# 5 * cusum > n * S. ALL n^2-scaled products — qv itself, not just the
+# alarm comparison — compute in 38-digit integers (Spark DECIMAL(38,0),
+# DuckDB HUGEINT): qv ~ avg_cents * n^2 per series wraps int64 around
+# ~1e8 events/series, where Spark wraps SILENTLY while DuckDB raises.
+# 38 digits push the bound past 1e16 events per series.
 _CUSUM_ORACLE = """
 WITH e AS (
     SELECT event_type, ts, event_id,
@@ -61,7 +64,7 @@ w AS (
 ),
 q AS (
     SELECT event_type, n, s, rn,
-           n * p - rn * s AS qv
+           CAST(n AS HUGEINT) * p - CAST(rn AS HUGEINT) * s AS qv
     FROM w
 ),
 c AS (
@@ -72,14 +75,11 @@ c AS (
 )
 SELECT event_type, n AS n_events, s AS total_cents,
        CAST(MAX(cusum) AS BIGINT) AS max_cusum_scaled,
-       CAST(SUM(CASE WHEN CAST(cusum AS DECIMAL(38,0)) * 5
-                          > CAST(n AS DECIMAL(38,0)) * s
+       CAST(SUM(CASE WHEN cusum * 5 > CAST(n AS HUGEINT) * s
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
-       MIN(CASE WHEN CAST(cusum AS DECIMAL(38,0)) * 5
-                     > CAST(n AS DECIMAL(38,0)) * s
+       MIN(CASE WHEN cusum * 5 > CAST(n AS HUGEINT) * s
                 THEN rn END) AS first_alarm_rn,
-       BOOL_OR(CAST(cusum AS DECIMAL(38,0)) * 5
-               > CAST(n AS DECIMAL(38,0)) * s) AS alarmed
+       BOOL_OR(cusum * 5 > CAST(n AS HUGEINT) * s) AS alarmed
 FROM c GROUP BY event_type, n, s
 """
 
@@ -124,12 +124,17 @@ def timeseries_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wo).cast("long").alias("rn"),
         F.sum("v100").over(wr).cast("long").alias("p"),
     )
+    # qv in DECIMAL(38,0) (oracle: HUGEINT): n*p grows ~avg_cents*n^2
+    # per series and would wrap int64 silently around ~1e8 events.
     q = w.select(
         "event_type",
         "n",
         "s",
         "rn",
-        (F.col("n") * F.col("p") - F.col("rn") * F.col("s")).alias("qv"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("p")
+            - F.col("rn").cast("decimal(38,0)") * F.col("s")
+        ).alias("qv"),
     )
     wmin = Window.partitionBy("event_type").orderBy("rn").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

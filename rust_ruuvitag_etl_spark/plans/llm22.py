@@ -42,7 +42,6 @@ from .analytics import bmp_payload_hex_from_channels
 from .registry import query
 
 _IMG_COPY_MOD = 7
-_IMG_COPY_OFFSET = 100_000_000
 _IMG_L1_MAX = 3  # planted diff is exactly 1; wrap pairs (255) rejected
 
 
@@ -56,7 +55,10 @@ _IMG_DEDUP_ORACLE = f"""
 WITH ids AS (
     SELECT event_id AS mid, event_id AS e, 0 AS bump FROM events
     UNION ALL
-    SELECT event_id + {_IMG_COPY_OFFSET}, event_id, 1 FROM events
+    -- planted-copy ids live in the NEGATIVE keyspace: disjoint from
+    -- base event_ids (>= 0) at EVERY scale factor, unlike an additive
+    -- offset which collides once event_id reaches it
+    SELECT -(event_id + 1), event_id, 1 FROM events
     WHERE event_id % {_IMG_COPY_MOD} = 0
 ),
 ch AS (
@@ -139,7 +141,7 @@ def dedup_image_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _media(ev, F.col("event_id"), bump=False)
     copies = _media(
         ev.filter(F.col("event_id") % _IMG_COPY_MOD == 0),
-        F.col("event_id") + _IMG_COPY_OFFSET,
+        -(F.col("event_id") + 1),
         bump=True,
     )
     # REAL decode of every blob; |corpus + planted| rows of
@@ -149,14 +151,18 @@ def dedup_image_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def band(offset: int, band_id: int) -> DataFrame:
-        key = F.array_join(
+        # Engine-side the band key is a 64-bit hash of the quantized
+        # 18-value vector, NOT the vector's CSV rendering: the self-
+        # join shuffles 8 bytes per row instead of a ~70-byte string
+        # (measured 12.5 MB -> ~1 MB shuffle write at sf0.1). A hash
+        # collision can only ADD a candidate pair, which the exact L1
+        # verify then rejects — output identical, oracle untouched
+        # (the oracle keeps its readable CSV keys).
+        key = F.xxhash64(
             F.transform(
                 "channels",
-                lambda c: ((c + F.lit(offset)) / 4).cast("int").cast(
-                    "string"
-                ),
-            ),
-            ",",
+                lambda c: ((c + F.lit(offset)) / 4).cast("int"),
+            )
         )
         return ch.select(
             "media_id", F.lit(band_id).alias("band"), key.alias("bk")

@@ -56,10 +56,19 @@ class _bounded_state_shuffle:
                 "requires sequential execution (use a dedicated "
                 "SparkSession.newSession() per thread to parallelize)"
             )
-        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
-        self._spark.conf.set(
-            "spark.sql.shuffle.partitions", _HARNESS_STATE_PARTITIONS
-        )
+        # If conf.get/set throws here the with-body never runs, so
+        # __exit__ never fires — release before re-raising or every
+        # later harness query would hit the "concurrent" error above.
+        try:
+            self._old = self._spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions", _HARNESS_STATE_PARTITIONS
+            )
+        except BaseException:
+            _SEQUENTIAL_HARNESS_LOCK.release()
+            raise
 
     def __exit__(self, *exc):
         self._spark.conf.set("spark.sql.shuffle.partitions", self._old)

@@ -471,7 +471,10 @@ def _hw_stream_fn(
     hours = (
         pdf["ts"].dt.floor("h").astype("int64") // 1_000_000_000
     )
-    micros = (pdf["value"] * 1_000_000).round().astype("int64")
+    # _quantize_micros replicates the batch twin's double->DECIMAL(18,6)
+    # cast (shortest-repr HALF_UP); pandas .round() is banker's and
+    # would diverge on an exact .5 tie at the 6th decimal.
+    micros = pdf["value"].map(_quantize_micros).astype("int64")
     by_hour = (
         pd.DataFrame({"h": hours, "m": micros})
         .groupby("h", sort=True)["m"]
@@ -557,6 +560,23 @@ CUSUM_STATE_SCHEMA = (
 )
 
 
+def _round_half_away_cents(v: float) -> int:
+    """Round ``v * 100`` to integer cents with ties AWAY from zero —
+    the semantics BOTH engines apply (DuckDB ``ROUND(value*100)`` is
+    half-away on the binary product; Spark ``F.round`` is HALF_UP on
+    the product's shortest decimal repr, and for any double a ``.5``
+    tie in shortest repr IS an exact binary tie, so the two agree).
+    Python's builtin ``round()`` is banker's (half-to-EVEN) and
+    diverges on exact ties like 0.125 -> 12.5: both engines give 13,
+    ``round()`` gives 12."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    prod = float(v) * 100.0  # the same IEEE multiply both engines do
+    return int(
+        Decimal(repr(prod)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+
+
 def _cusum_fold(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
@@ -597,7 +617,7 @@ def _cusum_fold(
            int(pdf.iloc[-1]["event_id"]))
     for v in pdf["value"]:
         n += 1
-        s = max(0, s + int(round(float(v) * 100)) - CUSUM_TARGET_CENTS)
+        s = max(0, s + _round_half_away_cents(v) - CUSUM_TARGET_CENTS)
         if s > mx:
             mx = s
         if s > CUSUM_H_CENTS:

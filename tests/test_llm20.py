@@ -72,7 +72,6 @@ class TestImageDedupBands:
     def test_planted_pairs_found_exactly(self, spark):
         from rust_ruuvitag_etl_spark.plans.llm22 import (
             _IMG_COPY_MOD,
-            _IMG_COPY_OFFSET,
             dedup_image_bands,
         )
         from rust_ruuvitag_etl_spark.sources import load
@@ -91,5 +90,8 @@ class TestImageDedupBands:
         # which would reduce the count; none at this sf)
         assert len(rows) == planted
         for r in rows:
-            assert r["id_b"] == r["id_a"] + _IMG_COPY_OFFSET
+            # copy ids live in the negative keyspace: -(base + 1), so
+            # the copy always sorts first (id_a) and never collides
+            # with a base event_id at any scale factor
+            assert r["id_a"] == -(r["id_b"] + 1)
             assert 0 < r["l1"] <= 3

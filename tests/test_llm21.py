@@ -64,6 +64,18 @@ class TestAsofTolerance:
 
 
 class TestStreamingCusum:
+    def test_cents_rounding_ties_away_from_zero(self):
+        # 0.125*100 = 12.5 is an EXACT binary tie: DuckDB ROUND and
+        # Spark F.round both give 13; Python round() gives 12.
+        from rust_ruuvitag_etl_spark.streaming.stateful import (
+            _round_half_away_cents,
+        )
+
+        assert _round_half_away_cents(0.125) == 13
+        assert _round_half_away_cents(-0.125) == -13
+        assert _round_half_away_cents(0.12) == 12
+        assert _round_half_away_cents(0.1249) == 12
+
     def test_matches_batch_closed_form(self, spark):
         from rust_ruuvitag_etl_spark.plans.streaming_batchck import (
             streaming_cusum_alarm,
@@ -71,6 +83,7 @@ class TestStreamingCusum:
         from rust_ruuvitag_etl_spark.streaming.stateful import (
             CUSUM_H_CENTS,
             CUSUM_TARGET_CENTS,
+            _round_half_away_cents,
         )
 
         rows = streaming_cusum_alarm(spark, SF_SMALL).collect()
@@ -89,7 +102,11 @@ class TestStreamingCusum:
             s = mx = alarms = 0
             first = None
             for i, v in enumerate(series[r["event_type"]], start=1):
-                s = max(0, s + round(v * 100) - CUSUM_TARGET_CENTS)
+                # half-AWAY-from-zero like both engines; Python round()
+                # is banker's and would mask a tie divergence
+                s = max(
+                    0, s + _round_half_away_cents(v) - CUSUM_TARGET_CENTS
+                )
                 mx = max(mx, s)
                 if s > CUSUM_H_CENTS:
                     alarms += 1
