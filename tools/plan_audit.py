@@ -234,6 +234,27 @@ def main() -> None:
         "expression nodes per call through the Python Column API pays",
         "seconds of driver-side build tax — generate SQL text instead.",
         "",
+        "Adjudication (round 11, 2026-08-16, per the r10 verdict's task 1;",
+        "protocol now committed as tools/fresh_jvm_probe.py): all five",
+        "≥1.5× r10 suite regressions re-measured fresh-JVM-per-query",
+        "(median of 3, calibration_s 0.14-0.17 ≈ the 0.15 idle reference,",
+        "dedup_bloom_delta as the unchanged 1.34 s r10 control, reading",
+        "1.42 s = env factor ~1.06): corpus_prep_end_to_end 2.37 s,",
+        "contamination_ngram_eval 1.91 s, similarity_ivf_pq_topk 2.01 s,",
+        "similarity_sq8_topk 1.47 s, streaming_interval_join 3.49 s (the",
+        "8-partition bounded-state runner verified engaged — the query",
+        "routes through _run_memory_sink). Verdict per query: sq8,",
+        "corpus_prep, and interval_join were r10 suite-tail over-reads",
+        "(steady medians 30-50% below the r10 suite numbers, at or near",
+        "r9 once the env factor is applied); ivf_pq and contamination",
+        "read AT their r10 suite values — i.e. those r9→r10 deltas are",
+        "environment-level between rounds (the round-8 precedent), not",
+        "plan regressions (PLANS rows unchanged since r9). NEW protocol",
+        "lesson baked into the probe: CPU-bound md5-shingling plans ride",
+        "a long C2 JIT curve in a fresh JVM (contamination rep0 12.4 s →",
+        "rep1 2.5 → steady 1.6) — one warm rep over-reads ~2×; the probe",
+        "now defaults to THREE warm reps before timing.",
+        "",
         "Bench-suite reading discipline (round 10): the headline now times",
         "80 queries in one JVM (warm pass + 3 timed reps each, ~320",
         "executions); back-to-back suite runs on an idle box showed the",
