@@ -149,6 +149,14 @@ def h60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def h60_spark_sql(expr: str) -> str:
+    """Spark-SQL-TEXT twin of :func:`h60` (portable family) — for plans
+    that assemble O(100+) expression nodes and generate them as SQL text
+    parsed JVM-side instead of paying the per-node py4j build tax (the
+    dedup_bloom_delta lesson recorded in PLANS.md)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def rehash(col: Column, i: int) -> Column:
     """i-th universal-hash permutation: (a_i*(h mod P31) + b_i) mod P31.
 

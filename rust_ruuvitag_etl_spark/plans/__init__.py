@@ -43,4 +43,5 @@ from . import (  # noqa: E402, F401
     llm20,
     llm21,
     llm22,
+    llm23,
 )

@@ -475,6 +475,11 @@ class TestFullTableBroadcastBan:
         # same k-query contract (vec_id < 5) with a label-mismatch
         # residual filter — the hard-negative miner's probe side
         "similarity_hard_negatives",
+        # same k-query contract: the maintained-index probe AND the
+        # rebuild-twin probe each broadcast the 5-row query set (the
+        # corpus sides — base segment, delta segment, full re-assign —
+        # are all probe/stream sides, never broadcast)
+        "similarity_ivf_append_maintain",
         # the 1-row query vector (vec_id == MMR_QUERY_ID) rebuilt for
         # the ideal-ordering pool — same k-query contract as the ANN
         # probes (retrieval_mmr_rerank itself doesn't appear here only
