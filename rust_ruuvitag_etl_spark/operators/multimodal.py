@@ -468,6 +468,32 @@ def wav_audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=WAV_STATS_SCHEMA)
 
 
+def wav_pcm_samples(media: DataFrame) -> DataFrame:
+    """REAL-decode sample extraction for the audio-dedup family: each
+    RIFF/WAVE payload decodes with the stdlib PCM16 parser
+    (:func:`decode_wav`) and emits its raw signed samples as
+    ``array<int>`` — the representation the gain-invariant energy-
+    envelope fingerprint consumes. Same Arrow mapInPandas scale posture
+    as :func:`wav_audio_stats`: streaming record batches, one decode
+    per blob, constant memory per task."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mids, smp = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_wav(bytes(content))
+                mids.append(mid)
+                smp.append([int(x) for x in d["samples"]])
+            yield pd.DataFrame({"media_id": mids, "samples": smp})
+
+    return media.mapInPandas(
+        batches, schema="media_id long, samples array<int>"
+    )
+
+
 BMP_STATS_SCHEMA = (
     "media_id long, width int, height int, n_pixels long, "
     "sum_r long, sum_g long, sum_b long, max_channel int, "

@@ -359,7 +359,14 @@ def embedding_truncation_fidelity(
     (identical order on both engines), one division + sqrt are single
     correctly-rounded ops, each row rounds to 6 dp, the per-label
     mean sums those 6-dp values as DECIMAL (exact, order-free) and
-    rounds HALF-UP in integer micro-units. Scale posture: scan-local
+    rounds HALF-UP in integer micro-units. ACCEPTED tie exposure
+    (documented per round-10 advice): the 6-dp ROUND acts on a
+    computed sqrt-of-quotient double — Spark rounds its shortest
+    decimal repr, DuckDB the raw binary, and the engines could split
+    if a fidelity ever landed within ~1e-16 of an exact 6-dp tie. No
+    input at any tested scale factor does, and the integer-half-up
+    alternative would just move the identical double→decimal cast
+    divergence one step earlier. Scale posture: scan-local
     per-row arithmetic + one map-side-combinable groupBy(label) —
     zero joins, zero corpus-sized shuffles."""
     em = dd.spread(load(spark, sf_dir, "embeddings"))

@@ -288,6 +288,227 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- gain-invariant audio near-duplicate detection ------------------------------
+
+# 32 PCM16 samples per clip (8 windows x 4), values in [-8000, 8000] so
+# the planted x2-gain copies stay exactly representable in int16
+# (|2s| <= 16000 < 32768 — the audio analog of the aHash no-clamp bound).
+_AU_SAMPLES = 32
+_AU_WINDOWS = 8
+_AU_WIN_LEN = _AU_SAMPLES // _AU_WINDOWS
+_AU_NHASH = 8  # 4 x 15-bit extracts per 60-bit hash
+_AU_COPY_MOD = 13  # every 13th clip gets a planted x2-gain copy
+_AU_GAIN = 2
+_AU_LEVELS = 64  # envelope quantization: level_w = (e_w * 64) div E
+
+# 44-byte RIFF/WAVE header for PCM16 mono 16 kHz with a 64-byte data
+# chunk (32 samples); same layout as multimodal_audio_stats' 8-sample
+# header with the riff/data sizes adjusted (riff = 4 + 24 + 72 = 100).
+_AU_HEADER_HEX = (
+    "52494646"  # "RIFF"
+    "64000000"  # riff size = 100
+    "57415645"  # "WAVE"
+    "666d7420"  # "fmt "
+    "10000000"  # fmt chunk size = 16
+    "0100"      # audio format = 1 (PCM)
+    "0100"      # channels = 1
+    "803e0000"  # sample rate = 16000
+    "007d0000"  # byte rate = 32000
+    "0200"      # block align = 2
+    "1000"      # bits per sample = 16
+    "64617461"  # "data"
+    "40000000"  # data chunk size = 64
+)
+
+
+def _au_sample_sql(i: int, gain: str, dialect: str) -> str:
+    """Signed sample i in [-8000, 8000] (x gain), from 15-bit extract
+    i%4 of portable hash h{i//4} — SAME arithmetic, either dialect."""
+    j, k = divmod(i, 4)
+    div = "div" if dialect == "spark" else "//"
+    return (
+        f"((((_h{j} {div} {2 ** (15 * k)}) % 32768) % 16001 - 8000)"
+        f" * {gain})"
+    )
+
+
+def _au_media(ev: DataFrame, mid, gain: int) -> DataFrame:
+    """Pack each event's 32 hash-derived PCM16 samples into a genuine
+    RIFF/WAVE file. Packing projection generated as SQL text (the
+    PLANS.md expression-build lesson); the 8 md5s materialize as
+    columns first so each computes once."""
+    hs = ev.select(
+        mid.alias("media_id"),
+        *[
+            F.expr(
+                tf.h60_spark_sql(
+                    f"concat('au:{j}:', CAST(event_id AS STRING))"
+                )
+            ).alias(f"_h{j}")
+            for j in range(_AU_NHASH)
+        ],
+    )
+    parts = []
+    for i in range(_AU_SAMPLES):
+        v = f"pmod({_au_sample_sql(i, str(gain), 'spark')}, 65536)"
+        parts.append(
+            f"lpad(hex(pmod({v}, 256)), 2, '0')"
+        )
+        parts.append(
+            f"lpad(hex(({v}) div 256), 2, '0')"
+        )
+    payload = f"unhex(concat('{_AU_HEADER_HEX}', {', '.join(parts)}))"
+    return hs.select("media_id", F.expr(payload).alias("content"))
+
+
+def _au_oracle() -> str:
+    h_cols = ",\n           ".join(
+        tf.h60_sql(f"'au:{j}:' || CAST(e AS VARCHAR)") + f" AS _h{j}"
+        for j in range(_AU_NHASH)
+    )
+    samples = ", ".join(
+        _au_sample_sql(i, "gain", "duck") for i in range(_AU_SAMPLES)
+    )
+    win = " + ".join(
+        f"CAST(s[4*w+{t}] AS BIGINT) * s[4*w+{t}]"
+        for t in range(1, _AU_WIN_LEN + 1)
+    )
+    return f"""
+WITH ids AS (
+    SELECT event_id AS mid, event_id AS e, 1 AS gain FROM events
+    UNION ALL
+    -- planted-copy ids in the negative keyspace (disjoint at any sf)
+    SELECT -(event_id + 1), event_id, {_AU_GAIN} FROM events
+    WHERE event_id % {_AU_COPY_MOD} = 0
+),
+hs AS (
+    SELECT mid, gain,
+           {h_cols}
+    FROM ids
+),
+sm AS (SELECT mid, [{samples}] AS s FROM hs),
+en AS (
+    SELECT mid,
+           list_transform(range(0, {_AU_WINDOWS}), w -> {win}) AS ew
+    FROM sm
+),
+ft AS (SELECT mid, ew, CAST(list_sum(ew) AS BIGINT) AS et FROM en),
+ky AS (
+    SELECT mid, ew, et,
+           array_to_string(list_transform(ew,
+               x -> CAST((x * {_AU_LEVELS}) // et AS VARCHAR)), ',') AS k
+    FROM ft
+),
+cand AS (
+    SELECT a.mid AS id_a, a.ew AS ea, a.et AS eta,
+           b.mid AS id_b, b.ew AS eb, b.et AS etb
+    FROM ky a JOIN ky b ON a.k = b.k AND a.mid < b.mid
+)
+SELECT id_a, id_b, eta AS e_total_a, etb AS e_total_b
+FROM cand
+WHERE list_sum(list_transform(range(0, {_AU_WINDOWS}),
+      w -> CASE WHEN CAST(ea[w+1] AS HUGEINT) * etb
+                     = CAST(eb[w+1] AS HUGEINT) * eta
+                THEN 1 ELSE 0 END)) = {_AU_WINDOWS}
+"""
+
+
+@query("dedup_audio_envelope", oracle=_au_oracle())
+def dedup_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain-invariant audio duplicate detection with the REAL codec in
+    the loop — the missing modality in the dedup matrix (text has
+    MinHash/SimHash/SSJoin, embeddings RHP-LSH/SemDeDup, images
+    quantization bands + aHash; this adds audio): pack 32 hash-derived
+    PCM16 samples per event into genuine RIFF/WAVE files (+ planted
+    x2-gain copies of every 13th clip — the loudness-normalized
+    re-upload), DECODE each with the stdlib RIFF/PCM16 parser inside
+    Arrow mapInPandas, fingerprint the decoded samples with the 8-window
+    energy envelope quantized RELATIVE to total energy (level_w =
+    e_w * 64 div E — an exact rational, so a uniform gain g scales
+    numerator and denominator by g² and cancels: planted copies collide
+    on the key BY CONSTRUCTION), block on the quantized envelope, and
+    verify candidates with the exact cross-multiplied envelope-ratio
+    equality (e_w^a * E^b == e_w^b * E^a, all windows, 38-digit
+    integers). The oracle reproduces the decoded samples arithmetically,
+    so a hash match proves pack -> RIFF walk -> sign-correct decode ->
+    fingerprint -> verify end to end.
+
+    Scale posture: pack + decode + fingerprint are scan-local; the ONE
+    corpus-scale shuffle is the envelope-key equi-join on an 8-byte
+    hashed key (measured at sf0.1: 99,922 distinct keys over 100k
+    clips, max bucket 2, 78 random candidate pairs — candidate volume
+    is O(|planted|), never quadratic); the exact verify joins candidate
+    ids back at candidate cardinality."""
+    ev = spread(load(spark, sf_dir, "events").select("event_id"))
+    base = _au_media(ev, F.col("event_id"), 1)
+    copies = _au_media(
+        ev.filter(F.col("event_id") % _AU_COPY_MOD == 0),
+        -(F.col("event_id") + 1),
+        _AU_GAIN,
+    )
+    sm = mm.wav_pcm_samples(base.unionAll(copies))
+    win = " + ".join(
+        f"CAST(element_at(samples, 4*w+{t}) AS BIGINT)"
+        f" * element_at(samples, 4*w+{t})"
+        for t in range(1, _AU_WIN_LEN + 1)
+    )
+    feats = (
+        sm.select(
+            "media_id",
+            F.expr(
+                f"transform(sequence(0, {_AU_WINDOWS - 1}), w -> {win})"
+            ).alias("ew"),
+        )
+        .select(
+            "media_id",
+            "ew",
+            F.expr("aggregate(ew, 0L, (a, x) -> a + x)").alias("et"),
+        )
+        .select(
+            "media_id",
+            "ew",
+            "et",
+            # 8-byte hashed key engine-side (the dedup_image_bands
+            # lesson): a hash collision only ADDs a candidate, which
+            # the exact envelope verify rejects; the oracle keeps its
+            # readable CSV keys.
+            F.expr(
+                f"xxhash64(transform(ew, x -> (x * {_AU_LEVELS})"
+                " div et))"
+            ).alias("k"),
+        )
+        .localCheckpoint(eager=True)  # one decode; feeds both join sides
+    )
+    a = feats.select(
+        F.col("media_id").alias("id_a"),
+        F.col("ew").alias("_ea"),
+        F.col("et").alias("_eta"),
+        "k",
+    )
+    b = feats.select(
+        F.col("media_id").alias("id_b"),
+        F.col("ew").alias("_eb"),
+        F.col("et").alias("_etb"),
+        "k",
+    )
+    envelope_eq = F.expr(
+        f"forall(sequence(0, {_AU_WINDOWS - 1}), w ->"
+        " CAST(element_at(_ea, w+1) AS DECIMAL(38,0)) * _etb"
+        " = CAST(element_at(_eb, w+1) AS DECIMAL(38,0)) * _eta)"
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(envelope_eq)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_eta").alias("e_total_a"),
+            F.col("_etb").alias("e_total_b"),
+        )
+    )
+
+
 # --- incremental IVF index maintenance ------------------------------------------
 
 # The delta batch: every 11th vector arrives AFTER the base index was

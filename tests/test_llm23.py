@@ -4,6 +4,8 @@ from pyspark.sql import functions as F
 
 from rust_ruuvitag_etl_spark.plans.llm23 import (
     _AH_COPY_MOD,
+    _AU_COPY_MOD,
+    dedup_audio_envelope,
     dedup_image_phash,
     similarity_ivf_append_maintain,
 )
@@ -42,6 +44,49 @@ class TestImagePhash:
         from rust_ruuvitag_etl_spark.plans.llm23 import _AH_BRIGHT
 
         assert 199 + _AH_BRIGHT < 256
+
+
+class TestAudioEnvelope:
+    def test_planted_gain_copies_found(self, spark):
+        rows = dedup_audio_envelope(spark, SF_SMALL).collect()
+        planted = (
+            load(spark, SF_SMALL, "events")
+            .filter(F.col("event_id") % _AU_COPY_MOD == 0)
+            .select("event_id")
+            .distinct()
+            .count()
+        )
+        # the envelope key is EXACTLY gain-invariant (rational
+        # cancellation — module docstring), so every planted x2-gain
+        # pair must surface, with the copy's total energy exactly 4x
+        found = 0
+        for r in rows:
+            if r["id_a"] == -(r["id_b"] + 1):
+                assert r["e_total_a"] == 4 * r["e_total_b"]
+                found += 1
+        assert found == planted
+
+    def test_real_codec_decodes_packed_wav(self, spark):
+        # the packed blobs must be genuine RIFF/WAVE PCM16: decode one
+        # with the stdlib parser outside the query path
+        from rust_ruuvitag_etl_spark.operators.multimodal import (
+            decode_wav,
+        )
+        from rust_ruuvitag_etl_spark.plans.llm23 import _au_media
+
+        ev = (
+            load(spark, SF_SMALL, "events")
+            .select("event_id")
+            .filter(F.col("event_id") == 1)
+        )
+        blob = bytes(
+            _au_media(ev, F.col("event_id"), 1).collect()[0]["content"]
+        )
+        d = decode_wav(blob)
+        assert d["sample_rate"] == 16000
+        assert d["n_channels"] == 1
+        assert len(d["samples"]) == 32
+        assert all(-8000 <= s <= 8000 for s in d["samples"])
 
 
 class TestIvfAppendMaintain:
