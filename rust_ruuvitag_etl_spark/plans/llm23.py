@@ -509,6 +509,128 @@ def dedup_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- UniMax epoch-capped budget allocation ---------------------------------------
+
+# Token budget B = 3 corpus epochs (the multi-epoch pretraining
+# setting); each LANGUAGE may repeat at most C = 4 epochs. UniMax
+# (Chung et al., "UniMax: Fairer and More Effective Language Sampling
+# for Large-Scale Multilingual Pretraining", ICLR 2023) water-fills:
+# ascending by size, a language is CAPPED at C epochs while affordable,
+# and the remaining budget splits EQUALLY among the uncapped (larger)
+# languages — on this corpus the low-resource languages cap at 4 epochs
+# and en equal-shares the remainder (~1.6 epochs at sf0.1), the
+# classic UniMax picture.
+_UNIMAX_CAP = 4
+_UNIMAX_EPOCH_BUDGET = 3
+
+# Closed form instead of the paper's sequential loop: with sources
+# ascending by n, the capped set is a PREFIX, and source rn is capped
+# iff C*n*(k-rn+1) + C*prefix(n) <= B (cross-multiplied — the "could we
+# afford capping this source and equal-sharing its cap to everyone
+# after" test). One |sources|-row window pass replaces the iteration;
+# tests/test_llm23.py re-derives the result with the paper's loop.
+#
+# Exactness: the capped predicate cross-multiplies in 38-digit integers
+# (Spark DECIMAL(38,0), DuckDB HUGEINT). The DISPLAY micro-rounding of
+# the equal share runs in int64, which bounds the budget at ~4.6e12
+# tokens (b*2e6 < 2^63, ~18 TB of text) — above the per-shard corpus
+# this runs on per domain-group at 100 TB; the decision math has no
+# such bound.
+
+
+def _unimax_core_sql(dialect: str) -> str:
+    div = "DIV" if dialect == "spark" else "//"
+    big = (
+        "CAST({} AS DECIMAL(38,0))"
+        if dialect == "spark"
+        else "CAST({} AS HUGEINT)"
+    )
+    c = _UNIMAX_CAP
+    return f"""
+w AS (
+    SELECT lang, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n, lang) AS BIGINT) AS rn,
+           CAST(COALESCE(SUM(n) OVER (ORDER BY n, lang
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS pre,
+           CAST(COUNT(*) OVER () AS BIGINT) AS k,
+           CAST({_UNIMAX_EPOCH_BUDGET} * SUM(n) OVER () AS BIGINT) AS b
+    FROM d
+),
+cp AS (
+    SELECT *,
+           {big.format(f"{c} * n")} * (k - rn + 1)
+               + {big.format(f"{c} * pre")} <= {big.format("b")} AS capped
+    FROM w
+),
+mrow AS (
+    SELECT COALESCE(MAX(CASE WHEN capped THEN rn END), 0) AS m,
+           CAST(COALESCE(SUM(CASE WHEN capped THEN n END), 0)
+                AS BIGINT) AS spent_n
+    FROM cp
+),
+f AS (SELECT cp.*, mrow.m, mrow.spent_n FROM cp, mrow)
+SELECT lang, n AS n_tokens, capped,
+       CASE WHEN capped THEN CAST({c} * n AS DOUBLE)
+            ELSE CAST(((b - {c} * spent_n) * 2000000 + (k - m))
+                 {div} (2 * (k - m)) AS DOUBLE) / 1000000.0
+       END AS alloc_tokens,
+       CASE WHEN capped THEN CAST({c} AS DOUBLE)
+            ELSE CAST(((b - {c} * spent_n) * 2000000 + (k - m) * n)
+                 {div} (2 * (k - m) * n) AS DOUBLE) / 1000000.0
+       END AS epochs
+FROM f
+"""
+
+
+_UNIMAX_ORACLE = f"""
+WITH d AS (
+    SELECT lang,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+                AS BIGINT) AS n
+    FROM documents WHERE trim(text) <> ''
+    GROUP BY lang
+),
+{_unimax_core_sql("duck")}
+"""
+
+
+@query("mixture_unimax_epoch_caps", oracle=_UNIMAX_ORACLE)
+def mixture_unimax_epoch_caps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UniMax data-mixture budgeting: allocate a 3-epoch token budget
+    across languages with a hard per-language epoch cap — low-resource
+    languages are capped at C=4 epochs (repeating them further
+    overfits), and the freed budget splits EQUALLY among the uncapped
+    high-resource languages (the fairness objective that beats
+    temperature sampling at scale; see the module constant's comment
+    for the paper and the closed form). Output per language: token
+    count, whether the cap binds, allocated tokens, effective epochs.
+
+    Exactness: the cap decision is an exact cross-multiplied integer
+    predicate in 38-digit integers; the two displayed quotients round
+    HALF-UP in integer micro-units (int64-bounded at ~4.6e12 tokens —
+    documented in the module comment).
+
+    Scale posture: one map-side-combinable groupBy(lang) over the
+    corpus, then every window/aggregate runs at |languages| cardinality
+    (5 rows) — the corpus is scanned once and never shuffled beyond the
+    per-language partial sums. The |languages|-row window's single
+    partition is the operator's semantics, not a scale hazard."""
+    docs = spread(load(spark, sf_dir, "documents")).filter(
+        F.trim(F.col("text")) != ""
+    )
+    d = docs.groupBy("lang").agg(
+        F.sum(tf.token_count(F.col("text"))).cast("long").alias("n")
+    )
+    d.createOrReplaceTempView("unimax_langs")
+    return spark.sql(
+        "WITH d AS (SELECT lang, n FROM unimax_langs),\n"
+        + _unimax_core_sql("spark")
+    )
+
+
 # --- incremental IVF index maintenance ------------------------------------------
 
 # The delta batch: every 11th vector arrives AFTER the base index was

@@ -89,6 +89,56 @@ class TestAudioEnvelope:
         assert all(-8000 <= s <= 8000 for s in d["samples"])
 
 
+class TestUnimaxEpochCaps:
+    def test_matches_sequential_water_filling(self, spark):
+        """Re-derive the closed form with the paper's sequential loop:
+        ascending by size, cap while affordable, equal-share the rest."""
+        from rust_ruuvitag_etl_spark.plans.llm23 import (
+            _UNIMAX_CAP,
+            _UNIMAX_EPOCH_BUDGET,
+            mixture_unimax_epoch_caps,
+        )
+
+        rows = {
+            r["lang"]: r
+            for r in mixture_unimax_epoch_caps(spark, SF_SMALL).collect()
+        }
+        sizes = sorted(
+            (r["n_tokens"], s) for s, r in rows.items()
+        )
+        budget = _UNIMAX_EPOCH_BUDGET * sum(n for n, _ in sizes)
+        k = len(sizes)
+        alloc = {}
+        remaining, left = budget, k
+        for n, s in sizes:
+            share = remaining / left
+            a = min(_UNIMAX_CAP * n, share)
+            alloc[s] = (a, a == _UNIMAX_CAP * n)
+            remaining -= a
+            left -= 1
+        capped_seen_uncapped = False
+        for n, s in sizes:
+            a, capped = alloc[s]
+            r = rows[s]
+            assert r["capped"] == capped
+            assert abs(r["alloc_tokens"] - a) < 1e-3, (s, a, r)
+            assert abs(r["epochs"] - a / n) < 1e-6
+            assert 0 < r["epochs"] <= _UNIMAX_CAP + 1e-9
+            # the capped set must be a PREFIX of the ascending order
+            if not capped:
+                capped_seen_uncapped = True
+            else:
+                assert not capped_seen_uncapped
+        # the budget must make the cap BIND for some source and not all
+        flags = [rows[s]["capped"] for _, s in sizes]
+        assert any(flags) and not all(flags)
+        # allocations exhaust the budget
+        assert (
+            abs(sum(r["alloc_tokens"] for r in rows.values()) - budget)
+            < 1e-2
+        )
+
+
 class TestIvfAppendMaintain:
     def test_flags_true_and_exact_rows(self, spark):
         rows = similarity_ivf_append_maintain(spark, SF_SMALL).collect()
