@@ -47,12 +47,17 @@ from .registry import query
 _BT_ITERS = 2
 
 
-def _bt_core_sql(m_rel: str) -> str:
-    """CTE chain from the matches relation ``m_rel(w, l)`` to the final
+def _bt_iter_sql(nd: str, wt: str) -> str:
+    """CTE chain from the source-pair count relation ``nd(i, j, nij)``
+    and the win-count relation ``wt(src, wins)`` to the final
     strengths — TEXT SHARED VERBATIM between the DuckDB oracle and the
     Spark engine plan (one JVM-side parse replaces the ~100 py4j Column
     round-trips the unrolled-iteration Column build cost: the
-    dedup_bloom_delta expression-build lesson applied here).
+    dedup_bloom_delta expression-build lesson applied here). The engine
+    binds {nd}/{wt} to localCheckpointed temp views so each of the
+    text's four nd references reads a materialized ~|source-pairs|-row
+    table instead of re-deriving from the match table (a round-11 plan
+    audit caught the checkpoint-less variant at 128 exchanges).
 
     Accepted tie exposure (documented per round-10 advice): each MM
     summand ROUNDs a computed double quotient to 12 dp before the
@@ -63,39 +68,26 @@ def _bt_core_sql(m_rel: str) -> str:
     produces; the alternative (quantizing s itself) just moves the
     same double→decimal cast divergence one step earlier."""
     core = f"""
-nd AS (
-    SELECT i, j, CAST(COUNT(*) AS BIGINT) AS nij FROM (
-        SELECT w AS i, l AS j FROM {m_rel}
-        UNION ALL SELECT l AS i, w AS j FROM {m_rel}
-    ) t GROUP BY i, j
-),
-items AS (SELECT DISTINCT i AS src FROM nd),
-wt AS (
-    SELECT items.src,
-           CAST(COALESCE(wc.wins, 0) AS BIGINT) AS wins
-    FROM items LEFT JOIN (
-        SELECT w AS src, COUNT(*) AS wins FROM {m_rel} GROUP BY w
-    ) wc USING (src)
-),
+items AS (SELECT DISTINCT i AS src FROM {nd}),
 nm AS (SELECT i AS src, CAST(SUM(nij) AS BIGINT) AS n_matches
-       FROM nd GROUP BY i),
+       FROM {nd} GROUP BY i),
 ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM items),
 s0 AS (SELECT src, CAST(1 AS DOUBLE) AS s FROM items)"""
     prev = "s0"
     for t in range(1, _BT_ITERS + 1):
         core += f""",
 den{t} AS (
-    SELECT nd.i AS src,
-           SUM(CAST(ROUND(CAST(nd.nij AS DOUBLE) / (si.s + sj.s), 12)
+    SELECT {nd}.i AS src,
+           SUM(CAST(ROUND(CAST({nd}.nij AS DOUBLE) / (si.s + sj.s), 12)
                AS DECIMAL(38,12))) AS den
-    FROM nd JOIN {prev} si ON si.src = nd.i
-            JOIN {prev} sj ON sj.src = nd.j
-    GROUP BY nd.i
+    FROM {nd} JOIN {prev} si ON si.src = {nd}.i
+            JOIN {prev} sj ON sj.src = {nd}.j
+    GROUP BY {nd}.i
 ),
 raw{t} AS (
-    SELECT wt.src,
-           CAST(wt.wins AS DOUBLE) / CAST(den{t}.den AS DOUBLE) AS r
-    FROM wt JOIN den{t} USING (src)
+    SELECT {wt}.src,
+           CAST({wt}.wins AS DOUBLE) / CAST(den{t}.den AS DOUBLE) AS r
+    FROM {wt} JOIN den{t} USING (src)
 ),
 tot{t} AS (
     SELECT SUM(CAST(ROUND(r, 12) AS DECIMAL(38,12))) AS s_sum FROM raw{t}
@@ -108,8 +100,8 @@ s{t} AS (
 )"""
         prev = f"s{t}"
     core += f"""
-SELECT wt.src AS source, wt.wins, nm.n_matches, {prev}.s AS strength
-FROM wt JOIN nm USING (src) JOIN {prev} USING (src)
+SELECT {wt}.src AS source, {wt}.wins, nm.n_matches, {prev}.s AS strength
+FROM {wt} JOIN nm USING (src) JOIN {prev} USING (src)
 """
     return core
 
@@ -137,7 +129,20 @@ m AS (
                 ELSE GREATEST(sa, sb) END AS l
     FROM pr WHERE c = 2 AND sa <> sb
 ),
-{_bt_core_sql("m")}"""
+nd AS (
+    SELECT i, j, CAST(COUNT(*) AS BIGINT) AS nij FROM (
+        SELECT w AS i, l AS j FROM m
+        UNION ALL SELECT l AS i, w AS j FROM m
+    ) t GROUP BY i, j
+),
+wt AS (
+    SELECT items.src,
+           CAST(COALESCE(wc.wins, 0) AS BIGINT) AS wins
+    FROM (SELECT DISTINCT i AS src FROM nd) items LEFT JOIN (
+        SELECT w AS src, COUNT(*) AS wins FROM m GROUP BY w
+    ) wc USING (src)
+),
+{_bt_iter_sql("nd", "wt")}"""
 
 
 @query("eval_bradley_terry_strength", oracle=_bt_oracle())
@@ -188,14 +193,41 @@ def eval_bradley_terry_strength(
         .alias("l"),
     ).localCheckpoint(eager=True)  # |matches| rows; feeds nd + wins
     # Everything downstream runs at |sources| (~20 rows) / |source-
-    # pairs| (~400 rows) cardinality: hand the WHOLE iteration chain to
-    # the JVM as one SQL parse of the SAME text the oracle runs (see
-    # _bt_core_sql) instead of composing ~100 Column objects per MM
-    # iteration through py4j. Measured on dedup_bloom_delta: the
-    # driver-side expression build, not execution, was ~seconds of the
-    # suite reading; AQE broadcasts every join here at these sizes.
-    m.createOrReplaceTempView("bt_matches")
-    return spark.sql("WITH " + _bt_core_sql("bt_matches"))
+    # pairs| (~400 rows) cardinality: materialize those two tiny
+    # tables once (checkpointed views), then hand the WHOLE iteration
+    # chain to the JVM as one SQL parse of the SAME text the oracle
+    # runs (see _bt_iter_sql) instead of composing ~100 Column objects
+    # per MM iteration through py4j. Measured on dedup_bloom_delta:
+    # the driver-side expression build, not execution, was ~seconds of
+    # the suite reading; AQE broadcasts every join at these sizes.
+    nd = (
+        m.select(F.col("w").alias("i"), F.col("l").alias("j"))
+        .unionAll(m.select(F.col("l").alias("i"), F.col("w").alias("j")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        .localCheckpoint(eager=True)  # read 4x by the iteration text
+    )
+    wt = (
+        nd.select(F.col("i").alias("src"))
+        .distinct()
+        .join(
+            F.broadcast(
+                m.groupBy(F.col("w").alias("src")).agg(
+                    F.count(F.lit(1)).alias("wins")
+                )
+            ),
+            "src",
+            "left",
+        )
+        .select(
+            "src",
+            F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
+        )
+        .localCheckpoint(eager=True)  # read 3x by the iteration text
+    )
+    nd.createOrReplaceTempView("bt_nd")
+    wt.createOrReplaceTempView("bt_wt")
+    return spark.sql("WITH " + _bt_iter_sql("bt_nd", "bt_wt"))
 
 
 # --- deterministic permutation test -------------------------------------------

@@ -253,7 +253,13 @@ def main() -> None:
         "lesson baked into the probe: CPU-bound md5-shingling plans ride",
         "a long C2 JIT curve in a fresh JVM (contamination rep0 12.4 s →",
         "rep1 2.5 → steady 1.6) — one warm rep over-reads ~2×; the probe",
-        "now defaults to THREE warm reps before timing.",
+        "now defaults to THREE warm reps before timing. Follow-up on the",
+        "eval_bradley_terry_strength SQL-text rewrite: the first variant",
+        "dropped the nd/wt localCheckpoints and the audit caught it at 128",
+        "exchanges (every CTE reference re-derived the pair table from the",
+        "match table) — the landed plan checkpoints both tiny tables as",
+        "temp views under ONE shared-with-the-oracle iteration text: 84",
+        "exchanges, one JVM-side parse, no per-iteration Column build.",
         "",
         "Bench-suite reading discipline (round 10): the headline now times",
         "80 queries in one JVM (warm pass + 3 timed reps each, ~320",
