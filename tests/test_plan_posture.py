@@ -359,6 +359,11 @@ class TestGlobalWindowBan:
         # two |value classes| doubled-rank prefix sums (length and
         # score classes — both quantum-bounded, never per-document)
         "stat_spearman_rank_corr",
+        # round 11: UniMax water-filling windows over the per-LANGUAGE
+        # aggregate (5 rows — |languages| cardinality is the operator's
+        # semantics; the corpus contributes only map-side-combined
+        # partial token sums)
+        "mixture_unimax_epoch_caps",
     }
 
     def test_no_registry_query_has_global_window_over_data(self, spark):
