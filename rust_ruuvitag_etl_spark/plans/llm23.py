@@ -710,6 +710,94 @@ def ensure_ivfm_tables(
     return spark.table(ctable), spark.table(btable), spark.table(dtable)
 
 
+_IVFM_COMPACT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(2 AS BIGINT) AS segments_before,
+       CAST(1 AS BIGINT) AS segments_after,
+       TRUE AS content_parity_ok,
+       TRUE AS probe_parity_ok
+FROM embeddings
+"""
+
+
+@query("similarity_ivf_compact_segments", oracle=_IVFM_COMPACT_ORACLE)
+def similarity_ivf_compact_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF segment COMPACTION — the scheduled second half of the
+    maintenance loop (`similarity_ivf_append_maintain` appends delta
+    segments; this merges them): rewrite the (base ∪ delta) segment
+    union as ONE bucketed table so probes touch one file set per
+    centroid again, and PROVE in-query that compaction lost nothing:
+
+    * ``content_parity_ok`` — the compacted table equals the segment
+      union row for row (empty symmetric difference, both directions,
+      including the vectors);
+    * ``probe_parity_ok`` — a probe over the compacted table returns
+      exactly the rows a probe over the segment union returns.
+
+    Both flags are measured facts the oracle asserts TRUE, alongside
+    the corpus row count (every vector indexed exactly once).
+
+    Scale posture: compaction is the one deliberate full pass (read
+    segments, write bucketed — the nightly small-file job
+    compact_parquet generalizes); at 100 TB it runs per centroid-bucket
+    file group, embarrassingly parallel, while probes keep serving off
+    the old segments until the swap. The parity audits are one-time
+    equi-shuffles on vec_id/centroid_id, not probe-path costs."""
+    import os
+
+    from ..sources.sinks import register_external_table, write_bucketed
+
+    em = load(spark, sf_dir, "embeddings")
+    cents, base_idx, delta_seg = ensure_ivfm_tables(spark, sf_dir)
+    maintained = base_idx.unionAll(delta_seg)
+    slug = sf_slug(sf_dir)
+    ktable = f"ivfm_compact_{slug}"
+    if not spark.catalog.tableExists(ktable):
+        kpath = os.path.join(_warehouse_dir(), ktable)
+        if not register_external_table(
+            spark, ktable, kpath, bucket_cols=("centroid_id",), num_buckets=8
+        ):
+            write_bucketed(
+                maintained,
+                ktable,
+                bucket_cols=("centroid_id",),
+                num_buckets=8,
+                path=kpath,
+            )
+    compact = spark.table(ktable)
+    content = (
+        compact.exceptAll(maintained)
+        .unionAll(maintained.exceptAll(compact))
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .select((F.col("_d") == 0).alias("content_parity_ok"))
+    )
+    queries_df = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    p_old = sim.ivf_probe_topk(maintained, cents, queries_df, k=10, nprobe=5)
+    p_new = sim.ivf_probe_topk(compact, cents, queries_df, k=10, nprobe=5)
+    probe = (
+        p_new.exceptAll(p_old)
+        .unionAll(p_old.exceptAll(p_new))
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .select((F.col("_d") == 0).alias("probe_parity_ok"))
+    )
+    n = em.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        n.crossJoin(F.broadcast(content))
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "n_vectors",
+            F.lit(2).cast("long").alias("segments_before"),
+            F.lit(1).cast("long").alias("segments_after"),
+            "content_parity_ok",
+            "probe_parity_ok",
+        )
+    )
+
+
 @query("similarity_ivf_append_maintain", oracle=_IVFM_ORACLE)
 def similarity_ivf_append_maintain(
     spark: SparkSession, sf_dir: str

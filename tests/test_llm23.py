@@ -153,6 +153,22 @@ class TestIvfAppendMaintain:
         for q, ranks in by_q.items():
             assert sorted(ranks) == list(range(1, 11))
 
+    def test_compaction_parity_flags_true(self, spark):
+        from rust_ruuvitag_etl_spark.plans.llm23 import (
+            similarity_ivf_compact_segments,
+        )
+
+        rows = similarity_ivf_compact_segments(spark, SF_SMALL).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # compaction must lose nothing: row-level AND probe-level
+        # parity are measured over the actual tables, not assumed
+        assert r["content_parity_ok"] is True
+        assert r["probe_parity_ok"] is True
+        assert r["segments_before"] == 2 and r["segments_after"] == 1
+        n = load(spark, SF_SMALL, "embeddings").count()
+        assert r["n_vectors"] == n
+
     def test_segment_union_covers_full_corpus(self, spark):
         from rust_ruuvitag_etl_spark.plans.llm23 import ensure_ivfm_tables
 

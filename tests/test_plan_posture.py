@@ -485,6 +485,9 @@ class TestFullTableBroadcastBan:
         # corpus sides — base segment, delta segment, full re-assign —
         # are all probe/stream sides, never broadcast)
         "similarity_ivf_append_maintain",
+        # same k-query contract for the compaction audit's two parity
+        # probes (old segments vs compacted table)
+        "similarity_ivf_compact_segments",
         # the 1-row query vector (vec_id == MMR_QUERY_ID) rebuilt for
         # the ideal-ordering pool — same k-query contract as the ANN
         # probes (retrieval_mmr_rerank itself doesn't appear here only
