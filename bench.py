@@ -337,9 +337,14 @@ def _emit_line(full: dict) -> str:
     """Render ``full`` as one JSON line guaranteed <= _LINE_BUDGET_BYTES,
     dropping the cheapest per-query timings first (slowest entries are
     the ones each round's regression check needs)."""
-    line_obj = dict(full)
+    # n_queries and the scalar fields are placed BEFORE the queries map
+    # in key order: the driver's tail capture can truncate the line
+    # mid-map, and anything serialized after the map would be lost —
+    # the suite size must survive even when the map is cut.
+    line_obj = {k: v for k, v in full.items() if k != "queries"}
     line_obj["n_queries"] = len(full["queries"])
     line_obj["queries_full"] = "BENCH_FULL.json"
+    line_obj["queries"] = {}
     slowest = sorted(full["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
     kept: dict[str, float] = {}
     for name, dt in slowest:

@@ -155,9 +155,11 @@ def dedup_image_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 18-value vector, NOT the vector's CSV rendering: the self-
         # join shuffles 8 bytes per row instead of a ~70-byte string
         # (measured 12.5 MB -> ~1 MB shuffle write at sf0.1). A hash
-        # collision can only ADD a candidate pair, which the exact L1
-        # verify then rejects — output identical, oracle untouched
-        # (the oracle keeps its readable CSV keys).
+        # collision can only ADD a candidate pair; the verify stage
+        # re-checks TRUE quantized band equality (not the hash) on the
+        # surviving pairs, so the ~2^-64 cross-key collision residual
+        # is eliminated exactly, not just probabilistically — output
+        # provably identical to the oracle's readable CSV keys.
         key = F.xxhash64(
             F.transform(
                 "channels",
@@ -194,9 +196,22 @@ def dedup_image_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, d: acc + d,
     )
+
+    # Exact-equivalence guard for the hashed band key: re-check TRUE
+    # quantized band-vector equality on the candidate pairs (O(|cand|)
+    # array compares, no extra shuffle), so an xxhash64 cross-key
+    # collision on a pair at L1 <= _IMG_L1_MAX can never emit a row
+    # the CSV-keyed oracle lacks.
+    def _qeq(offset: int):
+        q = lambda col: F.transform(  # noqa: E731
+            col, lambda c: ((c + F.lit(offset)) / 4).cast("int")
+        )
+        return q("_ca") == q("_cb")
+
     return (
         cand.join(ca, "id_a")
         .join(cb, "id_b")
+        .filter(_qeq(0) | _qeq(2))
         .select("id_a", "id_b", l1.alias("l1"))
         .filter(F.col("l1") <= _IMG_L1_MAX)
     )

@@ -784,14 +784,32 @@ def similarity_ivf_compact_segments(
         .agg(F.count(F.lit(1)).alias("_d"))
         .select((F.col("_d") == 0).alias("probe_parity_ok"))
     )
+    # Segment counts are MEASURED, not asserted: count the distinct
+    # non-empty segment tables feeding the probe before (base + delta)
+    # and after (the single compacted table) — one LIMIT 1 scan per
+    # segment. An empty delta or a failed compaction write would make
+    # these diverge from the oracle's expected 2/1 and fail the gate.
+    seg_before = (
+        base_idx.select(F.lit("base").alias("seg")).limit(1)
+        .unionAll(delta_seg.select(F.lit("delta").alias("seg")).limit(1))
+        .agg(
+            F.count_distinct("seg").cast("long").alias("segments_before")
+        )
+    )
+    seg_after = (
+        compact.select(F.lit("compact").alias("seg")).limit(1)
+        .agg(F.count_distinct("seg").cast("long").alias("segments_after"))
+    )
     n = em.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
     return (
-        n.crossJoin(F.broadcast(content))
+        n.crossJoin(F.broadcast(seg_before))
+        .crossJoin(F.broadcast(seg_after))
+        .crossJoin(F.broadcast(content))
         .crossJoin(F.broadcast(probe))
         .select(
             "n_vectors",
-            F.lit(2).cast("long").alias("segments_before"),
-            F.lit(1).cast("long").alias("segments_after"),
+            "segments_before",
+            "segments_after",
             "content_parity_ok",
             "probe_parity_ok",
         )

@@ -71,8 +71,15 @@ class _bounded_state_shuffle:
             raise
 
     def __exit__(self, *exc):
-        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
-        _SEQUENTIAL_HARNESS_LOCK.release()
+        # The conf restore can itself throw (session stopped mid-run);
+        # the lock must release regardless or every later harness query
+        # would hit the misleading "concurrent" error above.
+        try:
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions", self._old
+            )
+        finally:
+            _SEQUENTIAL_HARNESS_LOCK.release()
         return False
 
 

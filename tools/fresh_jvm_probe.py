@@ -67,12 +67,21 @@ def _child(sf_dir: str, name: str) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print("usage: fresh_jvm_probe.py [sf_dir] query [query ...]")
+        sys.exit(2)
     if sys.argv[1] == "--child":
         _child(sys.argv[2], sys.argv[3])
         return
     args = sys.argv[1:]
+    # Only consume args[0] as sf_dir when it is a directory AND not a
+    # registry query name — a query that happens to match a local dir
+    # must not be silently eaten as the sf_dir.
+    from rust_ruuvitag_etl_spark.plans import REGISTRY
+
     sf_dir = (
-        args.pop(0) if args and os.path.isdir(args[0])
+        args.pop(0)
+        if args and os.path.isdir(args[0]) and args[0] not in REGISTRY
         else "/root/testdata/sf0.1"
     )
     if not args:
