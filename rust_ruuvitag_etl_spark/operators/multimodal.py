@@ -2268,3 +2268,46 @@ def bmp_pixel_channels(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         batches, schema="media_id long, channels array<int>"
     )
+
+
+def avi_frame_channels(media: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction for the VIDEO-dedup family: each
+    AVI payload decodes with the stdlib RIFF container parser
+    (:func:`decode_avi`) and emits one row PER FRAME carrying the
+    frame's flattened channel vector (row-major top-to-bottom, RGB per
+    pixel) as ``array<int>`` plus the clip's frame count — the raw
+    representation the per-frame perceptual-hash blocker and the
+    frame-sequence verifier consume. Same Arrow mapInPandas scale
+    posture as :func:`bmp_pixel_channels`: streaming record batches,
+    one container decode per blob, constant memory per task (frames
+    stream out of the batch as plain int lists)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mids, fnos, nfs, chans = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_avi(bytes(content))
+                for fno, rgb in enumerate(d["frames"]):
+                    mids.append(mid)
+                    fnos.append(fno)
+                    nfs.append(d["n_frames"])
+                    chans.append(rgb.reshape(-1).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_no": fnos,
+                    "n_frames": nfs,
+                    "channels": chans,
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, frame_no int, n_frames int,"
+            " channels array<int>"
+        ),
+    )

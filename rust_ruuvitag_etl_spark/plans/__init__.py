@@ -44,4 +44,6 @@ from . import (  # noqa: E402, F401
     llm21,
     llm22,
     llm23,
+    llm24,
+    llm25,
 )
