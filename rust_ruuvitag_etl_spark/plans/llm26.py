@@ -210,11 +210,20 @@ def corpus_refresh_incremental(
     docs = dd.spread(load(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
+    # ~10 downstream branches (counts, canonical map, band corpus,
+    # split relations) all derive from the fingerprint projection —
+    # materialize it ONCE so each branch reads a tiny table instead of
+    # re-running the scan + md5 (at 100 TB this is the persisted
+    # fingerprint artifact the module docstring describes)
     fp = docs.select(
         "doc_id", "text", tf.fingerprint(F.col("text")).alias("f")
-    )
+    ).localCheckpoint(eager=True)
     day1 = fp.filter(F.col("doc_id") % _REFRESH_DELTA_MOD != 0)
-    d1canon = day1.groupBy("f").agg(F.min("doc_id").alias("canonical_id"))
+    d1canon = (
+        day1.groupBy("f")
+        .agg(F.min("doc_id").alias("canonical_id"))
+        .localCheckpoint(eager=True)  # reused by dflag join + survivors
+    )
     d1surv = d1canon.select(F.col("canonical_id").alias("doc_id"))
     delta = fp.filter(F.col("doc_id") % _REFRESH_DELTA_MOD == 0)
     dmin = delta.groupBy("f").agg(F.min("doc_id").alias("dmin"))
@@ -264,7 +273,12 @@ def corpus_refresh_incremental(
         .distinct()
     )
     jac = dd.jaccard_pairs(corp, cand, threshold=_REFRESH_JACCARD)
-    near = jac.select(F.col("id_b").alias("doc_id")).distinct()
+    near = (
+        jac.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # LSH+verify chain runs ONCE;
+        # feeds both the near-dup count and the admission anti-join
+    )
     newdocs = d2.join(near, "doc_id", "left_anti").localCheckpoint(
         eager=True
     )  # feeds split counts, stability scope is d1surv, and the append

@@ -272,6 +272,29 @@ def main() -> None:
         "adjudicated with the fresh-JVM-per-query median protocol (the",
         "round-8 discipline) before being believed.",
         "",
+        "Round-12 adjudications (2026-08-16, tools/fresh_jvm_probe.py,",
+        "3 warm reps, calibration 0.145-0.164 idle):",
+        "* text_keyword_pagerank r11-suite 3.52 s (1.20x vs r10's",
+        "  2.95 s) — fresh-JVM median 2.66 s with the control",
+        "  dedup_bloom_delta at 1.44 s (inside its 1.34-1.42 s reference",
+        "  band, env factor ~1.0): the query sits AT its r10 level; the",
+        "  1.20x was suite-tail inflation. Not a regression.",
+        "* streaming_kmeans_assign's committed r11 SCALING row read",
+        "  non-monotone (3.29 / 9.17 / 5.05 s): fresh-JVM medians are",
+        "  MONOTONE — 3.75 s at sf0.01, 5.65 s at sf0.1 — so the 9.17 s",
+        "  reading was a one-off spike in the single-pass scaling probe",
+        "  (the bounded-state streaming harness pays a per-run",
+        "  availableNow startup that occasionally lands a GC pause), not",
+        "  a scaling defect. Superseded by the round-12 SCALING refresh.",
+        "* corpus_refresh_incremental (new, round 12) is the registry's",
+        "  heaviest engine plan BY DESIGN: a 4-stage nightly-loop",
+        "  composition (fingerprint dedup, MinHash near-dup, split",
+        "  stability audit, IVF append parity) = ~12 sequential small",
+        "  jobs; fresh-JVM median 9.0 s at sf0.1 vs 6.9 s at sf0.001",
+        "  (100x the data, 1.3x the time) — fixed scheduling overhead,",
+        "  not data volume. The checkpointed fingerprint/canonical/near",
+        "  tables keep every stage single-execution.",
+        "",
         "FullBcast = data-plane tables shipped whole through an EXPLICIT",
         "broadcast hint with no aggregate/limit bounding them, detected",
         "on a second plan built with autoBroadcastJoinThreshold=-1 so",
