@@ -43,7 +43,19 @@ SFS = ["0.001", "0.01", "0.1"]
 # Shuffle-heaviest registry queries beyond the headline suite (round-1
 # verdict #6): the full LSH→verify dedup composition and the rewritten
 # bucketed-IVF probe.
-EXTRA = ["dedup_minhash_verified", "similarity_ivf_topk"]
+EXTRA = [
+    "dedup_minhash_verified",
+    "similarity_ivf_topk",
+    # round 12: non-headline registry entries still get star-axis rows
+    # so no query ships without a scaling posture (the r11 verdict's
+    # similarity_ivf_compact_segments gap, closed structurally)
+    "similarity_ivf_compact_segments",
+    "quality_lr_train",
+    "quality_lr_eval_holdout",
+    "quality_lr_apply",
+    "eval_pass_at_k",
+    "training_pack_sequences",
+]
 
 CORPUS_MULTS = [1, 4, 16]
 CORPUS_QUERIES = [
