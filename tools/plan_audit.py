@@ -295,6 +295,18 @@ def main() -> None:
         "  not data volume. The checkpointed fingerprint/canonical/near",
         "  tables keep every stage single-execution.",
         "",
+        "Round-12 bench provenance: the box showed INTERMITTENT co-tenant",
+        "bursts on bench night — four back-to-back suite runs read 177.5 /",
+        "178.7 / 206.0 / 173.4 s at calibrations 0.167/0.149/0.157/0.156,",
+        "with the dedup_bloom_delta fresh-JVM control reading 2.7 s during",
+        "a burst and 1.31-1.58 s once settled (reference band 1.34-1.44).",
+        "The COMMITTED BENCH_FULL is the 173.4 s run: in-band control,",
+        "common-50 vs r11 = 1.10x residual, no per-query delta >1.4x above",
+        "0.7 s absolute except multimodal_jpeg_stats (0.97->1.79 s,",
+        "sub-2 s noise) and dedup_ssjoin_prefix (3.34->4.72 s, within the",
+        "burst envelope). Read r12->r13 deltas against THIS run and its",
+        "calibration, and re-check the control before believing any.",
+        "",
         "FullBcast = data-plane tables shipped whole through an EXPLICIT",
         "broadcast hint with no aggregate/limit bounding them, detected",
         "on a second plan built with autoBroadcastJoinThreshold=-1 so",
