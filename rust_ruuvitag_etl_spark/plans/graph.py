@@ -430,6 +430,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    par = li.sparkSession.sparkContext.defaultParallelism
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -452,12 +453,31 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select(F.col("e.s").alias("src"), F.col("e.t").alias("dst"))
+        # Explicit fan-out BEFORE the checkpoint pins the layout: AQE
+        # sizes the post-join stage by its ~5 MB of shuffle bytes and
+        # coalesces to ~3 partitions, but the wedge self-join below
+        # EXPLODES each partition quadratically in oriented out-degree
+        # (measured 18.4 s of executorRunTime squeezed into 3 tasks —
+        # 29 of 32 cores idle, guide §2.5/§2.6 idle-capacity). Bytes
+        # are the wrong proxy for an exploding join's cost; spread the
+        # build rows round-robin so the explosion runs at full width.
+        .repartition(par)
         .localCheckpoint(eager=True)
     )
     # Wedges from each source's oriented out-neighbor pairs, closed by
     # a third edge. The closing edge is stored in exactly ONE oriented
     # direction (orientation is a total order), so both sides join on
     # the canonical unordered (min, max) pair key.
+    # Canonical unordered pair packed into ONE 64-bit key
+    # (part keys < 2^31, so min<<32 | max is collision-free): a
+    # single-long join key makes the closing-edge broadcast a
+    # LongHashedRelation instead of a generic two-column
+    # UnsafeHashedRelation — the probe runs once per WEDGE (~36M
+    # times), so the per-probe constant dominates this stage
+    # (guide §3.2 build-side representation, §4 narrow the hot path).
+    def pack(a, b):
+        return F.shiftleft(F.least(a, b), 32) + F.greatest(a, b)
+
     w = (
         oriented.alias("e1")
         .join(
@@ -465,17 +485,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("e1.src") == F.col("e2.src"))
             & (F.col("e1.dst") < F.col("e2.dst")),
         )
-        .select(
-            F.least(F.col("e1.dst"), F.col("e2.dst")).alias("cu"),
-            F.greatest(F.col("e1.dst"), F.col("e2.dst")).alias("cv"),
-        )
+        .select(pack(F.col("e1.dst"), F.col("e2.dst")).alias("ck"))
     )
-    closing = oriented.select(
-        F.least("src", "dst").alias("cu"), F.greatest("src", "dst").alias("cv")
-    )
-    tri = w.join(closing, ["cu", "cv"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    closing = oriented.select(pack(F.col("src"), F.col("dst")).alias("ck"))
+    tri = w.join(closing, ["ck"]).agg(F.count(F.lit(1)).alias("n_triangles"))
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
