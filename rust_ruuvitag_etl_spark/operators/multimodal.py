@@ -2311,3 +2311,77 @@ def avi_frame_channels(media: DataFrame) -> DataFrame:
             " channels array<int>"
         ),
     )
+
+
+def _ahash32(rgb) -> int:
+    """32-bit aHash of one decoded frame, vectorized: bit p set iff
+    pixel p's luminance (R+G+B) times n_pixels exceeds the frame's
+    luminance total — EXACT int64 arithmetic, term-for-term the SQL
+    predicate ``CAST(l AS BIGINT) * n > total`` the image/video dedup
+    oracles replay, so fusing the hash into the decode pass cannot
+    change a single bit."""
+    import numpy as np
+
+    lums = rgb.reshape(-1, 3).sum(axis=1, dtype=np.int64)
+    bits = (lums * lums.size > int(lums.sum())).astype(np.int64)
+    return int((bits << np.arange(lums.size, dtype=np.int64)).sum())
+
+
+def bmp_ahash32(media: DataFrame) -> DataFrame:
+    """REAL-decode + perceptual hash in ONE Arrow pass: decode each BMP
+    with the stdlib BI_RGB parser (:func:`decode_bmp_array`) and emit
+    the 32-bit aHash computed from the decoded pixels (:func:`_ahash32`)
+    — the fused form of ``bmp_pixel_channels`` + the SQL
+    transform/aggregate chain. The higher-order-function chain this
+    replaces ran INTERPRETED per row (lambda expressions don't
+    participate in whole-stage codegen) and measured 20 ↔ 280 s of
+    executor CPU for the same 111k-image input across back-to-back
+    runs (JIT/GC-sensitive); the numpy form is a few vector ops per
+    image inside the worker that already holds the decoded array, and
+    shrinks the Arrow return column from ``array<int>`` (96 ints) to
+    one long. Streaming record batches, one decode per blob, constant
+    memory per task."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mids, hs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                mids.append(mid)
+                hs.append(_ahash32(decode_bmp_array(bytes(content))["rgb"]))
+            yield pd.DataFrame({"media_id": mids, "fh": hs})
+
+    return media.mapInPandas(batches, schema="media_id long, fh long")
+
+
+def avi_frame_ahash32(media: DataFrame) -> DataFrame:
+    """REAL container decode + per-frame perceptual hash in ONE Arrow
+    pass: decode each AVI with the stdlib RIFF parser
+    (:func:`decode_avi`) and emit one row per frame with its 32-bit
+    aHash (:func:`_ahash32`) — the fused form of
+    ``avi_frame_channels`` + the SQL transform/aggregate chain, for
+    the same reasons as :func:`bmp_ahash32` (interpreted
+    higher-order functions off the hot path, one long across Arrow
+    instead of a 96-int array per frame)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mids, fnos, hs = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_avi(bytes(content))
+                for fno, rgb in enumerate(d["frames"]):
+                    mids.append(mid)
+                    fnos.append(fno)
+                    hs.append(_ahash32(rgb))
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_no": fnos, "fh": hs}
+            )
+
+    return media.mapInPandas(
+        batches, schema="media_id long, frame_no int, fh long"
+    )

@@ -205,42 +205,21 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         -(F.col("event_id") + 1),
         _AH_BRIGHT,
     )
-    # REAL decode of every blob -> (media_id, 96 channels); checkpointed
-    # once, feeds the hash computation below.
-    ch = mm.bmp_pixel_channels(base.unionAll(copies))
+    # REAL decode + aHash fused in ONE Arrow pass (round 12: the
+    # transform/aggregate chain this replaces ran as interpreted
+    # higher-order functions — 20 <-> 280 s of executor CPU for the
+    # SAME input across back-to-back runs, the suite's bimodal query —
+    # while the numpy form inside the decode worker is stable; guide
+    # §4: do the per-row math where the data already is, move one long
+    # across Arrow instead of a 96-int array). b0/b1 are the low/high
+    # 16-bit halves, bit p of the hash = bit p of the old bits array,
+    # so the split is two codegen-able bitwise ops.
     feats = (
-        ch.select(
-            "media_id",
-            F.expr(
-                f"transform(sequence(0, {_AH_PIXELS - 1}), p ->"
-                " element_at(channels, 3*p+1) + element_at(channels,"
-                " 3*p+2) + element_at(channels, 3*p+3))"
-            ).alias("lums"),
-        )
+        mm.bmp_ahash32(base.unionAll(copies))
         .select(
             "media_id",
-            "lums",
-            F.expr(
-                "aggregate(lums, 0L, (a, x) -> a + CAST(x AS BIGINT))"
-            ).alias("total"),
-        )
-        .select(
-            "media_id",
-            F.expr(
-                f"transform(lums, l -> CASE WHEN CAST(l AS BIGINT) *"
-                f" {_AH_PIXELS} > total THEN 1L ELSE 0L END)"
-            ).alias("bits"),
-        )
-        .select(
-            "media_id",
-            F.expr(
-                "aggregate(sequence(0, 15), 0L, (a, p) -> a +"
-                " element_at(bits, p+1) * shiftleft(1L, p))"
-            ).alias("b0"),
-            F.expr(
-                "aggregate(sequence(16, 31), 0L, (a, p) -> a +"
-                " element_at(bits, p+1) * shiftleft(1L, p - 16))"
-            ).alias("b1"),
+            F.expr("fh & 65535").alias("b0"),
+            F.expr("shiftright(fh, 16)").alias("b1"),
         )
         .localCheckpoint(eager=True)  # one decode; feeds bands + verify
     )

@@ -265,40 +265,16 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         _VID_FRAMES - 1,
     )
-    # REAL container decode of every clip -> one row per frame with the
-    # flattened channel vector; checkpointed once, feeds both the
-    # banding join and the sequence assembly.
-    feats = (
-        mm.avi_frame_channels(base.unionAll(copies))
-        .select(
-            "media_id",
-            "frame_no",
-            F.expr(
-                f"transform(sequence(0, {_VID_PIXELS - 1}), p ->"
-                " element_at(channels, 3*p+1) + element_at(channels,"
-                " 3*p+2) + element_at(channels, 3*p+3))"
-            ).alias("lums"),
-        )
-        .select(
-            "media_id",
-            "frame_no",
-            "lums",
-            F.expr(
-                "aggregate(lums, 0L, (a, x) -> a + CAST(x AS BIGINT))"
-            ).alias("total"),
-        )
-        .select(
-            "media_id",
-            "frame_no",
-            F.expr(
-                f"aggregate(sequence(0, {_VID_PIXELS - 1}), 0L, (a, p) ->"
-                f" a + CASE WHEN CAST(element_at(lums, p + 1) AS BIGINT)"
-                f" * {_VID_PIXELS} > total THEN shiftleft(1L, p)"
-                " ELSE 0L END)"
-            ).alias("fh"),
-        )
-        .localCheckpoint(eager=True)  # one decode; feeds bands + seqs
-    )
+    # REAL container decode + per-frame aHash fused in ONE Arrow pass
+    # (round 12, same rewrite as dedup_image_phash: the interpreted
+    # transform/aggregate chain was the JIT/GC-bimodal hot spot; the
+    # numpy hash runs inside the worker that already holds the decoded
+    # frame and ships one long per frame instead of a 96-int array —
+    # guide §4); checkpointed once, feeds both the banding join and
+    # the sequence assembly.
+    feats = mm.avi_frame_ahash32(
+        base.unionAll(copies)
+    ).localCheckpoint(eager=True)  # one decode; feeds bands + seqs
     seqs = feats.groupBy("media_id").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(frame_no, fh))),"
