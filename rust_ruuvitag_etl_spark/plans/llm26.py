@@ -241,6 +241,32 @@ def corpus_refresh_incremental(
     )
     d2 = dflag.filter(~F.col("exact_dup")).select("doc_id")
 
+    # Codebook training is independent of the near-dup chain (it needs
+    # only d1surv, checkpointed above): train it on a concurrent driver
+    # thread so its 2-iteration k-means cascade overlaps the LSH band
+    # join + Jaccard verify below instead of serializing after them
+    # (guide §2.6 — overlap independent jobs; measured 2.6 s of
+    # builder wall hidden behind the 4.2 s LSH chain). InheritableThread
+    # propagates the JVM thread-locals (job descriptions/groups).
+    from pyspark import InheritableThread
+
+    emb = load(spark, sf_dir, "embeddings")
+    d1vec = emb.join(
+        d1surv.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
+    )
+    _train_out: dict = {}
+
+    def _train_codebook() -> None:
+        try:
+            _train_out["cents"] = sim.kmeans_centroids(
+                d1vec, n_centroids=_REFRESH_CENTROIDS, iters=2
+            ).localCheckpoint(eager=True)
+        except BaseException as e:  # surface on join() below
+            _train_out["err"] = e
+
+    _trainer = InheritableThread(target=_train_codebook)
+    _trainer.start()
+
     # near-dup: band the relevant corpus once (day-1 survivors + the
     # exact-surviving arrivals), candidates restricted day1 x delta
     keep = d1surv.unionAll(d2).localCheckpoint(eager=True)
@@ -273,12 +299,15 @@ def corpus_refresh_incremental(
         .distinct()
     )
     jac = dd.jaccard_pairs(corp, cand, threshold=_REFRESH_JACCARD)
-    near = (
-        jac.select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .localCheckpoint(eager=True)  # LSH+verify chain runs ONCE;
-        # feeds both the near-dup count and the admission anti-join
-    )
+    # near feeds ONLY the admission anti-join below (round 12: the
+    # separate near-count branch and its eager checkpoint cascade are
+    # gone — near ⊆ d2 by construction (cand's b-side is semi-joined
+    # to d2), so |near| = |d2| - |newdocs| = (n_delta - n_exact_dup)
+    # - n_new_docs, an arithmetic identity computed in the counts tail;
+    # the LSH+verify chain still runs exactly once, inside newdocs'
+    # checkpoint, whose cascade the candidate table's own checkpoint
+    # in jaccard_pairs keeps candidate-sized).
+    near = jac.select(F.col("id_b").alias("doc_id")).distinct()
     newdocs = d2.join(near, "doc_id", "left_anti").localCheckpoint(
         eager=True
     )  # feeds split counts, stability scope is d1surv, and the append
@@ -316,17 +345,16 @@ def corpus_refresh_incremental(
     )
 
     # IVF segment append: new vectors assigned to day-1 centroids as a
-    # fresh segment; parity vs a from-scratch refreshed assignment
-    emb = load(spark, sf_dir, "embeddings")
-    d1vec = emb.join(
-        d1surv.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
-    )
+    # fresh segment; parity vs a from-scratch refreshed assignment.
+    # The codebook trained concurrently above (guide §2.6); join the
+    # trainer thread and surface any failure here.
     newvec = emb.join(
         newdocs.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
     ).localCheckpoint(eager=True)
-    cents = sim.kmeans_centroids(
-        d1vec, n_centroids=_REFRESH_CENTROIDS, iters=2
-    ).localCheckpoint(eager=True)
+    _trainer.join()
+    if "err" in _train_out:
+        raise _train_out["err"]
+    cents = _train_out["cents"]
     base_assign = sim.ivf_assign(d1vec, cents)
     seg_append = sim.ivf_assign(newvec, cents)
     rebuild = sim.ivf_assign(d1vec.unionAll(newvec), cents)
@@ -366,15 +394,19 @@ def corpus_refresh_incremental(
         )
         .crossJoin(
             F.broadcast(
-                near.agg(F.count(F.lit(1)).cast("long").alias("n_near_dup"))
-            )
-        )
-        .crossJoin(
-            F.broadcast(
                 newdocs.agg(
                     F.count(F.lit(1)).cast("long").alias("n_new_docs")
                 )
             )
+        )
+        # |near| = |d2| - |newdocs| with d2 = delta minus exact dups:
+        # exact because near ⊆ d2 (cand semi-joins its b-side to d2)
+        # and newdocs = d2 anti-join near — same value the oracle's
+        # COUNT(*) FROM near computes, without a second execution of
+        # the LSH+verify chain just to count it.
+        .withColumn(
+            "n_near_dup",
+            F.col("n_delta") - F.col("n_exact_dup") - F.col("n_new_docs"),
         )
     )
     return (
