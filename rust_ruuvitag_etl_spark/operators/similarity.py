@@ -448,6 +448,7 @@ def cosine_near_dup_pairs(
     block_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: self-join blocked on
     ``block_col`` (pair space bounded per block; the blocking-key
@@ -464,6 +465,13 @@ def cosine_near_dup_pairs(
     (A fully unrolled 64-term dot was tried and MEASURED: it exceeds
     janino's 64 KB codegen method limit, so the whole projection falls
     back to interpreted — slower than the HOF fold it replaced.)
+
+    ``impl='arrow'`` routes the per-pair dot fold through the Arrow
+    sequential-dot kernel (``_seq_dot_batches`` — bit-identical by
+    construction, all comparisons/division/rounding stay JVM-side);
+    the default stays the pure-expression plan so callers whose FINAL
+    plan must remain Python-free (the posture contract) are unchanged —
+    checkpointed consumers (the LSH recall reference) opt in.
     """
     cols = [F.col(id_col), F.col(vec_col)]
     if block_col is not None:
@@ -473,6 +481,32 @@ def cosine_near_dup_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col is not None:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    if impl == "arrow":
+        scored = (
+            a.join(b, cond)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"a.{vec_col}").alias("_va"),
+                F.col(f"b.{vec_col}").alias("_vb"),
+                F.col("a._nrm").alias("_na"),
+                F.col("b._nrm").alias("_nb"),
+            )
+            .mapInPandas(
+                _seq_dot_batches(
+                    "_va", "_vb", "_dot", ["id_a", "id_b", "_na", "_nb"]
+                ),
+                schema=(
+                    "id_a long, id_b long, _na double, _nb double,"
+                    " _dot double"
+                ),
+            )
+            .withColumn("_cos", F.col("_dot") / (F.col("_na") * F.col("_nb")))
+        )
+        return (
+            scored.filter(F.col("_cos") >= threshold)
+            .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+        )
     cos = vf.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
         F.col("a._nrm") * F.col("b._nrm")
     )
@@ -511,6 +545,46 @@ def rhp_signature(
     return sig
 
 
+def _seq_dot_batches(va_col: str, vb_col, out_col: str, keep: list[str]):
+    """mapInPandas kernel computing the EXACT sequential dot product of
+    two array columns (or of one array column against a constant plane
+    matrix when ``vb_col`` is a list of plane rows): accumulates
+    ``acc = acc + a[i]*b[i]`` one dimension at a time, vectorized
+    ACROSS rows — each element pays exactly one rounded multiply and
+    one rounded add in dimension order, bit-identical to the
+    ``zip_with``/``aggregate`` expression fold it replaces (which Spark
+    evaluates as an interpreted per-element lambda, round 12's measured
+    hot spot). Only the multiply-add runs in Python: every comparison,
+    division and rounding that consumes the dot stays JVM-side, so
+    NaN/tie semantics are untouched."""
+    import numpy as np
+    import pandas as pd
+
+    planes = None if isinstance(vb_col, str) else np.array(vb_col, dtype=np.float64)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            va = np.array(pdf[va_col].tolist(), dtype=np.float64)
+            out = {c: pdf[c] for c in keep}
+            if planes is None:
+                vb = np.array(pdf[vb_col].tolist(), dtype=np.float64)
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for i in range(va.shape[1]):
+                    acc = acc + va[:, i] * vb[:, i]
+                out[out_col] = acc
+            else:
+                for j in range(planes.shape[0]):
+                    acc = np.zeros(len(pdf), dtype=np.float64)
+                    for i in range(va.shape[1]):
+                        acc = acc + va[:, i] * planes[j, i]
+                    out[f"{out_col}{j}"] = acc
+            yield pd.DataFrame(out)
+
+    return fn
+
+
 def rhp_lsh_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.3,
@@ -547,10 +621,25 @@ def rhp_lsh_near_dup_pairs(
     planes = _hyperplanes(n_bits, dim, seed)
     bits_per_band = n_bits // n_bands
     mask = (1 << bits_per_band) - 1
-    sigs = corpus.select(
-        F.col(id_col),
-        rhp_signature(F.col(vec_col), planes).alias("_sig"),
+    # Round 12: the n_bits expression dots per vector ran as interpreted
+    # higher-order-function folds (~9 s executor CPU at sf0.1); the
+    # Arrow kernel computes the SAME sequential dots vectorized, and the
+    # sign test + bit packing stay JVM-side expressions over the emitted
+    # doubles — value-identical signature (tests pin recall; the oracle
+    # pins the verified pairs).
+    dots = corpus.select(id_col, vec_col).mapInPandas(
+        _seq_dot_batches(vec_col, planes, "_d", [id_col]),
+        schema=f"{id_col} long, "
+        + ", ".join(f"_d{j} double" for j in range(n_bits)),
     )
+    sig = F.lit(0).cast("long")
+    for j in range(n_bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_d{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sigs = dots.select(F.col(id_col), sig.alias("_sig"))
     bands = sigs.select(
         id_col,
         F.explode(
@@ -596,11 +685,19 @@ def rhp_lsh_near_dup_pairs(
         F.col(vec_col).alias("_vb"),
         F.col("_nrm").alias("_nb"),
     )
-    cos = vf.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    return (
+    # Same Arrow sequential-dot kernel for the verify: only the
+    # multiply-add crosses to Python; the division, threshold compare
+    # and rounding stay JVM-side — bit-identical cosine.
+    scored = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("_cos", cos)
+        .mapInPandas(
+            _seq_dot_batches("_va", "_vb", "_dot", ["id_a", "id_b", "_na", "_nb"]),
+            schema="id_a long, id_b long, _na double, _nb double, _dot double",
+        )
+    )
+    return (
+        scored.withColumn("_cos", F.col("_dot") / (F.col("_na") * F.col("_nb")))
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )

@@ -211,7 +211,13 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     exact_ids = (
-        sim.cosine_near_dup_pairs(em, threshold=0.3, block_col="label")
+        # impl='arrow': the quadratic reference's per-pair dot fold runs
+        # through the exact sequential Arrow kernel (round 12 — was the
+        # query's hottest stage at ~14 s executorRunTime); behind this
+        # eager checkpoint, so the returned plan stays Python-free.
+        sim.cosine_near_dup_pairs(
+            em, threshold=0.3, block_col="label", impl="arrow"
+        )
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
