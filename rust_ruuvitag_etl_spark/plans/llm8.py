@@ -680,6 +680,12 @@ def dedup_cdc_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = (
         s3.select("doc_id", F.explode(chunks).alias("chunk_hash"))
         .distinct()
+        # Round 12: dc feeds the stop-chunk df filter, the per-doc
+        # chunk counts AND both sides of the pair join; uncheckpointed,
+        # the per-character polynomial-hash HOF chain above (interpreted
+        # lambdas) executed TWICE (measured 26.6s + 18.5s executorRunTime
+        # twin stages at sf0.1). One eager checkpoint runs it once.
+        .localCheckpoint(eager=True)
     )
     kept = (
         dc.groupBy("chunk_hash")
