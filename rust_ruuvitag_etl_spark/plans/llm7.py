@@ -226,9 +226,18 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents,
             n_centroids=n_clusters,
         )
+    # Round 12: carry each row's norm out of the assignment and
+    # checkpoint ONCE — the assignment fed both the probe side and the
+    # broadcast build side, so the flat broadcast-scan assign executed
+    # TWICE (measured twin ~11 s executorRunTime stages at sf0.1), and
+    # the per-pair verify recomputed BOTH norms inside every pair's
+    # cosine (3 interpreted folds per pair).
     asg = assigned.select(
-        "vec_id", "centroid_id", F.col("embedding").alias("ev")
-    )
+        "vec_id",
+        "centroid_id",
+        F.col("embedding").alias("ev"),
+        vf.norm(F.col("embedding")).alias("_nrm"),
+    ).localCheckpoint(eager=True)
     # Explicit repartition on the probe side: the assignment is only a
     # few MB here, so AQE coalesces the window shuffle to ONE partition
     # — which would serialize the Σ|cluster|²-pair verify (CPU-bound,
@@ -243,16 +252,29 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (k ∝ √N, assignments too big to broadcast) this becomes the
     # bucketed self-join over the persisted cluster assignment, the
     # same layout the IVF index uses.
+    pairs = x.join(
+        F.broadcast(y),
+        (F.col("x.centroid_id") == F.col("y.centroid_id"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(
+        F.col("x.vec_id").alias("id_a"),
+        F.col("y.vec_id").alias("id_b"),
+        F.col("x.ev").alias("_va"),
+        F.col("y.ev").alias("_vb"),
+        F.col("x._nrm").alias("_na"),
+        F.col("y._nrm").alias("_nb"),
+    )
+    # Exact sequential Arrow dot (operators.similarity._seq_dot_batches
+    # — bit-identical to the interpreted fold, measured 11.5 s of
+    # executor CPU here); the division and threshold stay JVM-side.
+    scored = pairs.mapInPandas(
+        sim._seq_dot_batches("_va", "_vb", "_dot", ["id_a", "id_b", "_na", "_nb"]),
+        schema="id_a long, id_b long, _na double, _nb double, _dot double",
+    )
     return (
-        x.join(
-            F.broadcast(y),
-            (F.col("x.centroid_id") == F.col("y.centroid_id"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .filter(vf.cosine(F.col("x.ev"), F.col("y.ev")) >= _SEM_TAU)
-        .select(
-            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
-        )
+        scored.withColumn("_cos", F.col("_dot") / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("_cos") >= _SEM_TAU)
+        .select("id_a", "id_b")
     )
 
 
@@ -324,7 +346,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_c") >= _SEM_TAU)
         .localCheckpoint(eager=True)
     )
-    found = _semdedup_pairs(spark, sf_dir).select("id_a", "id_b")
+    # Eager checkpoint (round 12): the production path now verifies
+    # through the Arrow sequential-dot kernel; materializing its pair
+    # set here keeps the REGISTERED query's final plan Python-free (the
+    # posture contract) — the recall flag reads a tiny pair table.
+    found = (
+        _semdedup_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     flag = (
         exact.select("id_a", "id_b")
         .join(found, ["id_a", "id_b"], "left_semi")

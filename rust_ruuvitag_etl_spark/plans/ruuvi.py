@@ -399,7 +399,16 @@ def ruuvi_movement_delta_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["user_id", "window_start", "movement_delta"]
         ]
 
-    return r.groupBy("user_id").applyInPandas(
+    # Explicit user-keyed repartition at default parallelism: AQE sizes
+    # the pre-apply exchange by its ~3 MB of shuffle bytes and coalesces
+    # to 3 partitions, serializing the per-group pandas work onto 3
+    # Python workers (measured 10.3 s stage runTime, 0.56 s JVM CPU —
+    # pure Python wait; guide §2.5/§2.6: bytes are the wrong proxy for
+    # a Python stage's cost). The user-specified hash partitioning
+    # satisfies the groupBy's clustering requirement, so no second
+    # exchange is added — the stage just runs at full width.
+    par = r.sparkSession.sparkContext.defaultParallelism
+    return r.repartition(par, "user_id").groupBy("user_id").applyInPandas(
         deltas, schema="user_id bigint, window_start timestamp, movement_delta int"
     )
 
