@@ -407,27 +407,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # Round 12: the checkpointed round table carries the OLD label
+        # alongside the new one, so the convergence count is a filter
+        # over the just-materialized checkpoint instead of a second
+        # full join-action per round (each round used to pay an extra
+        # join cascade once checks started). With the check nearly
+        # free, it runs from round 1 — changed == 0 is a fixpoint, so
+        # breaking earlier cannot alter the labels.
+        upd = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        # Near-dup clusters have tiny diameters, so the first rounds
-        # always change labels — pay for the convergence count (a full
-        # extra join-action per round) only once propagation has had a
-        # chance to finish.
-        if i >= 2:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+        new_labels = upd.select("node", "label")
+        if i >= 1:
+            changed = upd.filter(F.col("label") != F.col("_old")).count()
             labels = new_labels
             if changed == 0:
                 converged = True
