@@ -96,6 +96,7 @@ def main() -> None:
                 continue
             ms = s.get("executorRunTime", 0)
             cpu = s.get("executorCpuTime", 0) / 1e6
+            gc = s.get("jvmGcTime", 0)
             fetch = s.get("shuffleFetchWaitTime", 0)
             shr = s.get("shuffleReadBytes", 0)
             shw = s.get("shuffleWriteBytes", 0)
@@ -103,7 +104,8 @@ def main() -> None:
             print(
                 f"    stage {sid:4d} tasks={s['numCompleteTasks']:4d} "
                 f"runTime={ms/1000:7.2f}s cpu={cpu/1000:7.2f}s "
-                f"fetchWait={fetch/1000:5.2f}s shR={shr/1e6:7.2f}MB "
+                f"gc={gc/1000:5.2f}s fetchWait={fetch/1000:5.2f}s "
+                f"shR={shr/1e6:7.2f}MB "
                 f"shW={shw/1e6:7.2f}MB  {s['name'][:48]}"
             )
     print(f"\nsum(stage executorRunTime) = {tot_by_stage:.1f}s "
