@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as tf
-from ..operators import multimodal as mm
 from ..operators.dedup import spread
 from ..sources import load
 from .analytics import bmp_payload_hex_from_channels
@@ -108,6 +107,96 @@ def _channels(e, bump: bool) -> list:
     return out
 
 
+def _img_pack_bytes(e: int, bump: bool) -> bytes:
+    """Pack ONE event's genuine 3x2 24-bit BMP in plain Python —
+    byte-identical to :func:`_media`'s Column-expression packer (pinned
+    by tests/test_r13_fused_pack.py): the same 18 h60-mod-256 channels
+    (hashlib.md5 == Spark md5), the same BGR bottom-up rows with 3
+    stride-pad bytes, behind the same shared 54-byte header. Companion
+    of llm23._ah_pack_bytes."""
+    import hashlib
+
+    from .analytics import _BMP_HEADER_HEX
+
+    ch = [
+        int(hashlib.md5(f"img:{i}:{e}".encode()).hexdigest()[:15], 16)
+        % 256
+        for i in range(18)
+    ]
+    if bump:
+        ch[0] = (ch[0] + 1) % 256
+    px = bytearray()
+    for p in (3, 4, 5):  # file row 0 = image bottom row (y=1)
+        px += bytes((ch[3 * p + 2], ch[3 * p + 1], ch[3 * p + 0]))
+    px += b"\x00\x00\x00"  # stride pad
+    for p in (0, 1, 2):  # file row 1 = image top row (y=0)
+        px += bytes((ch[3 * p + 2], ch[3 * p + 1], ch[3 * p + 0]))
+    px += b"\x00\x00\x00"
+    return bytes.fromhex(_BMP_HEADER_HEX) + bytes(px)
+
+
+def _img_feats(ev: DataFrame) -> DataFrame:
+    """Round-13 fused pack -> REAL decode -> channels + band keys in
+    ONE Arrow pass over bare event_ids: each worker packs the genuine
+    BMP bytes (:func:`_img_pack_bytes`), decodes them with the SAME
+    stdlib BI_RGB parser as before
+    (operators/multimodal.py:decode_bmp_array), and emits the decoded
+    18-channel vector PLUS the two quantization band keys, computed as
+    md5 of the quantized vector's CSV rendering (deterministic across
+    workers — a salted Python ``hash()`` would silently drop
+    candidates). Key function choice is correctness-neutral: equal
+    quantized vectors map to equal keys under ANY deterministic hash,
+    and the registered query re-checks TRUE quantized equality on
+    candidates, so a 64-bit collision can only add a pre-verify pair.
+    Planted every-7th copies are generated in the same pass.
+
+    Why (guide §4.2, measured round 13): the retired JVM path packed
+    blobs through an 18-md5 hex/concat projection, shipped them to the
+    decode worker, then computed band keys as interpreted
+    ``transform``+xxhash64 higher-order calls over the full corpus —
+    the HOF/codegen mix behind this query's 3.0 <-> 5.1 s bench swing.
+    One Arrow pass ships 8 bytes of id in and (channels, 2 longs) out,
+    with no interpreted JVM lambda anywhere on the corpus path."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_bmp_array
+
+    def _key(qs) -> int:
+        import hashlib
+
+        d = hashlib.md5(",".join(map(str, qs)).encode()).digest()
+        return int.from_bytes(d[:8], "big", signed=True)
+
+    def _row(e: int, mid: int, bump: bool):
+        rgb = decode_bmp_array(_img_pack_bytes(e, bump))["rgb"]
+        ch = [int(v) for v in rgb.reshape(-1)]
+        return (
+            mid,
+            ch,
+            _key([c // 4 for c in ch]),
+            _key([(c + 2) // 4 for c in ch]),
+        )
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                rows.append(_row(e, e, False))
+                if e % _IMG_COPY_MOD == 0:
+                    rows.append(_row(e, -(e + 1), True))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "channels", "bk0", "bk1"]
+            )
+
+    return ev.mapInPandas(
+        batches,
+        schema="media_id long, channels array<int>, bk0 long, bk1 long",
+    )
+
+
 def _media(ev: DataFrame, mid, bump: bool) -> DataFrame:
     ch = _channels(F.col("event_id"), bump)
     pixels = [tuple(ch[3 * p + k] for k in range(3)) for p in range(6)]
@@ -138,39 +227,23 @@ def dedup_image_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     over perceptual-hash bands (aHash/pHash bits) instead of
     raw-channel quantization — identical shape."""
     ev = spread(load(spark, sf_dir, "events").select("event_id"))
-    base = _media(ev, F.col("event_id"), bump=False)
-    copies = _media(
-        ev.filter(F.col("event_id") % _IMG_COPY_MOD == 0),
-        -(F.col("event_id") + 1),
-        bump=True,
-    )
-    # REAL decode of every blob; |corpus + planted| rows of
-    # (media_id, 18-channel vector), reused by banding AND verify.
-    ch = mm.bmp_pixel_channels(base.unionAll(copies)).localCheckpoint(
-        eager=True
-    )
+    # Pack + REAL decode + band keys fused in ONE Arrow pass over bare
+    # ids (round 13, see _img_feats: the JVM pack projection + the
+    # interpreted transform/xxhash64 band-key lambdas were this query's
+    # bench-swing hot spot); |corpus + planted| rows of
+    # (media_id, 18-channel vector, bk0, bk1), reused by banding AND
+    # verify. Band keys stay 8-byte longs — the round-10 lesson that
+    # the self-join must shuffle hashes, not ~70-byte CSV strings
+    # (measured 12.5 MB -> ~1 MB shuffle write at sf0.1) — and the
+    # verify still re-checks TRUE quantized equality, so key collisions
+    # can only add pre-verify candidates, never change the output.
+    ch = _img_feats(ev).localCheckpoint(eager=True)
 
-    def band(offset: int, band_id: int) -> DataFrame:
-        # Engine-side the band key is a 64-bit hash of the quantized
-        # 18-value vector, NOT the vector's CSV rendering: the self-
-        # join shuffles 8 bytes per row instead of a ~70-byte string
-        # (measured 12.5 MB -> ~1 MB shuffle write at sf0.1). A hash
-        # collision can only ADD a candidate pair; the verify stage
-        # re-checks TRUE quantized band equality (not the hash) on the
-        # surviving pairs, so the ~2^-64 cross-key collision residual
-        # is eliminated exactly, not just probabilistically — output
-        # provably identical to the oracle's readable CSV keys.
-        key = F.xxhash64(
-            F.transform(
-                "channels",
-                lambda c: ((c + F.lit(offset)) / 4).cast("int"),
-            )
-        )
-        return ch.select(
-            "media_id", F.lit(band_id).alias("band"), key.alias("bk")
-        )
-
-    bands = band(0, 0).unionAll(band(2, 1))
+    bands = ch.select(
+        "media_id", F.lit(0).alias("band"), F.col("bk0").alias("bk")
+    ).unionAll(
+        ch.select("media_id", F.lit(1).alias("band"), F.col("bk1"))
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -82,6 +82,83 @@ def _ah_chan_sql(i: int, bump: int, dialect: str) -> str:
     return f"(((_h{j} {div} {256 ** k}) % 256) % 200 + {bump})"
 
 
+def _ah_pack_bytes(e: int, bump: int) -> bytes:
+    """Pack ONE event's genuine 8x4 24-bit BMP in plain Python —
+    byte-identical to :func:`_ah_media`'s SQL-text projection (pinned
+    by tests/test_r13_fused_pack.py): the same 14 h60 hashes
+    (hashlib.md5 == Spark md5 == DuckDB md5, first 15 hex chars as the
+    60-bit value), the same mod-200(+bump) channels, the same BGR
+    bottom-up pixel layout behind the same 54-byte header. Lives here
+    so the round-13 fused packer (below) and the retired-from-the-hot-
+    path SQL packer can never drift."""
+    import hashlib
+
+    hs = [
+        int(hashlib.md5(f"ah:{j}:{e}".encode()).hexdigest()[:15], 16)
+        for j in range(_AH_NHASH)
+    ]
+    chan = [
+        ((hs[i // _AH_BYTES_PER_HASH] >> (8 * (i % _AH_BYTES_PER_HASH)))
+         & 255) % 200 + bump
+        for i in range(_AH_CHANNELS)
+    ]
+    px = bytearray()
+    for y in reversed(range(_AH_H)):  # BMP rows are stored bottom-up
+        for x in range(_AH_W):
+            p = y * _AH_W + x
+            for c in (2, 1, 0):  # BGR byte order within a pixel
+                px.append(chan[3 * p + c])
+    return bytes.fromhex(_AH_HEADER_HEX) + bytes(px)
+
+
+def _ah_feats(ev: DataFrame) -> DataFrame:
+    """Round-13 fused pack -> REAL decode -> aHash in ONE Arrow pass
+    over bare event_ids: each worker packs the genuine BMP bytes
+    (:func:`_ah_pack_bytes`), decodes them with the SAME stdlib BI_RGB
+    parser as before (operators/multimodal.py:decode_bmp_array), and
+    emits (media_id, fh). Planted brightness-shifted copies of every
+    9th image are generated in the same pass (mapInPandas may change
+    cardinality), so the base/copies unionAll and its second scan are
+    gone too.
+
+    Why (guide §4.2, measured round 13): the retired JVM pack was a
+    ~400-node generated projection (96 channel extracts, hex/lpad per
+    byte, one concat) whose giant codegen class was the suite's
+    C2-deopt/recompile hot spot — the query read 3.5 s in one bench
+    and 9.6 s in the next on the same inputs. Packing where the
+    decoder already runs moves ~40 bytes of event_id per image across
+    Arrow instead of a 150-byte blob, and leaves nothing for C2 to
+    deoptimize. Byte parity with the SQL packer is pinned by
+    tests/test_r13_fused_pack.py."""
+    import pandas as pd
+
+    from ..operators.multimodal import _ahash32, decode_bmp_array
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mids, hs = [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                mids.append(e)
+                hs.append(
+                    _ahash32(decode_bmp_array(_ah_pack_bytes(e, 0))["rgb"])
+                )
+                if e % _AH_COPY_MOD == 0:
+                    mids.append(-(e + 1))
+                    hs.append(
+                        _ahash32(
+                            decode_bmp_array(
+                                _ah_pack_bytes(e, _AH_BRIGHT)
+                            )["rgb"]
+                        )
+                    )
+            yield pd.DataFrame({"media_id": mids, "fh": hs})
+
+    return ev.mapInPandas(batches, schema="media_id long, fh long")
+
+
 def _ah_media(ev: DataFrame, mid, bump: int) -> DataFrame:
     """Pack each event's 96 hash-derived channels into a genuine 8x4
     24-bit BMP. The ~400-node packing projection (96 channel extracts,
@@ -199,23 +276,15 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     brightness/contrast jitter lands at Hamming ~0 instead of
     scattering across quantization buckets."""
     ev = spread(load(spark, sf_dir, "events").select("event_id"))
-    base = _ah_media(ev, F.col("event_id"), 0)
-    copies = _ah_media(
-        ev.filter(F.col("event_id") % _AH_COPY_MOD == 0),
-        -(F.col("event_id") + 1),
-        _AH_BRIGHT,
-    )
-    # REAL decode + aHash fused in ONE Arrow pass (round 12: the
-    # transform/aggregate chain this replaces ran as interpreted
-    # higher-order functions — 20 <-> 280 s of executor CPU for the
-    # SAME input across back-to-back runs, the suite's bimodal query —
-    # while the numpy form inside the decode worker is stable; guide
-    # §4: do the per-row math where the data already is, move one long
-    # across Arrow instead of a 96-int array). b0/b1 are the low/high
-    # 16-bit halves, bit p of the hash = bit p of the old bits array,
-    # so the split is two codegen-able bitwise ops.
+    # Pack + REAL decode + aHash fused in ONE Arrow pass over bare ids
+    # (round 12 fused decode+hash — the interpreted HOF chain was
+    # 20 <-> 280 s bimodal; round 13 pulls the PACK in too: the
+    # ~400-node generated pack projection was the residual C2-deopt
+    # spike, see _ah_feats). b0/b1 are the low/high 16-bit halves,
+    # bit p of the hash = bit p of the old bits array, so the split is
+    # two codegen-able bitwise ops.
     feats = (
-        mm.bmp_ahash32(base.unionAll(copies))
+        _ah_feats(ev)
         .select(
             "media_id",
             F.expr("fh & 65535").alias("b0"),

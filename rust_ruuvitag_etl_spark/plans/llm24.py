@@ -162,6 +162,90 @@ def _vid_media(ev: DataFrame, mid, bump: int, f0: int, nf: int) -> DataFrame:
     return hs.select("media_id", F.expr(payload).alias("content"))
 
 
+def _vid_pack_bytes(e: int, bump: int, f0: int, nf: int) -> bytes:
+    """Pack ONE event's genuine ``nf``-frame RIFF/AVI clip in plain
+    Python — byte-identical to :func:`_vid_media`'s SQL-text projection
+    (pinned by tests/test_r13_fused_pack.py): the same per-frame h60
+    hashes (hashlib.md5 == Spark md5), the same mod-200(+bump)
+    grayscale pixels, the same bottom-up DIB rows behind the same
+    struct-built RIFF headers. Companion of llm23._ah_pack_bytes;
+    parity pinned by tests/test_r13_fused_pack.py."""
+    import hashlib
+
+    header_hex, chdr_hex, idx1_hex = _vid_headers(nf)
+    out = bytearray(bytes.fromhex(header_hex))
+    chdr = bytes.fromhex(chdr_hex)
+    for g in range(nf):
+        hs = [
+            int(
+                hashlib.md5(
+                    f"vf:{b}:{e}:{g + f0}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for b in range(_VID_NHASH)
+        ]
+        out += chdr
+        for y in reversed(range(_VID_H)):  # DIB rows are bottom-up
+            for x in range(_VID_W):
+                p = y * _VID_W + x
+                b, k = divmod(p, _VID_BYTES_PER_HASH)
+                v = ((hs[b] >> (8 * k)) & 255) % 200 + bump
+                out += bytes((v, v, v))  # grayscale BGR triple
+    return bytes(out) + bytes.fromhex(idx1_hex)
+
+
+def _vid_feats(ev: DataFrame) -> DataFrame:
+    """Round-13 fused pack -> REAL container decode -> per-frame aHash
+    in ONE Arrow pass over bare event_ids: each worker packs the
+    genuine AVI bytes (:func:`_vid_pack_bytes`), decodes them with the
+    SAME stdlib RIFF parser as before
+    (operators/multimodal.py:decode_avi — idx1 offsets, stride and
+    frame counts all verified), and emits one (media_id, frame_no, fh)
+    row per frame. Planted trimmed+brightness-shifted copies of every
+    11th clip are generated in the same pass, so the base/copies
+    unionAll and its second scan are gone.
+
+    Why (guide §4.2, measured round 13): the retired JVM pack was a
+    ~500-node generated projection whose giant codegen class was a
+    C2-deopt/recompile hot spot — the query read 3.9 s in one bench
+    and 11.2 s in the next on the same inputs. See llm23._ah_feats for
+    the identical image-side rationale; byte parity is pinned by
+    tests/test_r13_fused_pack.py."""
+    import pandas as pd
+
+    from ..operators.multimodal import _ahash32, decode_avi
+
+    def _rows(e: int, mid: int, bump: int, f0: int, nf: int):
+        d = decode_avi(_vid_pack_bytes(e, bump, f0, nf))
+        for fno, rgb in enumerate(d["frames"]):
+            yield mid, fno, _ahash32(rgb)
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mids, fnos, hs = [], [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                rows = list(_rows(e, e, 0, 0, _VID_FRAMES))
+                if e % _VID_COPY_MOD == 0:
+                    rows += _rows(
+                        e, -(e + 1), _VID_BRIGHT, 1, _VID_FRAMES - 1
+                    )
+                for mid, fno, fh in rows:
+                    mids.append(mid)
+                    fnos.append(fno)
+                    hs.append(fh)
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_no": fnos, "fh": hs}
+            )
+
+    return ev.mapInPandas(
+        batches, schema="media_id long, frame_no int, fh long"
+    )
+
+
 def _vid_oracle() -> str:
     h_cols = ",\n           ".join(
         tf.h60_sql(
@@ -257,24 +341,13 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically, so a hash match proves pack -> parse -> per-frame
     hash -> block -> sequence-verify end to end."""
     ev = spread(load(spark, sf_dir, "events").select("event_id"))
-    base = _vid_media(ev, F.col("event_id"), 0, 0, _VID_FRAMES)
-    copies = _vid_media(
-        ev.filter(F.col("event_id") % _VID_COPY_MOD == 0),
-        -(F.col("event_id") + 1),
-        _VID_BRIGHT,
-        1,
-        _VID_FRAMES - 1,
-    )
-    # REAL container decode + per-frame aHash fused in ONE Arrow pass
-    # (round 12, same rewrite as dedup_image_phash: the interpreted
-    # transform/aggregate chain was the JIT/GC-bimodal hot spot; the
-    # numpy hash runs inside the worker that already holds the decoded
-    # frame and ships one long per frame instead of a 96-int array —
-    # guide §4); checkpointed once, feeds both the banding join and
-    # the sequence assembly.
-    feats = mm.avi_frame_ahash32(
-        base.unionAll(copies)
-    ).localCheckpoint(eager=True)  # one decode; feeds bands + seqs
+    # Pack + REAL container decode + per-frame aHash fused in ONE
+    # Arrow pass over bare ids (round 12 fused decode+hash — the
+    # interpreted HOF chain was the JIT/GC-bimodal hot spot; round 13
+    # pulls the PACK in too: the ~500-node generated pack projection
+    # was the residual C2-deopt spike, see _vid_feats); checkpointed
+    # once, feeds both the banding join and the sequence assembly.
+    feats = _vid_feats(ev).localCheckpoint(eager=True)
     seqs = feats.groupBy("media_id").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(frame_no, fh))),"
