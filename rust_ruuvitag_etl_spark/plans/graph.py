@@ -327,25 +327,43 @@ def text_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import spread
 
     docs = spread(load(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    # Round 13 (guide §2.4 remove shuffles outright): co-occurrence
+    # pairs build IN-ROW from the token array — window offsets are a
+    # per-token constant-fanout transform, so the two positional
+    # self-joins this replaces (tok ⋈ tok on (doc_id, pos±δ): two extra
+    # shuffles of every token occurrence, four evaluations of the
+    # tokenize split, and the suite's recurring 128-task JIT-swing
+    # stage) buy nothing the array index can't. The token array binds
+    # ONCE as a named column (the tf.shingles lesson: HOFs are
+    # CodegenFallback with no subexpression elimination — naming the
+    # split expression inside the lambda would re-split per element).
+    # Same edge set, same distinct, same checkpoint.
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("t"))
+
+    def _pairs_at(d: int):
+        # NB: the lambda must be UNARY — pyspark dispatches on lambda
+        # arity, and a `lambda i, d=d` would become the (element,
+        # index) two-argument form with d silently rebound to the
+        # array index.
+        def pair(i):
+            return F.struct(
+                F.element_at(F.col("t"), i.cast("int")).alias("src"),
+                F.element_at(F.col("t"), (i + d).cast("int")).alias("dst"),
+            )
+
+        return F.when(
+            F.size("t") <= d,
+            F.array().cast("array<struct<src:string,dst:string>>"),
+        ).otherwise(
+            F.transform(F.sequence(F.lit(1), F.size("t") - d), pair)
+        )
+
+    pair_arrays = [_pairs_at(d) for d in range(1, _TR_WINDOW + 1)]
+    pr = (
+        toks.select(F.explode(F.concat(*pair_arrays)).alias("e"))
+        .select("e.src", "e.dst")
+        .filter(F.col("src") != F.col("dst"))
     )
-    parts = []
-    for d in range(1, _TR_WINDOW + 1):
-        b = tok.select(
-            "doc_id",
-            (F.col("pos") - d).alias("apos"),
-            F.col("tok").alias("dst_tok"),
-        )
-        parts.append(
-            tok.join(b, (tok.doc_id == b.doc_id) & (tok.pos == b.apos))
-            .filter(F.col("tok") != F.col("dst_tok"))
-            .select(F.col("tok").alias("src"), F.col("dst_tok").alias("dst"))
-        )
-    pr = parts[0]
-    for p in parts[1:]:
-        pr = pr.unionAll(p)
     edges = (
         pr.unionAll(pr.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

@@ -214,9 +214,13 @@ def corpus_refresh_incremental(
     # split relations) all derive from the fingerprint projection —
     # materialize it ONCE so each branch reads a tiny table instead of
     # re-running the scan + md5 (at 100 TB this is the persisted
-    # fingerprint artifact the module docstring describes)
+    # fingerprint artifact the module docstring describes). Round 13
+    # (guide §2.3 project before materializing): (doc_id, f) ONLY — no
+    # downstream consumer reads fp.text (the near-dup chain re-reads
+    # ``docs`` for its shingles), so carrying the corpus text through
+    # the checkpoint was pure materialization cost.
     fp = docs.select(
-        "doc_id", "text", tf.fingerprint(F.col("text")).alias("f")
+        "doc_id", tf.fingerprint(F.col("text")).alias("f")
     ).localCheckpoint(eager=True)
     day1 = fp.filter(F.col("doc_id") % _REFRESH_DELTA_MOD != 0)
     d1canon = (
